@@ -1,0 +1,18 @@
+"""dedup — a Ray-Data-native near-duplicate detection + clustering engine.
+
+A from-scratch re-derivation of the record-matching semantics of the
+reference ``Danieljvdw/DuplicateDetector`` (see SURVEY.md) over Parquet
+tables of Common-Crawl-style web pages, built on ``ray.data.Dataset``
+pipelines: vectorized ``map_batches`` over zero-copy Arrow batches,
+actor pools for stateful signer stages, and groupby/aggregate shuffles
+for the wide steps (exact blocking, LSH banding, distributed
+union-find).
+
+Public surface:
+    - :mod:`dedup.config`     — PipelineConfig (the reference's settings table)
+    - :mod:`dedup.pipeline`   — end-to-end dedup pipelines (exact / near / full)
+    - :mod:`dedup.synth`      — deterministic pages-corpus generator (FIXTURES.md)
+    - :mod:`dedup.oracle`     — single-process greedy reference oracle (tests)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,127 @@
+"""Pipeline configuration — the engine's entire "query language".
+
+Analogue of the reference's persisted user settings (the hashing
+algorithm, folder-comparison mode, nine compare flags, ignore-size
+threshold; reference ``Properties/UserSettings.settings:4-44`` loaded at
+``ViewModels/MainViewModel.cs:350-387``), re-expressed as a frozen
+dataclass serialized to JSON alongside run outputs.  The
+``fingerprint()`` keys checkpoints: a stage checkpoint is only reusable
+when produced under an identical config.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field, replace
+
+
+SCOPE_MODES = (
+    "all",            # reference FolderComparisonMode.AllFolders (MainViewModel.cs:43-59)
+    "same_prefix",    # SameFolder  -> same url path-prefix (directory analogue)
+    "diff_prefix",    # DifferentFolder
+    "same_root",      # SameUserFolder -> same configured root (first-prefix-wins)
+    "diff_root",      # DifferentUserFolder
+    "same_host",      # disk analogue (Path.GetPathRoot, MainViewModel.cs:1023-1026)
+    "diff_host",
+)
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Config for one dedup run.
+
+    Exact-key flags mirror the reference's conjunctive predicate chain
+    (CompareSize/Date/Name/Extension..., MainViewModel.cs:996-1241);
+    near-dup knobs (MinHash/LSH, SimHash, substring) are the north-star
+    generalization of the prefix-stem near-match (MainViewModel.cs:1064-1072).
+    """
+
+    # --- table shape -------------------------------------------------
+    id_col: str = "url"            # primary key column
+    text_col: str = "text"         # content column the predicates act on
+    ts_col: str = "warc_ts"        # mtime analogue
+    lang_col: str = "lang"         # extension analogue
+
+    # --- exact pass (conjunctive equality keys) ----------------------
+    exact: bool = True             # CompareHash/CompareContent analogue
+    key_ts: bool = False           # CompareDateModified (MainViewModel.cs:1011-1014)
+    key_lang: bool = False         # CompareExtension analogue (:1081-1085)
+    byte_verify: bool = False      # M9 byte comparator analogue (:1094-1146); carries
+                                   # text through the exact shuffle — costly, off by default
+
+    # --- scope (comparison domain) -----------------------------------
+    scope: str = "all"             # one of SCOPE_MODES
+    roots: tuple[str, ...] = ()    # ordered url-prefix roots (Folders list analogue);
+                                   # first-prefix-wins (MainViewModel.cs:522-527)
+
+    # --- ignore filter -----------------------------------------------
+    min_doc_bytes: int = 64        # strict '<' => ignored (MainViewModel.cs:603; SURVEY §A.1)
+
+    # --- MinHash / LSH near-dup pass ---------------------------------
+    near: bool = True
+    shingle_k: int = 5             # words per shingle
+    num_perm: int = 128            # MinHash signature length P
+    lsh_bands: int = 32            # b bands x r rows; b*r must == num_perm
+    lsh_rows: int = 4
+    verify: str = "signature"      # 'none' | 'signature' (est. Jaccard from sig agreement)
+    verify_threshold: float = 0.5  # min signature agreement to keep a candidate pair
+    pair_cap: int = 64             # buckets larger than this emit star edges (skew guard)
+
+    # --- SimHash pass ------------------------------------------------
+    simhash: bool = True
+    simhash_bits: int = 64
+    simhash_hamming: int = 3       # max Hamming distance; blocks = hamming+1 (pigeonhole)
+
+    # --- substring (winnowing) pass ----------------------------------
+    substring: bool = True
+    winnow_gram: int = 50          # char-gram length g
+    winnow_window: int = 100       # winnowing window w; guarantees detection of any
+                                   # shared substring of length >= g + w - 1 chars
+    min_substring: int = 256       # containment verified only at/above this length
+
+    # --- misc --------------------------------------------------------
+    seed: int = 42
+    checkpoint_dir: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.scope not in SCOPE_MODES:
+            raise ValueError(f"scope must be one of {SCOPE_MODES}, got {self.scope!r}")
+        if self.near and self.lsh_bands * self.lsh_rows != self.num_perm:
+            raise ValueError(
+                f"lsh_bands*lsh_rows ({self.lsh_bands}x{self.lsh_rows}) must equal "
+                f"num_perm ({self.num_perm})"
+            )
+        if self.verify not in ("none", "signature"):
+            raise ValueError(f"verify must be 'none' or 'signature', got {self.verify!r}")
+
+    # -----------------------------------------------------------------
+    def to_json(self) -> str:
+        d = asdict(self)
+        d["roots"] = list(self.roots)
+        return json.dumps(d, sort_keys=True, indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "DedupConfig":
+        d = json.loads(s)
+        d["roots"] = tuple(d.get("roots", ()))
+        return cls(**d)
+
+    def fingerprint(self) -> str:
+        """Stable hash of every semantic knob; keys checkpoint reuse."""
+        return hashlib.sha256(self.to_json().encode()).hexdigest()[:16]
+
+    def with_(self, **kw) -> "DedupConfig":
+        return replace(self, **kw)
+
+
+#: Config adapter for the driver-provided ``documents`` table
+#: (doc_id:int64, text, lang, source, n_chars).  Order key = doc_id, so the
+#: cluster keeper is simply MIN(doc_id) — directly SQL-checkable.
+DOCUMENTS_CONFIG = DedupConfig(
+    id_col="doc_id",
+    text_col="text",
+    ts_col="",
+    lang_col="lang",
+    roots=(),
+)

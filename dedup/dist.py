@@ -1,0 +1,194 @@
+"""Distributed primitives: partition-level group-apply and union-find.
+
+The engine's wide steps (exact blocking, LSH buckets, SimHash blocks,
+anchor buckets, reduce-side joins, union-find rounds, cluster
+assignment) all reduce to one pattern:
+
+    hash-partition rows by a uint64 shuffle key  ->  process each
+    partition with a VECTORIZED function that groups by the real key
+    in numpy/pyarrow.
+
+``groupapply`` implements it as ``map_batches`` (adds ``pkey = mix(key)
+% P``) + ``groupby('pkey').map_groups`` — a single all-to-all shuffle
+with only P Python-function invocations (P ~ a few per core), instead
+of one per key-group.  Keys colocate because equal keys hash equally;
+per-key skew inside a partition is the partition fn's job (pair caps /
+star edges), which keeps hot keys O(n) instead of O(n^2).
+
+``union_find`` is the hash-to-min connected-components algorithm
+(Rastogi et al. 2013, "Finding Connected Components in Map-Reduce in
+Logarithmic Rounds"): each round every node proposes the minimum of its
+neighborhood to all its neighbors; converges to label = component-min in
+O(log d) rounds.  All reduces are order-insensitive minima, so results
+are byte-identical at any parallelism — the property that makes the
+reference's greedy first-wins pass (MainViewModel.cs:694-781)
+reproducible as min-representative connected components (SURVEY.md §2.7 D2).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+_MIX_MUL = np.uint64(0x9E3779B97F4A7C15)
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64-style avalanche so ``% P`` on structured keys is uniform."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def add_pkey(ds: ray.data.Dataset, key_col: str, num_partitions: int) -> ray.data.Dataset:
+    """Append ``pkey = mix64(key) % P`` (key must be uint64-valued)."""
+    P = np.uint64(num_partitions)
+
+    def _add(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("pkey", pa.array(mix64(k) % P, type=pa.uint64()))
+
+    return ds.map_batches(_add, batch_format="pyarrow")
+
+
+def groupapply(
+    ds: ray.data.Dataset,
+    key_col: str,
+    fn: Callable[[pa.Table], pa.Table],
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Hash-partition ``ds`` by uint64 ``key_col`` and apply ``fn`` to each
+    partition (a pyarrow.Table holding every row of its key-groups).
+    ``fn`` must group by the real key internally (see ``segments``)."""
+
+    def _strip(t: pa.Table) -> pa.Table:
+        return fn(t.drop_columns(["pkey"]))
+
+    return add_pkey(ds, key_col, num_partitions).groupby("pkey").map_groups(
+        _strip, batch_format="pyarrow"
+    )
+
+
+def segments(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sort-based segmentation of a key array: returns (order, starts,
+    unique_keys) where ``keys[order]`` is sorted and
+    ``starts[i]:starts[i+1]`` (starts has a trailing len) spans group i."""
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    if len(sk) == 0:
+        return order, np.zeros(1, dtype=np.int64), sk
+    brk = np.flatnonzero(sk[1:] != sk[:-1]) + 1
+    starts = np.concatenate([[0], brk, [len(sk)]])
+    return order, starts, sk[starts[:-1]]
+
+
+# ---------------------------------------------------------------------------
+# distributed union-find (hash-to-min)
+# ---------------------------------------------------------------------------
+
+_EDGE_SCHEMA = pa.schema([("u", pa.uint64()), ("v", pa.uint64()),
+                          ("lbl", pa.bool_())])
+
+
+def _uf_round(t: pa.Table) -> pa.Table:
+    """One hash-to-min round over a partition of (u, v[, lbl]) rows.
+
+    For every distinct u in the partition (all rows of u colocate):
+    m = min(neighbors(u) ∪ {u}); emit (u, m, lbl=True) — u's current
+    label — and (x, m, lbl=False) for every neighbor x."""
+    u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    # per-partition dedupe: repeated (u, v) rows accumulate across rounds
+    uv = np.stack([u, v], axis=1)
+    uv = np.unique(uv, axis=0)
+    u, v = uv[:, 0], uv[:, 1]
+    order, starts, uniq = segments(u)
+    vs = v[order]
+    seg_min = np.minimum.reduceat(vs, starts[:-1]) if len(vs) else vs
+    m = np.minimum(seg_min, uniq)
+    counts = np.diff(starts)
+    new_u = np.concatenate([uniq, vs])
+    new_v = np.concatenate([m, np.repeat(m, counts)])
+    lbl = np.concatenate([np.ones(len(uniq), dtype=bool),
+                          np.zeros(len(vs), dtype=bool)])
+    return pa.table({"u": new_u, "v": new_v, "lbl": lbl}, schema=_EDGE_SCHEMA)
+
+
+def _label_checksum(pairs: ray.data.Dataset) -> int:
+    """Order-insensitive checksum of the labeled rows (exact integer sum
+    of mixed (u, label) hashes) — the convergence test."""
+
+    def _cs(t: pa.Table) -> pa.Table:
+        sel = t.filter(pa.compute.field("lbl"))
+        u = sel["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = sel["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = mix64(u * np.uint64(3) + v)
+        # wrap-around partial sum per batch; combined exactly on the driver
+        return pa.table({"cs": pa.array([int(h.sum(dtype=np.uint64))], pa.uint64()),
+                         "n": pa.array([len(u)], pa.int64())})
+
+    parts = _cs_totals(pairs.map_batches(_cs, batch_format="pyarrow"))
+    return parts
+
+
+def _cs_totals(ds: ray.data.Dataset) -> int:
+    tot_cs = 0
+    tot_n = 0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        tot_cs += sum(b["cs"].to_pylist())
+        tot_n += sum(b["n"].to_pylist())
+    return hash((tot_cs, tot_n))
+
+
+def union_find(
+    edges: ray.data.Dataset,
+    num_partitions: int,
+    max_rounds: int = 24,
+) -> ray.data.Dataset:
+    """Connected components over an edge list of uint64 node ids.
+
+    Input: dataset with columns (u, v).  Output: (node, comp) where comp
+    is the minimum node id of the component — one row per node that
+    appears in any edge.  Deterministic at any parallelism (min reduces
+    only).  Each round materializes only the edge table (O(matched docs),
+    never the corpus), per SURVEY.md §7.5.
+    """
+
+    def _sym(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "u": np.concatenate([u, v]),
+            "v": np.concatenate([v, u]),
+            "lbl": np.zeros(2 * len(u), dtype=bool),
+        }, schema=_EDGE_SCHEMA)
+
+    pairs = edges.map_batches(_sym, batch_format="pyarrow").materialize()
+    if pairs.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.uint64()),
+                      "comp": pa.array([], pa.uint64())}))
+
+    prev = None
+    for _ in range(max_rounds):
+        pairs = groupapply(pairs, "u", _uf_round, num_partitions).materialize()
+        cs = _label_checksum(pairs)
+        if cs == prev:
+            break
+        prev = cs
+
+    def _labels(t: pa.Table) -> pa.Table:
+        sel = t.filter(pa.compute.field("lbl"))
+        return pa.table({"node": sel["u"], "comp": sel["v"]})
+
+    return pairs.map_batches(_labels, batch_format="pyarrow")

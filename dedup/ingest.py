@@ -1,0 +1,159 @@
+"""Ingest / normalize stage.
+
+Reads the input Parquet (with column pruning — the wide ``html`` binary
+column is only loaded when the extract-invariant check is on, and is
+dropped again before any shuffle, SURVEY.md §7.5) and derives the
+working columns every later stage keys on:
+
+    node       uint64   stable node id (doc_id, or blake2b64(url))
+    id         (input)  the original primary-key column
+    order_key  binary   sortable global-order encoding (keys.order_key_bytes)
+    n_chars    int64    utf8 length of text (ignore filter + SQL parity)
+    scope64    uint64   hash of the scope attribute for the configured mode
+    state0     string   'ok' | 'ignored' | 'error'
+    text       string   content (null for error rows)
+    exact64    uint64   first 8 bytes of exact_full (shuffle key)
+    exact_full binary   16-byte hash of the exact-equality key material
+
+Reference semantics encoded here: strict ``<`` ignore threshold
+(MainViewModel.cs:603, SURVEY.md §A.1); error rows never match anything
+(null-hash decision, §A.4); byte-identical extract invariant
+(MainViewModel.cs:1094-1146) enforced when html is present.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .config import DedupConfig
+from .extract import extract_text
+from .keys import order_key_bytes, root_rank, url_host, url_prefix
+
+
+def _h64(data: bytes) -> int:
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
+
+
+def _scope_value(cfg: DedupConfig, url: str) -> str:
+    if cfg.scope in ("same_prefix", "diff_prefix"):
+        return url_prefix(url)
+    if cfg.scope in ("same_host", "diff_host"):
+        return url_host(url)
+    if cfg.scope in ("same_root", "diff_root"):
+        return str(root_rank(url, cfg.roots))
+    return ""
+
+
+def read_input(path: str | list[str], cfg: DedupConfig,
+               has_html: bool = False) -> ray.data.Dataset:
+    """Column-pruned parquet read: only the columns the pipeline needs
+    leave storage."""
+    cols = [cfg.id_col, cfg.text_col]
+    if cfg.ts_col:
+        cols.append(cfg.ts_col)
+    if cfg.lang_col:
+        cols.append(cfg.lang_col)
+    if has_html:
+        cols.append("html")
+    return ray.data.read_parquet(path, columns=cols)
+
+
+class Preparer:
+    """Stateless map_batches fn (kept as a class for config closure)."""
+
+    def __init__(self, cfg: DedupConfig, check_html: bool = True) -> None:
+        self.cfg = cfg
+        self.check_html = check_html
+        self.string_ids = None  # resolved on first batch
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        ids = t[cfg.id_col]
+        if self.string_ids is None:
+            self.string_ids = pa.types.is_string(ids.type) or pa.types.is_large_string(ids.type)
+        texts = t[cfg.text_col].to_pylist()
+        n = len(texts)
+
+        # --- extract-invariant check (byte comparator analogue) ----------
+        invariant_bad = [False] * n
+        if self.check_html and "html" in t.column_names:
+            htmls = t["html"].to_pylist()
+            for i, (h, txt) in enumerate(zip(htmls, texts)):
+                if txt is None:
+                    continue
+                if h is None or extract_text(h) != txt:
+                    invariant_bad[i] = True
+
+        id_list = ids.to_pylist()
+        node = np.empty(n, dtype=np.uint64)
+        okeys: list[bytes] = []
+        scope64 = np.zeros(n, dtype=np.uint64)
+        shas: list[bytes | None] = []
+        scoped = cfg.scope != "all"
+        for i in range(n):
+            if self.string_ids:
+                u = id_list[i]
+                node[i] = _h64(u.encode())
+                okeys.append(order_key_bytes(u, root_rank(u, cfg.roots) if cfg.roots else 0))
+                if scoped:
+                    scope64[i] = _h64(_scope_value(cfg, u).encode())
+            else:
+                node[i] = np.uint64(id_list[i])
+                okeys.append(int(id_list[i]).to_bytes(8, "big"))
+            txt = texts[i]
+            shas.append(hashlib.sha256(txt.encode()).digest() if txt is not None else None)
+
+        n_chars = pc.fill_null(pc.utf8_length(t[cfg.text_col]), 0).cast(pa.int64())
+        nc = n_chars.to_numpy(zero_copy_only=False)
+
+        # state0: error (null text / invariant violation) > ignored (strict <)
+        is_err = np.array([txt is None for txt in texts], dtype=bool) | np.array(
+            invariant_bad, dtype=bool)
+        state0 = np.where(is_err, "error",
+                          np.where(nc < cfg.min_doc_bytes, "ignored", "ok"))
+
+        # exact key material: sha256(text) [+ ts] [+ lang] [+ scope if same_*]
+        ts_vals = t[cfg.ts_col].cast(pa.int64()).to_pylist() if (cfg.key_ts and cfg.ts_col) else None
+        lang_vals = t[cfg.lang_col].to_pylist() if (cfg.key_lang and cfg.lang_col) else None
+        same_scope = cfg.scope.startswith("same_")
+        exact_full: list[bytes | None] = []
+        exact64 = np.zeros(n, dtype=np.uint64)
+        for i in range(n):
+            if state0[i] != "ok":
+                exact_full.append(None)
+                continue
+            h = hashlib.blake2b(shas[i], digest_size=16)
+            if ts_vals is not None:
+                h.update(b"\x00t" + str(ts_vals[i]).encode())
+            if lang_vals is not None:
+                h.update(b"\x00l" + (lang_vals[i] or "").encode())
+            if same_scope:
+                h.update(b"\x00s" + scope64[i].tobytes())
+            d = h.digest()
+            exact_full.append(d)
+            exact64[i] = int.from_bytes(d[:8], "little")
+
+        return pa.table({
+            "node": pa.array(node, pa.uint64()),
+            "id": ids,
+            "order_key": pa.array(okeys, pa.binary()),
+            "n_chars": pa.array(nc, pa.int64()),
+            "scope64": pa.array(scope64, pa.uint64()),
+            "state0": pa.array(state0.tolist(), pa.string()),
+            "text": t[cfg.text_col],
+            "exact64": pa.array(exact64, pa.uint64()),
+            "exact_full": pa.array(exact_full, pa.binary()),
+        })
+
+
+def prepare(ds: ray.data.Dataset, cfg: DedupConfig,
+            check_html: bool = True) -> ray.data.Dataset:
+    """read → normalized working table (html dropped on output)."""
+    return ds.map_batches(Preparer(cfg, check_html=check_html),
+                          batch_format="pyarrow")

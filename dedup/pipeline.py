@@ -1,0 +1,727 @@
+"""End-to-end dedup pipelines (exact / near / simhash / substring → union-find
+→ assignment).
+
+Semantics re-derived from the reference's ScanAsync/CompareFile
+(MainViewModel.cs:564-818, 996-1241; see SURVEY.md §0.1): candidate
+pairs exist only within equality blocks; for symmetric predicates the
+greedy first-wins pass equals connected components of the verified match
+relation with representative = minimum member in the global order — here
+computed with order-insensitive min-reduces only, so the output is
+byte-identical at any parallelism / partition count.
+
+Every wide step is the ``dist.groupapply`` pattern: ONE hash shuffle on
+a uint64 key + a vectorized partition function.  Skew control: buckets
+larger than ``pair_cap`` emit O(n) star edges instead of O(n^2) pairs
+(connectivity-preserving, SURVEY.md §7.4/§7.5 "hot LSH bands").
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .config import DedupConfig
+from .dist import groupapply, mix64, segments, union_find
+from .ingest import prepare
+from .minhash import MinHashSigner
+from .simhash import SimHashSigner
+
+_PAIR_SCHEMA = pa.schema([("u", pa.uint64()), ("v", pa.uint64())])
+_EMPTY_PAIRS = pa.table({"u": pa.array([], pa.uint64()),
+                         "v": pa.array([], pa.uint64())})
+
+
+def _auto_partitions(cfg: DedupConfig) -> int:
+    if getattr(cfg, "num_partitions", 0):
+        return cfg.num_partitions
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(16, cpus * 2)
+
+
+def _ok_only(ds: ray.data.Dataset) -> ray.data.Dataset:
+    def _f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["state0"], "ok"))
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# pair emission inside a bucket (vectorized per partition)
+# ---------------------------------------------------------------------------
+
+def _emit_bucket_pairs(nodes: np.ndarray, scopes: np.ndarray | None,
+                       diff_scope: bool, cap: int,
+                       out_u: list, out_v: list) -> None:
+    """Candidate pairs for one bucket.  <=cap: all pairs; larger buckets
+    emit star edges to the min node — O(n), connectivity-equivalent under
+    union-find.  diff_scope restricts pairs to unequal scopes (reference
+    Different-X modes, MainViewModel.cs:720-749); a >=2-scope bucket is
+    transitively fully connected, so star edges anchored at the two
+    smallest nodes of distinct scopes preserve components."""
+    n = len(nodes)
+    if n < 2:
+        return
+    o = np.argsort(nodes, kind="stable")
+    nodes = nodes[o]
+    if scopes is not None:
+        scopes = scopes[o]
+    if diff_scope:
+        if scopes is None or len(np.unique(scopes)) < 2:
+            return
+        if n <= cap:
+            iu, iv = np.triu_indices(n, k=1)
+            keep = scopes[iu] != scopes[iv]
+            out_u.append(nodes[iu][keep]); out_v.append(nodes[iv][keep])
+        else:
+            a0 = 0
+            other = np.flatnonzero(scopes != scopes[a0])
+            a1 = other[0]
+            m0 = scopes != scopes[a0]
+            m1 = ~m0
+            m1[a0] = False
+            out_u.append(np.full(m0.sum(), nodes[a0], dtype=np.uint64))
+            out_v.append(nodes[m0])
+            out_u.append(np.full(m1.sum(), nodes[a1], dtype=np.uint64))
+            out_v.append(nodes[m1])
+        return
+    if n <= cap:
+        iu, iv = np.triu_indices(n, k=1)
+        out_u.append(nodes[iu]); out_v.append(nodes[iv])
+    else:
+        out_u.append(np.full(n - 1, nodes[0], dtype=np.uint64))
+        out_v.append(nodes[1:])
+
+
+def _pairs_table(out_u: list, out_v: list) -> pa.Table:
+    if not out_u:
+        return _EMPTY_PAIRS
+    return pa.table({"u": np.concatenate(out_u), "v": np.concatenate(out_v)},
+                    schema=_PAIR_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# exact pass  (D1: group by (scope?, exact-key); SURVEY.md §2.7)
+# ---------------------------------------------------------------------------
+
+def exact_edges(active: ray.data.Dataset, cfg: DedupConfig,
+                P: int) -> ray.data.Dataset:
+    """Edges connecting members of each exact-equality block.  The shuffle
+    moves only (exact64, exact_full, node, scope64[, text]) — text only
+    when byte_verify is on (M9 analogue)."""
+    diff_scope = cfg.scope.startswith("diff_")
+    cols = ["exact64", "exact_full", "node", "scope64"]
+    if cfg.byte_verify:
+        cols.append("text")
+    sig = active.select_columns(cols)
+    cap = cfg.pair_cap
+
+    def _part(t: pa.Table) -> pa.Table:
+        e64 = t["exact64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        scopes = t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        full = t["exact_full"].to_pylist()
+        texts = t["text"].to_pylist() if cfg.byte_verify else None
+        order, starts, _ = segments(e64)
+        out_u: list = []
+        out_v: list = []
+        for s, e in zip(starts[:-1], starts[1:]):
+            if e - s < 2:
+                continue
+            idx = order[s:e]
+            # split rare exact64 collisions on the full 16-byte key
+            sub: dict[bytes, list[int]] = {}
+            for i in idx:
+                sub.setdefault(full[i], []).append(i)
+            for rows in sub.values():
+                if len(rows) < 2:
+                    continue
+                if texts is not None:
+                    # byte-verify (M9): sub-split on actual text equality
+                    by_text: dict[str, list[int]] = {}
+                    for i in rows:
+                        by_text.setdefault(texts[i], []).append(i)
+                    groups = [g for g in by_text.values() if len(g) > 1]
+                else:
+                    groups = [rows]
+                for g in groups:
+                    _emit_bucket_pairs(nodes[g], scopes[g], diff_scope, cap,
+                                       out_u, out_v)
+        return _pairs_table(out_u, out_v)
+
+    return groupapply(sig, "exact64", _part, P)
+
+
+# ---------------------------------------------------------------------------
+# MinHash/LSH pass  (D3 near-dup; SURVEY.md §7.4 banding shuffle)
+# ---------------------------------------------------------------------------
+
+def _band_const(i: int) -> np.uint64:
+    return np.uint64(int.from_bytes(
+        hashlib.blake2b(b"band%d" % i, digest_size=8).digest(), "little"))
+
+
+def lsh_band_rows(sigs: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
+    """Explode each signature into b band rows (skey = hash of the band's
+    r signature components [+ scope for same_* modes])."""
+    b, r = cfg.lsh_bands, cfg.lsh_rows
+    same_scope = cfg.scope.startswith("same_")
+    consts = [_band_const(i) for i in range(b)]
+
+    def _explode(t: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_null(t["minhash"]))
+        t = t.filter(mask)
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"skey": pa.array([], pa.uint64()),
+                             "node": pa.array([], pa.uint64()),
+                             "scope64": pa.array([], pa.uint64())})
+        sig = np.frombuffer(b"".join(t["minhash"].to_pylist()),
+                            dtype="<u8").reshape(n, b * r)
+        nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        scopes = t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keys = np.empty((b, n), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(b):
+                h = np.full(n, consts[i], dtype=np.uint64)
+                for j in range(r):
+                    h = mix64(h ^ sig[:, i * r + j])
+                if same_scope:
+                    h = mix64(h ^ scopes)
+                keys[i] = h
+        return pa.table({
+            "skey": keys.reshape(-1),
+            "node": np.tile(nodes, b),
+            "scope64": np.tile(scopes, b),
+        })
+
+    return sigs.map_batches(_explode, batch_format="pyarrow")
+
+
+def bucket_pairs(rows: ray.data.Dataset, cfg: DedupConfig,
+                 P: int) -> ray.data.Dataset:
+    """groupby(skey) → candidate pairs (deduplicated across bands)."""
+    diff_scope = cfg.scope.startswith("diff_")
+    cap = cfg.pair_cap
+
+    def _part(t: pa.Table) -> pa.Table:
+        sk = t["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        scopes = t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order, starts, _ = segments(sk)
+        out_u: list = []
+        out_v: list = []
+        for s, e in zip(starts[:-1], starts[1:]):
+            if e - s < 2:
+                continue
+            idx = order[s:e]
+            _emit_bucket_pairs(nodes[idx], scopes[idx], diff_scope, cap,
+                               out_u, out_v)
+        return _pairs_table(out_u, out_v)
+
+    return dedupe_pairs(groupapply(rows, "skey", _part, P), P)
+
+
+def dedupe_pairs(pairs: ray.data.Dataset, P: int) -> ray.data.Dataset:
+    """Canonicalize (min, max) and drop duplicates (cross-band repeats)."""
+
+    def _key(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        return pa.table({"skey": mix64(lo) ^ mix64(~hi), "u": lo, "v": hi})
+
+    def _uniq(t: pa.Table) -> pa.Table:
+        uv = np.stack([
+            t["u"].to_numpy(zero_copy_only=False).astype(np.uint64),
+            t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)], axis=1)
+        uv = np.unique(uv, axis=0)
+        return pa.table({"u": uv[:, 0], "v": uv[:, 1]}, schema=_PAIR_SCHEMA)
+
+    return groupapply(pairs.map_batches(_key, batch_format="pyarrow"),
+                      "skey", _uniq, P)
+
+
+# ---------------------------------------------------------------------------
+# SimHash pass (Hamming-block candidates; fingerprint rides along -> inline verify)
+# ---------------------------------------------------------------------------
+
+def simhash_edges(active: ray.data.Dataset, cfg: DedupConfig,
+                  P: int) -> ray.data.Dataset:
+    n_blocks = cfg.simhash_hamming + 1
+    width = cfg.simhash_bits // n_blocks
+    bmask = np.uint64((1 << width) - 1)
+    same_scope = cfg.scope.startswith("same_")
+    diff_scope = cfg.scope.startswith("diff_")
+    maxham = cfg.simhash_hamming
+    cap = cfg.pair_cap
+    consts = [_band_const(1000 + i) for i in range(n_blocks)]
+
+    sigs = active.map_batches(
+        SimHashSigner, fn_constructor_kwargs={"seed": cfg.seed},
+        batch_format="pyarrow", concurrency=(1, 8),
+    ).select_columns(["node", "scope64", "simhash"])
+
+    def _explode(t: pa.Table) -> pa.Table:
+        fp = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mask = fp != 0
+        fp = fp[mask]
+        nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)[mask]
+        scopes = t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)[mask]
+        n = len(fp)
+        keys = np.empty((n_blocks, n), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(n_blocks):
+                blk = (fp >> np.uint64(i * width)) & bmask
+                h = mix64(blk ^ consts[i])
+                if same_scope:
+                    h = mix64(h ^ scopes)
+                keys[i] = h
+        return pa.table({
+            "skey": keys.reshape(-1),
+            "node": np.tile(nodes, n_blocks),
+            "scope64": np.tile(scopes, n_blocks),
+            "fp": np.tile(fp, n_blocks),
+        })
+
+    rows = sigs.map_batches(_explode, batch_format="pyarrow")
+
+    def _popcnt(x: np.ndarray) -> np.ndarray:
+        return np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                             axis=1).sum(axis=1)
+
+    def _part(t: pa.Table) -> pa.Table:
+        sk = t["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        scopes = t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        fps = t["fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order, starts, _ = segments(sk)
+        out_u: list = []
+        out_v: list = []
+        for s, e in zip(starts[:-1], starts[1:]):
+            if e - s < 2:
+                continue
+            idx = order[s:e]
+            nd, sc, f = nodes[idx], scopes[idx], fps[idx]
+            o = np.argsort(nd, kind="stable")
+            nd, sc, f = nd[o], sc[o], f[o]
+            n = len(nd)
+            if n <= cap:
+                iu, iv = np.triu_indices(n, k=1)
+            else:  # star against the min node (skew guard)
+                iu = np.zeros(n - 1, dtype=np.int64)
+                iv = np.arange(1, n, dtype=np.int64)
+            ham = _popcnt(f[iu] ^ f[iv])
+            keep = (ham <= maxham) & (nd[iu] != nd[iv])
+            if diff_scope:
+                keep &= sc[iu] != sc[iv]
+            out_u.append(nd[iu][keep])
+            out_v.append(nd[iv][keep])
+        return _pairs_table(out_u, out_v)
+
+    return dedupe_pairs(groupapply(rows, "skey", _part, P), P)
+
+
+# ---------------------------------------------------------------------------
+# winnowing substring pass
+# ---------------------------------------------------------------------------
+
+def substring_candidates(active: ray.data.Dataset, cfg: DedupConfig,
+                         P: int) -> ray.data.Dataset:
+    """Anchor rows → candidate containment pairs (shorter doc contained in
+    longer).  Both docs must be >= min_substring chars (the contained text
+    is the whole shorter doc; FIXTURES.md F1.1 'substring')."""
+    from .winnow import winnow  # local import keeps module load cheap
+
+    g, w = cfg.winnow_gram, cfg.winnow_window
+    min_sub = cfg.min_substring
+    diff_scope = cfg.scope.startswith("diff_")
+    same_scope = cfg.scope.startswith("same_")
+    cap = cfg.pair_cap
+
+    def _anchors(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n_chars"], min_sub))
+        nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        scopes = t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ncs = t["n_chars"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        ks, ns, ss, ls = [], [], [], []
+        for i, txt in enumerate(texts):
+            a = winnow(txt, g, w)
+            if same_scope:
+                with np.errstate(over="ignore"):
+                    a = mix64(a ^ scopes[i])
+            ks.append(a)
+            ns.append(np.full(len(a), nodes[i], dtype=np.uint64))
+            ss.append(np.full(len(a), scopes[i], dtype=np.uint64))
+            ls.append(np.full(len(a), ncs[i], dtype=np.int64))
+        if not ks:
+            return pa.table({"skey": pa.array([], pa.uint64()),
+                             "node": pa.array([], pa.uint64()),
+                             "scope64": pa.array([], pa.uint64()),
+                             "n_chars": pa.array([], pa.int64())})
+        return pa.table({"skey": np.concatenate(ks),
+                         "node": np.concatenate(ns),
+                         "scope64": np.concatenate(ss),
+                         "n_chars": np.concatenate(ls)})
+
+    rows = active.select_columns(["node", "scope64", "n_chars", "text"]) \
+                 .map_batches(_anchors, batch_format="pyarrow")
+
+    def _part(t: pa.Table) -> pa.Table:
+        sk = t["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        scopes = t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order, starts, _ = segments(sk)
+        out_u: list = []
+        out_v: list = []
+        for s, e in zip(starts[:-1], starts[1:]):
+            if e - s < 2:
+                continue
+            idx = order[s:e]
+            nd = nodes[idx]
+            # drop same-doc repeats of one anchor
+            if len(np.unique(nd)) < 2:
+                continue
+            uniq_i = np.unique(nd, return_index=True)[1]
+            _emit_bucket_pairs(nd[uniq_i], scopes[idx][uniq_i], diff_scope,
+                               cap, out_u, out_v)
+        return _pairs_table(out_u, out_v)
+
+    return dedupe_pairs(groupapply(rows, "skey", _part, P), P)
+
+
+# ---------------------------------------------------------------------------
+# pair verification (reduce-side payload join; SURVEY.md §2.7 D3 verify)
+# ---------------------------------------------------------------------------
+
+def _candidate_nodes(pairs: ray.data.Dataset) -> np.ndarray:
+    """Sorted distinct node ids appearing in any pair (driver-collected;
+    8 bytes/node — at true web scale swap for a distributed semi-join)."""
+    parts = [np.array([], dtype=np.uint64)]
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        parts.append(b["u"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        parts.append(b["v"].to_numpy(zero_copy_only=False).astype(np.uint64))
+    return np.unique(np.concatenate(parts))
+
+
+def verify_pairs(pairs: ray.data.Dataset, payload: ray.data.Dataset,
+                 payload_col: str, verdict, P: int) -> ray.data.Dataset:
+    """Keep pairs where ``verdict(payload_u, payload_v)`` is true.
+
+    Two shuffles: (1) attach payload per node (payload pre-filtered to
+    candidate nodes via a broadcast sorted array + searchsorted, so the
+    corpus-sized payload table never shuffles); (2) regroup by pair."""
+    pairs = pairs.materialize()
+    nodes = _candidate_nodes(pairs)
+    if len(nodes) == 0:
+        return pairs
+    nodes_ref = ray.put(nodes)
+    pay_type = payload.schema().base_schema.field(payload_col).type
+
+    def _filter_payload(t: pa.Table) -> pa.Table:
+        arr = ray.get(nodes_ref)
+        nd = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pos = np.searchsorted(arr, nd)
+        pos[pos >= len(arr)] = 0
+        hit = arr[pos] == nd
+        t = t.filter(pa.array(hit))
+        return pa.table({"skey": t["node"],
+                         "u": pa.nulls(t.num_rows, pa.uint64()),
+                         "v": pa.nulls(t.num_rows, pa.uint64()),
+                         "pay": t[payload_col]})
+
+    def _explode_pairs(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "skey": np.concatenate([u, v]),
+            "u": np.concatenate([u, u]),
+            "v": np.concatenate([v, v]),
+            "pay": pa.nulls(2 * len(u), pay_type),
+        })
+
+    side = payload.map_batches(_filter_payload, batch_format="pyarrow").union(
+        pairs.map_batches(_explode_pairs, batch_format="pyarrow"))
+
+    def _attach(t: pa.Table) -> pa.Table:
+        sk = t["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pays = t["pay"].to_pylist()
+        us = t["u"].to_pylist()
+        vs = t["v"].to_pylist()
+        order, starts, _ = segments(sk)
+        o_u, o_v, o_pay, o_side = [], [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            idx = order[s:e]
+            pay = None
+            for i in idx:
+                if us[i] is None:
+                    pay = pays[i]
+                    break
+            if pay is None:
+                continue
+            node = sk[idx[0]]
+            for i in idx:
+                if us[i] is None:
+                    continue
+                o_u.append(us[i]); o_v.append(vs[i]); o_pay.append(pay)
+                o_side.append(0 if us[i] == node else 1)
+        with np.errstate(over="ignore"):
+            pk = (mix64(np.array(o_u, dtype=np.uint64))
+                  ^ mix64(~np.array(o_v, dtype=np.uint64))) if o_u else \
+                 np.array([], dtype=np.uint64)
+        return pa.table({
+            "skey": pa.array(pk, pa.uint64()),
+            "u": pa.array(o_u, pa.uint64()),
+            "v": pa.array(o_v, pa.uint64()),
+            "side": pa.array(o_side, pa.int8()),
+            "pay": pa.array(o_pay, pay_type),
+        })
+
+    attached = groupapply(side, "skey", _attach, P)
+
+    def _judge(t: pa.Table) -> pa.Table:
+        sk = t["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        us = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        vs = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sides = t["side"].to_numpy(zero_copy_only=False)
+        pays = t["pay"].to_pylist()
+        order, starts, _ = segments(sk)
+        out_u, out_v = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            idx = order[s:e]
+            by_pair: dict[tuple, dict] = {}
+            for i in idx:
+                d = by_pair.setdefault((us[i], vs[i]), {})
+                d[int(sides[i])] = pays[i]
+            for (u, v), d in by_pair.items():
+                if 0 in d and 1 in d and verdict(d[0], d[1]):
+                    out_u.append(u); out_v.append(v)
+        return pa.table({"u": pa.array(out_u, pa.uint64()),
+                         "v": pa.array(out_v, pa.uint64())})
+
+    return groupapply(attached, "skey", _judge, P)
+
+
+# ---------------------------------------------------------------------------
+# edge stages assembled
+# ---------------------------------------------------------------------------
+
+def minhash_edges(active: ray.data.Dataset, cfg: DedupConfig,
+                  P: int) -> ray.data.Dataset:
+    """shingle → MinHash actor pool → LSH bands → candidate pairs →
+    signature-agreement verify (SURVEY.md §7.2 step 5)."""
+    sigs = active.select_columns(["node", "scope64", "text"]).map_batches(
+        MinHashSigner,
+        fn_constructor_kwargs={"num_perm": cfg.num_perm,
+                               "shingle_k": cfg.shingle_k, "seed": cfg.seed},
+        batch_format="pyarrow", concurrency=(1, 8),
+    ).select_columns(["node", "scope64", "minhash"]).materialize()
+    pairs = bucket_pairs(lsh_band_rows(sigs, cfg), cfg, P)
+    if cfg.verify == "none":
+        return pairs
+    thresh = cfg.verify_threshold
+
+    def _verdict(sa: bytes, sb: bytes) -> bool:
+        a = np.frombuffer(sa, dtype="<u8")
+        b = np.frombuffer(sb, dtype="<u8")
+        return float((a == b).mean()) >= thresh
+
+    return verify_pairs(pairs, sigs, "minhash", _verdict, P)
+
+
+def substring_edges(active: ray.data.Dataset, cfg: DedupConfig,
+                    P: int) -> ray.data.Dataset:
+    """winnow anchors → candidates → exact containment verify
+    (`shorter in longer`, both >= min_substring chars)."""
+    pairs = substring_candidates(active, cfg, P)
+    payload = active.select_columns(["node", "text"])
+
+    def _verdict(ta: str, tb: str) -> bool:
+        if ta is None or tb is None:
+            return False
+        small, big = (ta, tb) if len(ta) <= len(tb) else (tb, ta)
+        return len(small) >= cfg.min_substring and small in big
+
+    return verify_pairs(pairs, payload, "text", _verdict, P)
+
+
+# ---------------------------------------------------------------------------
+# assignment (D2: keep = order-minimum member, delete = rest, unique = unmatched)
+# ---------------------------------------------------------------------------
+
+def assign_states(prep: ray.data.Dataset, labels: ray.data.Dataset,
+                  cfg: DedupConfig, P: int) -> ray.data.Dataset:
+    """labels (node, comp) + prepared docs → assignments table
+    (id_col, state, cluster_id, cluster_size).
+
+    cluster_id = the keeper's original id (reference: cluster representative
+    is the first record in the deterministic global order that probed a
+    non-empty candidate set, MainViewModel.cs:1227-1234 — equal to the
+    order-minimum member for symmetric predicates, SURVEY.md §0.1).
+    Sentinel for non-clustered rows: -1 (int ids) / "" (string ids)."""
+    docs = prep.select_columns(["node", "id", "order_key", "state0"])
+    id_type = docs.schema().base_schema.field("id").type
+    string_ids = pa.types.is_string(id_type) or pa.types.is_large_string(id_type)
+    sentinel = "" if string_ids else -1
+
+    def _doc_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "skey": t["node"],
+            "comp": pa.nulls(t.num_rows, pa.uint64()),
+            "id": t["id"],
+            "order_key": t["order_key"],
+            "state0": t["state0"],
+        })
+
+    def _label_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "skey": t["node"],
+            "comp": t["comp"],
+            "id": pa.nulls(t.num_rows, id_type),
+            "order_key": pa.nulls(t.num_rows, pa.binary()),
+            "state0": pa.nulls(t.num_rows, pa.string()),
+        })
+
+    side = docs.map_batches(_doc_rows, batch_format="pyarrow").union(
+        labels.map_batches(_label_rows, batch_format="pyarrow"))
+
+    out_schema = pa.schema([
+        ("id", id_type), ("state", pa.string()), ("cluster_id", id_type),
+        ("cluster_size", pa.int64()), ("comp", pa.uint64()),
+        ("order_key", pa.binary()),
+    ])
+
+    def _attach(t: pa.Table) -> pa.Table:
+        sk = t["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        comps = t["comp"].to_pylist()
+        ids = t["id"].to_pylist()
+        okeys = t["order_key"].to_pylist()
+        st0 = t["state0"].to_pylist()
+        order, starts, _ = segments(sk)
+        o_id, o_state, o_cid, o_size, o_comp, o_ok = [], [], [], [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            idx = order[s:e]
+            comp = None
+            doc_i = None
+            for i in idx:
+                if ids[i] is not None:
+                    doc_i = i
+                else:
+                    comp = comps[i]
+            if doc_i is None:
+                continue  # label for a node filtered upstream (shouldn't happen)
+            if st0[doc_i] != "ok":
+                o_id.append(ids[doc_i]); o_state.append(st0[doc_i])
+                o_cid.append(sentinel); o_size.append(0)
+                o_comp.append(None); o_ok.append(None)
+            elif comp is None:
+                o_id.append(ids[doc_i]); o_state.append("unique")
+                o_cid.append(sentinel); o_size.append(1)
+                o_comp.append(None); o_ok.append(None)
+            else:
+                o_id.append(ids[doc_i]); o_state.append("")
+                o_cid.append(sentinel); o_size.append(0)
+                o_comp.append(comp); o_ok.append(okeys[doc_i])
+        return pa.table({"id": pa.array(o_id, id_type),
+                         "state": pa.array(o_state, pa.string()),
+                         "cluster_id": pa.array(o_cid, id_type),
+                         "cluster_size": pa.array(o_size, pa.int64()),
+                         "comp": pa.array(o_comp, pa.uint64()),
+                         "order_key": pa.array(o_ok, pa.binary())},
+                        schema=out_schema)
+
+    attached = groupapply(side, "skey", _attach, P).materialize()
+
+    def _final_nonclustered(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t["comp"]))
+        return t.select(["id", "state", "cluster_id", "cluster_size"])
+
+    def _clustered(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.is_null(t["comp"])))
+        return pa.table({"skey": t["comp"], "id": t["id"],
+                         "order_key": t["order_key"]})
+
+    nonclustered = attached.map_batches(_final_nonclustered,
+                                        batch_format="pyarrow")
+    clustered = attached.map_batches(_clustered, batch_format="pyarrow")
+
+    def _assign(t: pa.Table) -> pa.Table:
+        sk = t["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t["id"].to_pylist()
+        okeys = t["order_key"].to_pylist()
+        order, starts, _ = segments(sk)
+        o_id, o_state, o_cid, o_size = [], [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            idx = order[s:e]
+            rep = min(idx, key=lambda i: okeys[i])
+            size = len(idx)
+            for i in idx:
+                o_id.append(ids[i])
+                o_state.append("keep" if i == rep else "delete")
+                o_cid.append(ids[rep])
+                o_size.append(size)
+        return pa.table({"id": pa.array(o_id, id_type),
+                         "state": pa.array(o_state, pa.string()),
+                         "cluster_id": pa.array(o_cid, id_type),
+                         "cluster_size": pa.array(o_size, pa.int64())})
+
+    assigned = groupapply(clustered, "skey", _assign, P)
+    out = nonclustered.union(assigned)
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([cfg.id_col, "state", "cluster_id",
+                                 "cluster_size"])
+
+    return out.map_batches(_rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# top-level pipelines
+# ---------------------------------------------------------------------------
+
+def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig,
+              check_html: bool = True,
+              num_partitions: int | None = None) -> ray.data.Dataset:
+    """Full dedup: exact [+ MinHash/LSH] [+ SimHash] [+ substring] edges →
+    distributed union-find → keep/delete/unique/ignored/error assignment.
+
+    Returns the assignments table (cfg.id_col, state, cluster_id,
+    cluster_size), deterministic at any parallelism."""
+    P = num_partitions or _auto_partitions(cfg)
+    prep = prepare(ds, cfg, check_html=check_html).materialize()
+    active = _ok_only(prep).materialize()
+
+    edge_sets = []
+    if cfg.exact:
+        edge_sets.append(exact_edges(active, cfg, P))
+    if cfg.near:
+        edge_sets.append(minhash_edges(active, cfg, P))
+    if cfg.simhash:
+        edge_sets.append(simhash_edges(active, cfg, P))
+    if cfg.substring:
+        edge_sets.append(substring_edges(active, cfg, P))
+
+    if edge_sets:
+        edges = edge_sets[0]
+        if len(edge_sets) > 1:
+            edges = edges.union(*edge_sets[1:])
+        labels = union_find(edges, P)
+    else:
+        labels = ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.uint64()),
+            "comp": pa.array([], pa.uint64())}))
+
+    return assign_states(prep, labels, cfg, P)
+
+
+def state_stats(assignments: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-state cluster/row counts (A2 analogue, MainViewModel.cs:289-316)."""
+    return assignments.groupby("state").count()

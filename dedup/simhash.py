@@ -1,0 +1,73 @@
+"""SimHash fingerprints + Hamming-block candidate keys.
+
+64-bit SimHash (Charikar 2002, "Similarity estimation techniques from
+rounding algorithms"; Manku et al. 2007 for the Hamming-block lookup
+trick): each token votes its hash bits weighted by term frequency; the
+fingerprint is the sign vector.  Near-identical pages differ in a few
+bits, so candidates are found by grouping on each of ``t+1`` disjoint
+bit-blocks (pigeonhole: two fingerprints within Hamming distance t agree
+on at least one of t+1 blocks) — a plain Ray ``groupby`` per block, no
+pairwise scan.
+
+The 8-byte fingerprint is cheap enough to carry INTO the block-key rows,
+so Hamming verification happens inside ``map_groups`` with zero extra
+joins (unlike MinHash signatures, which are verified via a reduce-side
+signature join — see :mod:`dedup.pairs`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .minhash import _TokenHasher, tokenize
+
+_BITS = np.arange(64, dtype=np.uint64)
+
+
+def simhash64(token_hashes: np.ndarray, counts: np.ndarray | None = None) -> int:
+    """Weighted 64-bit SimHash of token hashes (vectorized unpack+sum)."""
+    if len(token_hashes) == 0:
+        return 0
+    if counts is None:
+        token_hashes, counts = np.unique(token_hashes, return_counts=True)
+    bits = ((token_hashes[:, None] >> _BITS[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = ((2 * bits - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
+    fp = np.uint64(0)
+    for i in range(64):
+        if votes[i] >= 0:
+            fp |= np.uint64(1) << np.uint64(i)
+    return int(fp)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+class SimHashSigner:
+    """map_batches actor: adds a ``simhash`` uint64 column (0 for
+    empty/null text — those rows are excluded from candidate gen)."""
+
+    def __init__(self, seed: int = 42, text_col: str = "text",
+                 out_col: str = "simhash") -> None:
+        # seed kept for config parity; token hashing is unsalted blake2b
+        self.text_col = text_col
+        self.out_col = out_col
+        self.hasher = _TokenHasher()
+
+    def fingerprint(self, text: str | None) -> int:
+        if not text:
+            return 0
+        return simhash64(self.hasher.hash_tokens(tokenize(text)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [self.fingerprint(t) for t in batch[self.text_col].to_pylist()]
+        return batch.append_column(self.out_col, pa.array(fps, type=pa.uint64()))
+
+
+def block_keys(fp: int, n_blocks: int, bits: int = 64) -> list[tuple[int, int]]:
+    """Split a fingerprint into ``n_blocks`` disjoint bit-blocks;
+    returns (block_id, block_value) candidate keys."""
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+    return [(i, (fp >> (i * width)) & mask) for i in range(n_blocks)]
