@@ -1,44 +1,265 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship full-dedup pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline
+from SURVEY.md §2 (+ the training-data-pipeline extensions);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one (same column names, same ordering).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in the dedup library) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from dedup.config import DOCUMENTS_CONFIG, DedupConfig
+from dedup import ann, textstats
+from dedup.pipeline import run_dedup
+
+_MIN = 64  # ignore threshold used by the SQL-checked dedup queries
+
+
+def _docs(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=columns)
+
+
+def _embs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _doc_cfg(**kw) -> DedupConfig:
+    base = dict(near=False, simhash=False, substring=False, min_doc_bytes=_MIN)
+    base.update(kw)
+    return DOCUMENTS_CONFIG.with_(**base)
+
+
+# ---------------------------------------------------------------------------
+# query callables (each takes sf_dir, returns Dataset / pyarrow.Table)
+# ---------------------------------------------------------------------------
+
+def _q_exact_dedup(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return run_dedup(ds, _doc_cfg()).sort("doc_id")
+
+
+def _q_exact_dedup_stats(sf_dir: str):
+    assign = run_dedup(_docs(sf_dir, ["doc_id", "text"]), _doc_cfg())
+    chars = _docs(sf_dir, ["doc_id", "n_chars"])
+    joined = assign.join(chars, join_type="inner", num_partitions=8,
+                         on=("doc_id",))
+    agg = joined.groupby("state").aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("n_chars"),
+    )
+
+    def _rn(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["state", "n_docs", "total_chars"])
+
+    return agg.map_batches(_rn, batch_format="pyarrow").sort("state")
+
+
+def _q_token_count(sf_dir: str):
+    return textstats.token_count(_docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
+
+
+def _q_doc_stats(sf_dir: str):
+    return textstats.doc_stats(_docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
+
+
+def _q_top_tokens(sf_dir: str):
+    return textstats.top_tokens(_docs(sf_dir, ["text"]), k=50)
+
+
+def _q_lang_group_stats(sf_dir: str):
+    return textstats.lang_group_stats(_docs(sf_dir, ["lang", "n_chars"]))
+
+
+def _q_lang_sources(sf_dir: str):
+    ds = _docs(sf_dir, ["lang", "source"])
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        return pa.table({"lang": [langs[0]],
+                         "n_sources": [len(set(t["source"].to_pylist()))]})
+
+    out = ds.groupby("lang").map_groups(_distinct, batch_format="pyarrow")
+
+    def _cast(t: pa.Table) -> pa.Table:
+        return t.set_column(1, "n_sources", t["n_sources"].cast(pa.int64()))
+
+    return out.map_batches(_cast, batch_format="pyarrow").sort("lang")
+
+
+def _q_embedding_norms(sf_dir: str):
+    return ann.embedding_norms(_embs(sf_dir)).sort("vec_id")
+
+
+def _q_knn(sf_dir: str):
+    return ann.knn_brute(_embs(sf_dir), query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def _q_embedding_dup_pairs(sf_dir: str):
+    return ann.dup_pairs_brute(_embs(sf_dir), threshold=0.45)
+
+
+# --- rows-only (non-SQL-expressible) pipelines -----------------------------
+
+def _q_minhash_dedup(sf_dir: str):
+    cfg = DOCUMENTS_CONFIG.with_(exact=False, simhash=False, substring=False,
+                                 min_doc_bytes=_MIN)
+    return run_dedup(_docs(sf_dir, ["doc_id", "text"]), cfg).sort("doc_id")
+
+
+def _q_simhash_dedup(sf_dir: str):
+    cfg = DOCUMENTS_CONFIG.with_(exact=False, near=False, substring=False,
+                                 min_doc_bytes=_MIN)
+    return run_dedup(_docs(sf_dir, ["doc_id", "text"]), cfg).sort("doc_id")
+
+
+def _q_substring_dedup(sf_dir: str):
+    cfg = DOCUMENTS_CONFIG.with_(exact=False, near=False, simhash=False,
+                                 min_doc_bytes=_MIN)
+    return run_dedup(_docs(sf_dir, ["doc_id", "text"]), cfg).sort("doc_id")
+
+
+def _q_full_dedup(sf_dir: str):
+    cfg = DOCUMENTS_CONFIG.with_(min_doc_bytes=_MIN)
+    return run_dedup(_docs(sf_dir, ["doc_id", "text"]), cfg).sort("doc_id")
+
+
+def _q_lang_id(sf_dir: str):
+    return textstats.lang_id(_docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
+
+
+def _q_fingerprints(sf_dir: str):
+    return textstats.doc_fingerprints(_docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
+
+
+def _q_embedding_dup_pairs_lsh(sf_dir: str):
+    return ann.dup_pairs_lsh(_embs(sf_dir), threshold=0.45, n_planes=6, n_tables=12)
+
+
+def _q_pages_dedup(sf_dir: str):
+    """Flagship web-pages pipeline on the self-synthesized input_hint
+    corpus (url, warc_ts, html, text, lang), sized by scale factor."""
+    from dedup.synth import write_pages
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.001"
+    n_docs = max(500, int(float(sf) * 1_000_000))
+    paths = write_pages(f"/tmp/dedup_pages_{sf}", n_docs=n_docs, seed=42)
+    ds = ray.data.read_parquet(paths["pages"])
+    return run_dedup(ds, DedupConfig(), check_html=True).sort("url")
 
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return _q_full_dedup("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "exact_dedup": _q_exact_dedup,
+        "exact_dedup_stats": _q_exact_dedup_stats,
+        "token_count": _q_token_count,
+        "doc_stats": _q_doc_stats,
+        "top_tokens": _q_top_tokens,
+        "lang_group_stats": _q_lang_group_stats,
+        "lang_sources": _q_lang_sources,
+        "embedding_norms": _q_embedding_norms,
+        "knn_brute": _q_knn,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        "substring_dedup": _q_substring_dedup,
+        "full_dedup": _q_full_dedup,
+        "lang_id": _q_lang_id,
+        "doc_fingerprints": _q_fingerprints,
+        "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
+        "pages_dedup": _q_pages_dedup,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_EXACT_SQL = f"""
+WITH base AS (SELECT doc_id, text, length(text) AS nb FROM documents),
+ok AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS min_id,
+              COUNT(*) OVER (PARTITION BY text) AS cnt
+       FROM base WHERE nb >= {_MIN})
+SELECT doc_id,
+       CASE WHEN cnt = 1 THEN 'unique' WHEN doc_id = min_id THEN 'keep'
+            ELSE 'delete' END AS state,
+       CASE WHEN cnt = 1 THEN -1 ELSE min_id END AS cluster_id,
+       CASE WHEN cnt = 1 THEN 1 ELSE cnt END AS cluster_size
+FROM ok
+UNION ALL
+SELECT doc_id, 'ignored' AS state, -1 AS cluster_id, 0 AS cluster_size
+FROM base WHERE nb < {_MIN}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup": f"SELECT * FROM ({_EXACT_SQL}) ORDER BY doc_id",
+        "exact_dedup_stats": f"""
+            WITH a AS ({_EXACT_SQL})
+            SELECT a.state, count(*) AS n_docs, sum(d.n_chars) AS total_chars
+            FROM a JOIN documents d USING (doc_id)
+            GROUP BY a.state ORDER BY a.state""",
+        "token_count": r"""
+            SELECT doc_id, length(regexp_extract_all(text, '\S+')) AS n_tokens
+            FROM documents ORDER BY doc_id""",
+        "doc_stats": r"""
+            SELECT doc_id, length(text) AS n_chars,
+                   length(regexp_extract_all(text, '\S+')) AS n_tokens,
+                   length(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                   length(regexp_extract_all(text, '[0-9]')) AS n_digits,
+                   length(regexp_extract_all(text, ' ')) AS n_spaces
+            FROM documents ORDER BY doc_id""",
+        "top_tokens": r"""
+            SELECT token, count(*) AS cnt
+            FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+                  FROM documents)
+            GROUP BY token ORDER BY cnt DESC, token LIMIT 50""",
+        "lang_group_stats": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars
+            FROM documents GROUP BY lang ORDER BY lang""",
+        "lang_sources": """
+            SELECT lang, count(DISTINCT source) AS n_sources
+            FROM documents GROUP BY lang ORDER BY lang""",
+        "embedding_norms": """
+            SELECT vec_id,
+                   round(sqrt(list_aggregate(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * x), 'sum')), 6) AS l2_norm
+            FROM embeddings ORDER BY vec_id""",
+        "knn_brute": """
+            SELECT q, vec_id, score FROM (
+              SELECT a.vec_id AS q, b.vec_id AS vec_id,
+                     round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])), 6) AS score,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                                b.vec_id) AS rn
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id IN (0, 1, 2, 3, 4) AND b.vec_id != a.vec_id)
+            WHERE rn <= 10 ORDER BY q, score DESC, vec_id""",
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[])), 6) AS score
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])) >= 0.45
+            ORDER BY a, b""",
+    }

@@ -1,0 +1,208 @@
+"""Similarity search over an embedding column (list<float>).
+
+Two paths (SURVEY.md "beyond the reference" scope):
+  * brute-force cosine top-k — the exactness baseline: the query matrix
+    is broadcast ONCE via ``ray.put`` and every batch does one float64
+    matmul against it; per-batch top-k pruning keeps the shuffle to
+    O(batches * Q * k) candidate rows before the final per-query select.
+  * LSH-bucketed near-duplicate pairs — the scale path: random
+    hyperplane signatures (Charikar 2002) bucket vectors; exact cosine
+    is verified only within buckets, so no all-pairs pass exists.
+
+Scores are rounded to 6 decimals in BOTH the Ray path and the SQL
+oracle so value-hash comparison is float-stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _batch_matrix(t: pa.Table, vec_col: str) -> np.ndarray:
+    return np.array(t[vec_col].to_pylist(), dtype=np.float64)
+
+
+def _load_queries(ds: ray.data.Dataset, id_col: str, vec_col: str,
+                  query_ids: list[int]) -> tuple[np.ndarray, np.ndarray]:
+    qset = set(query_ids)
+
+    def _f(t: pa.Table) -> pa.Table:
+        mask = pa.array([i in qset for i in t[id_col].to_pylist()])
+        return t.filter(mask)
+
+    qt = pa.concat_tables(list(
+        ds.map_batches(_f, batch_format="pyarrow").iter_batches(batch_format="pyarrow")))
+    ids = np.array(qt[id_col].to_pylist(), dtype=np.int64)
+    mat = _batch_matrix(qt, vec_col)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def knn_brute(ds: ray.data.Dataset, query_ids: list[int], k: int = 10,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> ray.data.Dataset:
+    """For each query id: top-k neighbours by cosine (self excluded).
+    Output: (q, vec_id, score) ordered by (q, score desc, vec_id)."""
+    q_ids, q_mat = _load_queries(ds, id_col, vec_col, query_ids)
+    qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, qn))
+
+    def _scores(t: pa.Table) -> pa.Table:
+        ids_b, qn_b = ray.get(q_ref)
+        m = _batch_matrix(t, vec_col)
+        vids = np.array(t[id_col].to_pylist(), dtype=np.int64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        sims = np.round(mn @ qn_b.T, 6)  # rounded once: ranking == emitted values
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(ids_b)):
+            col = sims[:, qi]
+            mask = vids != ids_b[qi]
+            cand = np.flatnonzero(mask)
+            if len(cand) > k:
+                # tie-aware per-batch prune: keep everything scoring >= the
+                # k-th best, so batch composition can't affect the final set
+                kth = np.partition(-col[cand], k - 1)[k - 1]
+                part = cand[-col[cand] <= kth]
+            else:
+                part = cand
+            out_q.append(np.full(len(part), ids_b[qi], dtype=np.int64))
+            out_v.append(vids[part])
+            out_s.append(col[part])
+        return pa.table({"q": np.concatenate(out_q),
+                         "vec_id": np.concatenate(out_v),
+                         "score": np.concatenate(out_s)})
+
+    cand = ds.map_batches(_scores, batch_format="pyarrow")
+
+    def _topk(t: pa.Table) -> pa.Table:
+        qs = t["q"].to_numpy(zero_copy_only=False)
+        vs = t["vec_id"].to_numpy(zero_copy_only=False)
+        ss = t["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vs, -ss))  # score desc, vec_id asc
+        take = order[:k]
+        return pa.table({"q": qs[take], "vec_id": vs[take], "score": ss[take]})
+
+    return cand.groupby("q").map_groups(_topk, batch_format="pyarrow") \
+               .sort(["q", "score", "vec_id"], descending=[False, True, False])
+
+
+def embedding_norms(ds: ray.data.Dataset, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> ray.data.Dataset:
+    """(vec_id, l2_norm) rounded to 6 decimals."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t, vec_col)
+        return pa.table({
+            id_col: t[id_col],
+            "l2_norm": np.round(np.linalg.norm(m, axis=1), 6),
+        })
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def dup_pairs_brute(ds: ray.data.Dataset, threshold: float = 0.9,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> ray.data.Dataset:
+    """All pairs (a < b) with cosine >= threshold — exact baseline via a
+    broadcast of the full (small) matrix; use dup_pairs_lsh at scale."""
+    full = pa.concat_tables(list(
+        ds.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow")))
+    ids = np.array(full[id_col].to_pylist(), dtype=np.int64)
+    mat = _batch_matrix(full, vec_col)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+    ref = ray.put((ids, mn))
+
+    def _f(t: pa.Table) -> pa.Table:
+        all_ids, all_mn = ray.get(ref)
+        m = _batch_matrix(t, vec_col)
+        vids = np.array(t[id_col].to_pylist(), dtype=np.int64)
+        bn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        sims = bn @ all_mn.T
+        bi, aj = np.nonzero((sims >= threshold) & (vids[:, None] < all_ids[None, :]))
+        return pa.table({"a": vids[bi], "b": all_ids[aj],
+                         "score": np.round(sims[bi, aj], 6)})
+
+    return ds.map_batches(_f, batch_format="pyarrow").sort(["a", "b"])
+
+
+def dup_pairs_lsh(ds: ray.data.Dataset, threshold: float = 0.9,
+                  n_planes: int = 8, n_tables: int = 8,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  seed: int = 42, num_partitions: int = 32) -> ray.data.Dataset:
+    """Scale path: multi-table random-hyperplane LSH; exact cosine only
+    within buckets, so no all-pairs pass exists.  Recall ≈
+    1 - (1 - p^n_planes)^n_tables with p = 1 - acos(sim)/pi."""
+    from .dist import groupapply, mix64, segments
+
+    rng = np.random.default_rng(seed)
+    dim = len(ds.take(1)[0][vec_col])
+    planes = rng.standard_normal((dim, n_tables * n_planes))
+    p_ref = ray.put(planes)
+
+    def _sig(t: pa.Table) -> pa.Table:
+        pl = ray.get(p_ref)
+        m = _batch_matrix(t, vec_col)
+        n = len(m)
+        bits = (m @ pl) > 0
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        vids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        keys = np.empty((n_tables, n), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for ti in range(n_tables):
+                key = np.full(n, np.uint64(ti) * np.uint64(0x9E3779B97F4A7C15),
+                              dtype=np.uint64)
+                for j in range(n_planes):
+                    key = (key << np.uint64(1)) | bits[:, ti * n_planes + j].astype(np.uint64)
+                keys[ti] = mix64(key)
+        payload = [v.tobytes() for v in mn]
+        return pa.table({
+            "skey": pa.array(keys.reshape(-1), pa.uint64()),
+            "vid": pa.array(np.tile(vids, n_tables), pa.int64()),
+            "vec": pa.array(payload * n_tables, pa.binary()),
+        })
+
+    rows = ds.map_batches(_sig, batch_format="pyarrow")
+
+    def _part(t: pa.Table) -> pa.Table:
+        sk = t["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        vids = t["vid"].to_numpy(zero_copy_only=False)
+        vecs = t["vec"].to_pylist()
+        order, starts, _ = segments(sk)
+        o_a, o_b, o_s = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            if e - s < 2:
+                continue
+            idx = order[s:e]
+            m = np.stack([np.frombuffer(vecs[i], dtype=np.float64) for i in idx])
+            vv = vids[idx]
+            sims = m @ m.T
+            ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
+            for x, y in zip(ai, bj):
+                a, b = (vv[x], vv[y]) if vv[x] < vv[y] else (vv[y], vv[x])
+                o_a.append(a); o_b.append(b); o_s.append(round(float(sims[x, y]), 6))
+        return pa.table({"a": pa.array(o_a, pa.int64()),
+                         "b": pa.array(o_b, pa.int64()),
+                         "score": pa.array(o_s, pa.float64())})
+
+    out = groupapply(rows, "skey", _part, num_partitions)
+
+    # dedupe cross-table repeats (same pair found in several tables)
+    def _pairkey(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            k = mix64(a) ^ mix64(~b)
+        return t.append_column("skey", pa.array(k, pa.uint64()))
+
+    def _uniq(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = t.to_pandas().drop_duplicates(subset=["a", "b"])
+        return pa.Table.from_pandas(df[["a", "b", "score"]], preserve_index=False)
+
+    return groupapply(out.map_batches(_pairkey, batch_format="pyarrow"),
+                      "skey", _uniq, num_partitions).sort(["a", "b"])

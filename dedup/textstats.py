@@ -1,0 +1,169 @@
+"""Text-analysis operators over the documents table (SURVEY.md "beyond
+the reference" scope): token counting, per-document quality stats,
+corpus token frequencies, language-ID heuristic, winnowing doc
+fingerprints.  All per-batch work is pyarrow.compute kernels or numpy —
+no per-row Python in the hot paths (token counting / stats use
+``pc.count_substring_regex``, fully vectorized).
+
+Column-name discipline: every computed column is named identically to
+its SQL-oracle alias (driver hash-compare requirement).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def token_count(ds: ray.data.Dataset, id_col: str = "doc_id",
+                text_col: str = "text") -> ray.data.Dataset:
+    """(id, n_tokens) — tokens are \\S+ runs, matching
+    ``regexp_extract_all(text,'\\S+')`` in the oracle."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t[text_col], pattern=r"\S+").cast(pa.int64())
+        return pa.table({id_col: t[id_col], "n_tokens": n})
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def doc_stats(ds: ray.data.Dataset, id_col: str = "doc_id",
+              text_col: str = "text") -> ray.data.Dataset:
+    """Quality-scoring inputs: char/token/alpha/digit/space counts."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        return pa.table({
+            id_col: t[id_col],
+            "n_chars": pc.utf8_length(txt).cast(pa.int64()),
+            "n_tokens": pc.count_substring_regex(txt, pattern=r"\S+").cast(pa.int64()),
+            "n_alpha": pc.count_substring_regex(txt, pattern=r"[A-Za-z]").cast(pa.int64()),
+            "n_digits": pc.count_substring_regex(txt, pattern=r"[0-9]").cast(pa.int64()),
+            "n_spaces": pc.count_substring_regex(txt, pattern=r" ").cast(pa.int64()),
+        })
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def top_tokens(ds: ray.data.Dataset, k: int = 50,
+               text_col: str = "text") -> ray.data.Dataset:
+    """Corpus token frequencies, top-k by (count desc, token asc).
+
+    Pre-aggregates inside map_batches (per-batch Counter over the token
+    explosion) before the small groupby — the shuffle moves one row per
+    distinct token per batch, not one per token occurrence."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t[text_col], pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+
+    partial = ds.map_batches(_f, batch_format="pyarrow")
+    total = partial.groupby("token").sum("cnt")
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["token", "cnt"])
+
+    return total.map_batches(_rename, batch_format="pyarrow") \
+                .sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
+def lang_group_stats(ds: ray.data.Dataset, lang_col: str = "lang",
+                     chars_col: str = "n_chars") -> ray.data.Dataset:
+    """groupby(lang): n_docs, total/min/max chars (A2 stats analogue)."""
+    agg = ds.groupby(lang_col).aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum(chars_col),
+        ray.data.aggregate.Min(chars_col),
+        ray.data.aggregate.Max(chars_col),
+    )
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([lang_col, "n_docs", "total_chars",
+                                 "min_chars", "max_chars"])
+
+    return agg.map_batches(_rename, batch_format="pyarrow").sort(lang_col)
+
+
+# ---------------------------------------------------------------------------
+# language-ID heuristic (stopword voting; deterministic, dependency-free)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+           "on", "with", "as", "at", "by", "this", "are", "be", "or", "an"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "den", "nicht",
+           "ein", "eine", "auf", "im", "des", "dem", "zu", "für", "auch"},
+    "fr": {"le", "la", "les", "et", "des", "est", "dans", "pour", "que",
+           "une", "un", "du", "au", "avec", "sur", "pas", "par", "il"},
+    "es": {"el", "la", "los", "las", "y", "es", "de", "en", "que", "un",
+           "una", "con", "por", "para", "del", "se", "no", "al"},
+    "nl": {"de", "het", "een", "en", "van", "is", "dat", "op", "te", "met",
+           "voor", "niet", "aan", "er", "ook", "maar", "bij", "uit"},
+}
+
+
+class LangIdModel:
+    """map_batches actor: stopword tables built once per actor; adds
+    ``lang_pred`` (ISO code or 'unknown' below min_ratio)."""
+
+    def __init__(self, text_col: str = "text", min_ratio: float = 0.05) -> None:
+        self.text_col = text_col
+        self.min_ratio = min_ratio
+        self.tables = sorted(_STOPWORDS.items())  # deterministic tie order
+
+    def predict(self, text: str | None) -> str:
+        if not text:
+            return "unknown"
+        toks = text.lower().split()
+        if not toks:
+            return "unknown"
+        best, best_score = "unknown", self.min_ratio
+        for lang, words in self.tables:
+            score = sum(1 for w in toks if w in words) / len(toks)
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        preds = [self.predict(x) for x in t[self.text_col].to_pylist()]
+        return t.append_column("lang_pred", pa.array(preds, pa.string()))
+
+
+def lang_id(ds: ray.data.Dataset, id_col: str = "doc_id",
+            text_col: str = "text") -> ray.data.Dataset:
+    out = ds.map_batches(LangIdModel, fn_constructor_kwargs={"text_col": text_col},
+                         batch_format="pyarrow", concurrency=(1, 8))
+    return out.select_columns([id_col, "lang_pred"])
+
+
+def doc_fingerprints(ds: ray.data.Dataset, id_col: str = "doc_id",
+                     text_col: str = "text", g: int = 50,
+                     w: int = 100) -> ray.data.Dataset:
+    """Rolling-hash document fingerprint: number of winnowed anchors and
+    their XOR — a compact content fingerprint per doc."""
+    from .winnow import winnow
+
+    def _f(t: pa.Table) -> pa.Table:
+        fps, counts = [], []
+        for txt in t[text_col].to_pylist():
+            if not txt:
+                fps.append(0); counts.append(0)
+                continue
+            a = winnow(txt, g, w)
+            counts.append(len(a))
+            x = np.uint64(0)
+            for h in a:
+                x ^= h
+            fps.append(int(x))
+        return pa.table({id_col: t[id_col],
+                         "n_anchors": pa.array(counts, pa.int64()),
+                         "fingerprint": pa.array(fps, pa.uint64())})
+
+    return ds.map_batches(_f, batch_format="pyarrow")
