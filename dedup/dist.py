@@ -102,9 +102,14 @@ _EDGE_SCHEMA = pa.schema([("u", pa.uint64()), ("v", pa.uint64()),
 def _uf_round(t: pa.Table) -> pa.Table:
     """One hash-to-min round over a partition of (u, v[, lbl]) rows.
 
-    For every distinct u in the partition (all rows of u colocate):
-    m = min(neighbors(u) ∪ {u}); emit (u, m, lbl=True) — u's current
-    label — and (x, m, lbl=False) for every neighbor x."""
+    For every distinct u in the partition (all rows of u colocate), with
+    m = min(neighbors(u) ∪ {u}), emit BOTH halves of hash-to-min:
+      * (u, m, lbl=True) — u's current label;
+      * (x, m) for every neighbor x — m propagates outward;
+      * (m, x) for every x in neighbors(u) ∪ {u} — the min keeps sight of
+        the members it must keep relabeling (without this, a node whose
+        only neighbor later improves its own label never hears about it).
+    """
     u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
     v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
     # per-partition dedupe: repeated (u, v) rows accumulate across rounds
@@ -116,10 +121,11 @@ def _uf_round(t: pa.Table) -> pa.Table:
     seg_min = np.minimum.reduceat(vs, starts[:-1]) if len(vs) else vs
     m = np.minimum(seg_min, uniq)
     counts = np.diff(starts)
-    new_u = np.concatenate([uniq, vs])
-    new_v = np.concatenate([m, np.repeat(m, counts)])
+    m_rep = np.repeat(m, counts)
+    new_u = np.concatenate([uniq, vs, m_rep, m])
+    new_v = np.concatenate([m, m_rep, vs, uniq])
     lbl = np.concatenate([np.ones(len(uniq), dtype=bool),
-                          np.zeros(len(vs), dtype=bool)])
+                          np.zeros(2 * len(vs) + len(uniq), dtype=bool)])
     return pa.table({"u": new_u, "v": new_v, "lbl": lbl}, schema=_EDGE_SCHEMA)
 
 

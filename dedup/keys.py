@@ -53,7 +53,8 @@ def natural_key(s: str) -> tuple:
             toks.append((_DOT, 0))
             i += 1
         else:
-            toks.append((ord(c.lower()) + 2, 0))
+            lc = c.lower()
+            toks.append((ord(lc if len(lc) == 1 else c) + 2, 0))
             i += 1
     toks.append((_TERM, n))
     return tuple(toks)
@@ -86,7 +87,8 @@ def order_key_bytes(s: str, root_rank: int = 0) -> bytes:
             out += _DOT.to_bytes(4, "big")
             i += 1
         else:
-            out += (ord(c.lower()) + 2).to_bytes(4, "big")
+            lc = c.lower()
+            out += (ord(lc if len(lc) == 1 else c) + 2).to_bytes(4, "big")
             i += 1
     out += _TERM.to_bytes(4, "big")
     out += n.to_bytes(4, "big")
@@ -117,6 +119,8 @@ def natural_cmp(a: str, b: str) -> int:
                 return -1 if na < nb else 1
             continue
         la, lb = ca.lower(), cb.lower()
+        la = la if len(la) == 1 else ca
+        lb = lb if len(lb) == 1 else cb
         if la != lb:
             return -1 if la < lb else 1
         ai += 1

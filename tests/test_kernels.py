@@ -1,0 +1,104 @@
+"""Kernel-level tests: MinHash estimator, SimHash, winnowing."""
+
+import random
+
+import numpy as np
+
+from dedup.minhash import (MinHashSigner, _TokenHasher, jaccard,
+                           shingle_hashes, signature_agreement, tokenize)
+from dedup.simhash import hamming64, simhash64
+from dedup.winnow import _gram_hashes, _sliding_min, winnow
+
+
+def _rand_words(rng, n):
+    return [f"w{rng.randrange(5000)}" for _ in range(n)]
+
+
+def test_shingles_order_sensitive_and_unique():
+    h = _TokenHasher()
+    a = shingle_hashes(h.hash_tokens(["a", "b", "c", "d", "e", "f"]), 5)
+    b = shingle_hashes(h.hash_tokens(["f", "e", "d", "c", "b", "a"]), 5)
+    assert len(a) == 2 and len(b) == 2
+    assert set(a.tolist()) != set(b.tolist())
+    assert len(shingle_hashes(h.hash_tokens(["a", "b"]), 5)) == 0
+
+
+def test_minhash_estimates_jaccard():
+    rng = random.Random(3)
+    signer = MinHashSigner(num_perm=256, shingle_k=5, seed=42)
+    base = _rand_words(rng, 400)
+    for edit_n in (4, 20, 60):
+        other = list(base)
+        for _ in range(edit_n):
+            other[rng.randrange(len(other))] = f"x{rng.randrange(9999)}"
+        ta, tb = " ".join(base), " ".join(other)
+        true_j = jaccard(ta, tb, 5)
+        est = signature_agreement(signer.sign_text(ta), signer.sign_text(tb))
+        # std err ~ sqrt(J(1-J)/256) <= 0.032; allow 4 sigma
+        assert abs(est - true_j) < 0.13, (true_j, est)
+
+
+def test_minhash_deterministic_across_instances():
+    s1 = MinHashSigner(seed=42)
+    s2 = MinHashSigner(seed=42)
+    t = "some words repeated some words and more tokens here to shingle"
+    assert s1.sign_text(t) == s2.sign_text(t)
+    assert MinHashSigner(seed=43).sign_text(t) != s1.sign_text(t)
+
+
+def test_simhash_near_for_small_edits():
+    rng = random.Random(5)
+    h = _TokenHasher()
+    base = _rand_words(rng, 600)
+    fp_a = simhash64(h.hash_tokens(base))
+    other = list(base)
+    other[10] = "changedword"
+    fp_b = simhash64(h.hash_tokens(other))
+    assert hamming64(fp_a, fp_b) <= 8
+    unrelated = _rand_words(rng, 600)
+    fp_c = simhash64(h.hash_tokens(unrelated))
+    assert hamming64(fp_a, fp_c) > 10
+
+
+def test_gram_hashes_match_naive():
+    rng = random.Random(1)
+    data = bytes(rng.randrange(97, 123) for _ in range(800))
+    got = _gram_hashes(data, 20)
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    m = len(arr) - 19
+    naive = np.zeros(m, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        p = np.uint64(1)
+        for j in range(20):
+            naive += arr[j:j + m] * p
+            p = p * np.uint64(1099511628211)
+        naive ^= naive >> np.uint64(33)
+        naive *= np.uint64(0xFF51AFD7ED558CCD)
+        naive ^= naive >> np.uint64(33)
+    assert (got == naive).all()
+
+
+def test_sliding_min_matches_naive():
+    rng = np.random.default_rng(2)
+    h = rng.integers(0, 1 << 60, size=777, dtype=np.uint64)
+    for w in (3, 50, 100):
+        naive = np.array([h[i:i + w].min() for i in range(len(h) - w + 1)])
+        assert (_sliding_min(h, w) == naive).all()
+
+
+def test_winnow_shared_substring_guarantee():
+    rng = random.Random(9)
+    for _ in range(5):
+        a = "".join(chr(rng.randrange(97, 123)) for _ in range(1500))
+        lo = rng.randrange(0, 1100)
+        block = a[lo:lo + 300]
+        b = ("".join(chr(rng.randrange(97, 123)) for _ in range(400))
+             + block
+             + "".join(chr(rng.randrange(97, 123)) for _ in range(300)))
+        assert set(winnow(a).tolist()) & set(winnow(b).tolist())
+
+
+def test_tokenize_matches_regex_semantics():
+    import re
+    for s in ["a b  c", " lead", "trail ", "", "\tx\ny z "]:
+        assert tokenize(s) == re.findall(r"\S+", s)

@@ -1,0 +1,231 @@
+"""Pipeline conformance: greedy-oracle equivalence on micro tables
+(FIXTURES.md F3), planted-truth recall (F1.1), determinism across
+parallelism (F5), scope-mode semantics."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from dedup.config import DedupConfig
+from dedup.oracle import oracle_assign
+from dedup.pipeline import run_dedup
+from dedup.synth import generate_pages
+
+
+def _table(rows, cfg):
+    cols = {cfg.id_col: [], cfg.text_col: []}
+    extra = set()
+    for r in rows:
+        extra |= set(r) - {cfg.id_col, cfg.text_col}
+    for e in extra:
+        cols[e] = []
+    for r in rows:
+        for c in cols:
+            cols[c].append(r.get(c))
+    return pa.table(cols)
+
+
+def _run(rows, cfg, **kw):
+    ds = ray.data.from_arrow(_table(rows, cfg)).repartition(3)
+    out = run_dedup(ds, cfg, check_html=False, **kw)
+    got = {}
+    for b in out.iter_batches(batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            got[b[cfg.id_col][i].as_py()] = (
+                b["state"][i].as_py(), b["cluster_id"][i].as_py(),
+                b["cluster_size"][i].as_py())
+    return got
+
+
+def _oracle(rows, cfg):
+    t = oracle_assign(rows, cfg)
+    return {t[cfg.id_col][i].as_py(): (t["state"][i].as_py(),
+                                       t["cluster_id"][i].as_py(),
+                                       t["cluster_size"][i].as_py())
+            for i in range(t.num_rows)}
+
+
+EXACT = dict(near=False, simhash=False, substring=False, min_doc_bytes=4)
+LONG = "this is a sufficiently long duplicate text body " * 2
+
+
+def _pages(specs):
+    """specs: list of (url, text[, ts[, lang]])."""
+    rows = []
+    for s in specs:
+        r = {"url": s[0], "text": s[1], "warc_ts": s[2] if len(s) > 2 else 0,
+             "lang": s[3] if len(s) > 3 else "en"}
+        rows.append(r)
+    return rows
+
+
+def test_micro_order_keeper_is_natural_min():
+    # natural sort decides the keeper: doc2 < doc10; '.' first
+    rows = _pages([
+        (f"https://h/a/doc10", LONG),
+        (f"https://h/a/doc2", LONG),
+        (f"https://h/a/.doc", LONG),
+        (f"https://h/a/other", "something else entirely " * 3),
+    ])
+    cfg = DedupConfig(**EXACT)
+    got = _run(rows, cfg)
+    assert got == _oracle(rows, cfg)
+    assert got["https://h/a/.doc"][0] == "keep"
+    assert got["https://h/a/doc2"][0] == "delete"
+    assert got["https://h/a/other"][0] == "unique"
+
+
+def test_micro_order_root_rank_precedes_name():
+    roots = ("https://z.example", "https://a.example")
+    rows = _pages([
+        ("https://a.example/aaa", LONG),
+        ("https://z.example/zzz", LONG),  # root rank 0 wins despite name
+    ])
+    cfg = DedupConfig(roots=roots, **EXACT)
+    got = _run(rows, cfg)
+    assert got == _oracle(rows, cfg)
+    assert got["https://z.example/zzz"][0] == "keep"
+
+
+def test_micro_ignore_strict_less_than():
+    cfg = DedupConfig(near=False, simhash=False, substring=False,
+                      min_doc_bytes=10)
+    rows = _pages([
+        ("https://h/a1", "123456789"),    # 9 < 10 -> ignored
+        ("https://h/a2", "1234567890"),   # 10 -> not ignored
+        ("https://h/a3", "1234567890"),
+        ("https://h/a4", "123456789"),    # identical to a1 but both ignored
+    ])
+    got = _run(rows, cfg)
+    assert got == _oracle(rows, cfg)
+    assert got["https://h/a1"][0] == "ignored"
+    assert got["https://h/a4"][0] == "ignored"
+    assert got["https://h/a2"][0] == "keep"
+
+
+def test_micro_chain_ts_and_lang_keys():
+    base = [("https://h/x1", LONG, 100, "en"),
+            ("https://h/x2", LONG, 200, "en"),
+            ("https://h/x3", LONG, 100, "de")]
+    for key_ts, key_lang in [(False, False), (True, False), (False, True),
+                             (True, True)]:
+        cfg = DedupConfig(key_ts=key_ts, key_lang=key_lang, **EXACT)
+        rows = _pages(base)
+        got = _run(rows, cfg)
+        assert got == _oracle(rows, cfg), (key_ts, key_lang)
+
+
+def test_micro_scope_same_modes():
+    rows = _pages([
+        ("https://h1/a/p1", LONG),
+        ("https://h1/a/p2", LONG),
+        ("https://h2/b/p3", LONG),
+    ])
+    for scope in ("all", "same_host", "same_prefix"):
+        cfg = DedupConfig(scope=scope, **EXACT)
+        got = _run(rows, cfg)
+        assert got == _oracle(rows, cfg), scope
+    # same_host: p3 on h2 is alone in its scope -> unique
+    got = _run(rows, DedupConfig(scope="same_host", **EXACT))
+    assert got["https://h2/b/p3"][0] == "unique"
+    assert got["https://h1/a/p1"][0] == "keep"
+
+
+def test_micro_scope_same_root():
+    roots = ("https://h1", "https://h2")
+    rows = _pages([
+        ("https://h1/p1", LONG),
+        ("https://h1/p2", LONG),
+        ("https://h2/p3", LONG),
+    ])
+    cfg = DedupConfig(scope="same_root", roots=roots, **EXACT)
+    got = _run(rows, cfg)
+    assert got == _oracle(rows, cfg)
+    assert got["https://h2/p3"][0] == "unique"
+
+
+def test_diff_scope_transitive_closure():
+    """diff modes: engine computes the transitive closure of cross-scope
+    matches (documented divergence from the greedy pass for diff modes;
+    see dedup.oracle module docstring)."""
+    rows = _pages([
+        ("https://h1/p1", LONG),
+        ("https://h1/p2", LONG),
+        ("https://h2/p3", LONG),
+    ])
+    got = _run(rows, DedupConfig(scope="diff_host", **EXACT))
+    # all three in one cluster via p3; keeper = natural min = p1
+    assert got["https://h1/p1"] == ("keep", "https://h1/p1", 3)
+    assert got["https://h1/p2"][0] == "delete"
+    assert got["https://h2/p3"][0] == "delete"
+    # all in one scope -> no admissible pair -> all unique
+    rows2 = _pages([("https://h1/p1", LONG), ("https://h1/p2", LONG)])
+    got2 = _run(rows2, DedupConfig(scope="diff_host", **EXACT))
+    assert got2["https://h1/p1"][0] == "unique"
+    assert got2["https://h1/p2"][0] == "unique"
+
+
+def test_error_rows_never_match():
+    rows = _pages([("https://h/e1", None), ("https://h/e2", None),
+                   ("https://h/ok", LONG)])
+    cfg = DedupConfig(**EXACT)
+    got = _run(rows, cfg)
+    assert got == _oracle(rows, cfg)
+    assert got["https://h/e1"][0] == "error"
+    assert got["https://h/e2"][0] == "error"
+
+
+@pytest.fixture(scope="module")
+def planted():
+    pages, truth = generate_pages(600, seed=42)
+    return pages, truth
+
+
+def _truth_maps(truth):
+    exp_state = dict(zip(truth["url"].to_pylist(),
+                         truth["expected_state"].to_pylist()))
+    clusters = {}
+    for u, c in zip(truth["url"].to_pylist(), truth["cluster_id"].to_pylist()):
+        if c >= 0:
+            clusters.setdefault(c, []).append(u)
+    return exp_state, clusters
+
+
+def _collect(out):
+    state, cid = {}, {}
+    for b in out.iter_batches(batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            u = b["url"][i].as_py()
+            state[u] = b["state"][i].as_py()
+            cid[u] = b["cluster_id"][i].as_py()
+    return state, cid
+
+
+def test_planted_truth_states_and_recall(planted):
+    pages, truth = planted
+    ds = ray.data.from_arrow(pages).repartition(6)
+    out = run_dedup(ds, DedupConfig(), num_partitions=8).materialize()
+    state, cid = _collect(out)
+    exp_state, clusters = _truth_maps(truth)
+    mismatch = [u for u in exp_state if state[u] != exp_state[u]]
+    assert not mismatch, mismatch[:5]
+    # dup-pair recall over planted clusters (target >= 0.99)
+    total = found = 0
+    for members in clusters.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                total += 1
+                if cid[members[i]] == cid[members[j]] != "":
+                    found += 1
+    assert total > 50
+    assert found / total >= 0.99, found / total
+
+
+def test_determinism_across_parallelism(planted):
+    pages, _ = planted
+    outs = []
+    for blocks, P in [(2, 5), (8, 13)]:
+        ds = ray.data.from_arrow(pages).repartition(blocks)
+        out = run_dedup(ds, DedupConfig(), num_partitions=P)
+        outs.append(_collect(out))
+    assert outs[0] == outs[1]

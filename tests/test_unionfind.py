@@ -1,0 +1,64 @@
+"""Distributed hash-to-min union-find vs a local reference implementation
+(SURVEY.md §5.4)."""
+
+import random
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from dedup.dist import union_find
+
+
+def _local_components(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+def _run_uf(edges, P=8):
+    t = pa.table({"u": pa.array([u for u, _ in edges], pa.uint64()),
+                  "v": pa.array([v for _, v in edges], pa.uint64())})
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = union_find(ds, P)
+    got = {}
+    for b in out.iter_batches(batch_format="pyarrow"):
+        for n, c in zip(b["node"].to_pylist(), b["comp"].to_pylist()):
+            got[n] = min(c, got.get(n, c))
+    return got
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 50, 40), (2, 200, 150),
+                                                  (3, 300, 600)])
+def test_random_graphs(seed, n_nodes, n_edges):
+    rng = random.Random(seed)
+    edges = [(rng.randrange(n_nodes) + 1, rng.randrange(n_nodes) + 1)
+             for _ in range(n_edges)]
+    want = _local_components(edges)
+    got = _run_uf(edges)
+    assert got == want
+
+
+def test_path_graph_converges():
+    # worst case for min propagation: a long path
+    edges = [(i, i + 1) for i in range(1, 80)]
+    got = _run_uf(edges)
+    assert set(got.values()) == {1}
+    assert len(got) == 80
+
+
+def test_self_loops_and_duplicates():
+    edges = [(5, 5), (7, 9), (9, 7), (7, 9)]
+    got = _run_uf(edges)
+    assert got[5] == 5 and got[7] == 7 and got[9] == 7
