@@ -156,19 +156,56 @@ def _cs_totals(ds: ray.data.Dataset) -> int:
     return hash((tot_cs, tot_n))
 
 
+def _local_union_find(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """Driver-side union-find for small edge lists (path-compressed;
+    identical output contract to the distributed rounds)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        for u, v in zip(b["u"].to_pylist(), b["v"].to_pylist()):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+    nodes = np.fromiter(parent.keys(), dtype=np.uint64, count=len(parent))
+    comps = np.fromiter((find(int(x)) for x in nodes), dtype=np.uint64,
+                        count=len(nodes))
+    return ray.data.from_arrow(pa.table({"node": nodes, "comp": comps}))
+
+
 def union_find(
     edges: ray.data.Dataset,
     num_partitions: int,
     max_rounds: int = 24,
+    local_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Connected components over an edge list of uint64 node ids.
 
     Input: dataset with columns (u, v).  Output: (node, comp) where comp
     is the minimum node id of the component — one row per node that
     appears in any edge.  Deterministic at any parallelism (min reduces
-    only).  Each round materializes only the edge table (O(matched docs),
-    never the corpus), per SURVEY.md §7.5.
-    """
+    only).
+
+    Hybrid execution: edge lists are O(matched docs), orders of magnitude
+    smaller than the corpus, so up to ``local_threshold`` edges a driver-
+    side path-compressed union-find is both faster and exact; above it the
+    distributed hash-to-min rounds run, each materializing only the edge
+    table (never the corpus), per SURVEY.md §7.5."""
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.uint64()),
+                      "comp": pa.array([], pa.uint64())}))
+    if n_edges <= local_threshold:
+        return _local_union_find(edges)
 
     def _sym(t: pa.Table) -> pa.Table:
         u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -179,11 +216,7 @@ def union_find(
             "lbl": np.zeros(2 * len(u), dtype=bool),
         }, schema=_EDGE_SCHEMA)
 
-    pairs = edges.map_batches(_sym, batch_format="pyarrow").materialize()
-    if pairs.count() == 0:
-        return ray.data.from_arrow(
-            pa.table({"node": pa.array([], pa.uint64()),
-                      "comp": pa.array([], pa.uint64())}))
+    pairs = edges.map_batches(_sym, batch_format="pyarrow")
 
     prev = None
     for _ in range(max_rounds):

@@ -226,7 +226,7 @@ def bucket_pairs(rows: ray.data.Dataset, cfg: DedupConfig,
                                out_u, out_v)
         return _pairs_table(out_u, out_v)
 
-    return dedupe_pairs(groupapply(rows, "skey", _part, P), P)
+    return groupapply(rows, "skey", _part, P)
 
 
 def dedupe_pairs(pairs: ray.data.Dataset, P: int) -> ray.data.Dataset:
@@ -326,7 +326,7 @@ def simhash_edges(active: ray.data.Dataset, cfg: DedupConfig,
             out_v.append(nd[iv][keep])
         return _pairs_table(out_u, out_v)
 
-    return dedupe_pairs(groupapply(rows, "skey", _part, P), P)
+    return groupapply(rows, "skey", _part, P)
 
 
 # ---------------------------------------------------------------------------
@@ -395,7 +395,7 @@ def substring_candidates(active: ray.data.Dataset, cfg: DedupConfig,
                                cap, out_u, out_v)
         return _pairs_table(out_u, out_v)
 
-    return dedupe_pairs(groupapply(rows, "skey", _part, P), P)
+    return groupapply(rows, "skey", _part, P)
 
 
 # ---------------------------------------------------------------------------
@@ -527,6 +527,10 @@ def minhash_edges(active: ray.data.Dataset, cfg: DedupConfig,
     pairs = bucket_pairs(lsh_band_rows(sigs, cfg), cfg, P)
     if cfg.verify == "none":
         return pairs
+    # dedupe cross-band repeats BEFORE verification: a true dup pair
+    # surfaces in most of the b bands, and verification attaches a P*8-byte
+    # signature payload per pair row — deduping first cuts that shuffle ~b-fold
+    pairs = dedupe_pairs(pairs, P)
     thresh = cfg.verify_threshold
 
     def _verdict(sa: bytes, sb: bytes) -> bool:
@@ -541,7 +545,10 @@ def substring_edges(active: ray.data.Dataset, cfg: DedupConfig,
                     P: int) -> ray.data.Dataset:
     """winnow anchors → candidates → exact containment verify
     (`shorter in longer`, both >= min_substring chars)."""
-    pairs = substring_candidates(active, cfg, P)
+    # dedupe first: members of exact/near clusters share most anchors, so the
+    # same candidate pair is emitted once per common anchor; verification
+    # attaches full TEXT payloads per pair row, making dedupe essential here
+    pairs = dedupe_pairs(substring_candidates(active, cfg, P), P)
     payload = active.select_columns(["node", "text"])
 
     def _verdict(ta: str, tb: str) -> bool:
@@ -699,17 +706,24 @@ def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig,
     prep = prepare(ds, cfg, check_html=check_html).materialize()
     active = _ok_only(prep).materialize()
 
-    edge_sets = []
+    # the four edge stages are independent — materialize them concurrently
+    # so the streaming executor can interleave their tasks instead of the
+    # driver serializing stage startup
+    stage_fns = []
     if cfg.exact:
-        edge_sets.append(exact_edges(active, cfg, P))
+        stage_fns.append(lambda: exact_edges(active, cfg, P).materialize())
     if cfg.near:
-        edge_sets.append(minhash_edges(active, cfg, P))
+        stage_fns.append(lambda: minhash_edges(active, cfg, P).materialize())
     if cfg.simhash:
-        edge_sets.append(simhash_edges(active, cfg, P))
+        stage_fns.append(lambda: simhash_edges(active, cfg, P).materialize())
     if cfg.substring:
-        edge_sets.append(substring_edges(active, cfg, P))
+        stage_fns.append(lambda: substring_edges(active, cfg, P).materialize())
 
-    if edge_sets:
+    if stage_fns:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=len(stage_fns)) as ex:
+            edge_sets = [f.result() for f in
+                         [ex.submit(fn) for fn in stage_fns]]
         edges = edge_sets[0]
         if len(edge_sets) > 1:
             edges = edges.union(*edge_sets[1:])

@@ -27,11 +27,11 @@ def _local_components(edges):
     return {x: find(x) for x in parent}
 
 
-def _run_uf(edges, P=8):
+def _run_uf(edges, P=8, local_threshold=2_000_000):
     t = pa.table({"u": pa.array([u for u, _ in edges], pa.uint64()),
                   "v": pa.array([v for _, v in edges], pa.uint64())})
     ds = ray.data.from_arrow(t).repartition(4)
-    out = union_find(ds, P)
+    out = union_find(ds, P, local_threshold=local_threshold)
     got = {}
     for b in out.iter_batches(batch_format="pyarrow"):
         for n, c in zip(b["node"].to_pylist(), b["comp"].to_pylist()):
@@ -39,21 +39,22 @@ def _run_uf(edges, P=8):
     return got
 
 
+@pytest.mark.parametrize("local_threshold", [2_000_000, 0])
 @pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 50, 40), (2, 200, 150),
                                                   (3, 300, 600)])
-def test_random_graphs(seed, n_nodes, n_edges):
+def test_random_graphs(seed, n_nodes, n_edges, local_threshold):
     rng = random.Random(seed)
     edges = [(rng.randrange(n_nodes) + 1, rng.randrange(n_nodes) + 1)
              for _ in range(n_edges)]
     want = _local_components(edges)
-    got = _run_uf(edges)
+    got = _run_uf(edges, local_threshold=local_threshold)
     assert got == want
 
 
 def test_path_graph_converges():
-    # worst case for min propagation: a long path
+    # worst case for min propagation: a long path (distributed rounds forced)
     edges = [(i, i + 1) for i in range(1, 80)]
-    got = _run_uf(edges)
+    got = _run_uf(edges, local_threshold=0)
     assert set(got.values()) == {1}
     assert len(got) == 80
 
