@@ -37,6 +37,21 @@ import ray.data
 _MIX_MUL = np.uint64(0x9E3779B97F4A7C15)
 
 
+def tune_context() -> None:
+    """Size Ray Data's read parallelism to the cluster instead of the
+    200-block floor: at sandbox scale the default turns every operator of
+    a ~18-stage pipeline into ~200 tiny-block tasks whose scheduling
+    overhead dwarfs compute.  At real scale the 128 MiB block-size cap
+    governs and this floor is irrelevant, so lowering it is scale-neutral."""
+    import ray
+    ctx = ray.data.DataContext.get_current()
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    ctx.read_op_min_num_blocks = max(8, cpus)
+
+
 def mix64(x: np.ndarray) -> np.ndarray:
     """splitmix64-style avalanche so ``% P`` on structured keys is uniform."""
     x = x.astype(np.uint64, copy=True)

@@ -130,11 +130,11 @@ def exact_edges(active: ray.data.Dataset, cfg: DedupConfig,
         full = t["exact_full"].to_pylist()
         texts = t["text"].to_pylist() if cfg.byte_verify else None
         order, starts, _ = segments(e64)
+        sizes = np.diff(starts)
         out_u: list = []
         out_v: list = []
-        for s, e in zip(starts[:-1], starts[1:]):
-            if e - s < 2:
-                continue
+        for gi in np.flatnonzero(sizes >= 2):
+            s, e = starts[gi], starts[gi + 1]
             idx = order[s:e]
             # split rare exact64 collisions on the full 16-byte key
             sub: dict[bytes, list[int]] = {}
@@ -216,11 +216,11 @@ def bucket_pairs(rows: ray.data.Dataset, cfg: DedupConfig,
         nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
         scopes = t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
         order, starts, _ = segments(sk)
+        sizes = np.diff(starts)
         out_u: list = []
         out_v: list = []
-        for s, e in zip(starts[:-1], starts[1:]):
-            if e - s < 2:
-                continue
+        for gi in np.flatnonzero(sizes >= 2):
+            s, e = starts[gi], starts[gi + 1]
             idx = order[s:e]
             _emit_bucket_pairs(nodes[idx], scopes[idx], diff_scope, cap,
                                out_u, out_v)
@@ -303,11 +303,11 @@ def simhash_edges(active: ray.data.Dataset, cfg: DedupConfig,
         scopes = t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
         fps = t["fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
         order, starts, _ = segments(sk)
+        sizes = np.diff(starts)
         out_u: list = []
         out_v: list = []
-        for s, e in zip(starts[:-1], starts[1:]):
-            if e - s < 2:
-                continue
+        for gi in np.flatnonzero(sizes >= 2):
+            s, e = starts[gi], starts[gi + 1]
             idx = order[s:e]
             nd, sc, f = nodes[idx], scopes[idx], fps[idx]
             o = np.argsort(nd, kind="stable")
@@ -380,11 +380,11 @@ def substring_candidates(active: ray.data.Dataset, cfg: DedupConfig,
         nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
         scopes = t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
         order, starts, _ = segments(sk)
+        sizes = np.diff(starts)
         out_u: list = []
         out_v: list = []
-        for s, e in zip(starts[:-1], starts[1:]):
-            if e - s < 2:
-                continue
+        for gi in np.flatnonzero(sizes >= 2):
+            s, e = starts[gi], starts[gi + 1]
             idx = order[s:e]
             nd = nodes[idx]
             # drop same-doc repeats of one anchor
@@ -565,7 +565,8 @@ def substring_edges(active: ray.data.Dataset, cfg: DedupConfig,
 # ---------------------------------------------------------------------------
 
 def assign_states(prep: ray.data.Dataset, labels: ray.data.Dataset,
-                  cfg: DedupConfig, P: int) -> ray.data.Dataset:
+                  cfg: DedupConfig, P: int,
+                  broadcast_threshold: int = 20_000_000) -> ray.data.Dataset:
     """labels (node, comp) + prepared docs → assignments table
     (id_col, state, cluster_id, cluster_size).
 
@@ -573,87 +574,72 @@ def assign_states(prep: ray.data.Dataset, labels: ray.data.Dataset,
     is the first record in the deterministic global order that probed a
     non-empty candidate set, MainViewModel.cs:1227-1234 — equal to the
     order-minimum member for symmetric predicates, SURVEY.md §0.1).
-    Sentinel for non-clustered rows: -1 (int ids) / "" (string ids)."""
+    Sentinel for non-clustered rows: -1 (int ids) / "" (string ids).
+
+    The label table holds only MATCHED nodes (O(dups), not O(corpus)); up
+    to ``broadcast_threshold`` labels it is broadcast once via ray.put and
+    joined into a single vectorized map_batches over the corpus — no
+    corpus-wide shuffle.  Above the threshold a reduce-side join
+    (groupapply by node) would be required; that path raises for now and
+    is the documented scale-out extension.  The per-cluster keeper
+    selection then shuffles only the clustered rows (again O(dups))."""
     docs = prep.select_columns(["node", "id", "order_key", "state0"])
     id_type = docs.schema().base_schema.field("id").type
     string_ids = pa.types.is_string(id_type) or pa.types.is_large_string(id_type)
     sentinel = "" if string_ids else -1
 
-    def _doc_rows(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "skey": t["node"],
-            "comp": pa.nulls(t.num_rows, pa.uint64()),
-            "id": t["id"],
-            "order_key": t["order_key"],
-            "state0": t["state0"],
-        })
-
-    def _label_rows(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "skey": t["node"],
-            "comp": t["comp"],
-            "id": pa.nulls(t.num_rows, id_type),
-            "order_key": pa.nulls(t.num_rows, pa.binary()),
-            "state0": pa.nulls(t.num_rows, pa.string()),
-        })
-
-    side = docs.map_batches(_doc_rows, batch_format="pyarrow").union(
-        labels.map_batches(_label_rows, batch_format="pyarrow"))
-
-    out_schema = pa.schema([
-        ("id", id_type), ("state", pa.string()), ("cluster_id", id_type),
-        ("cluster_size", pa.int64()), ("comp", pa.uint64()),
-        ("order_key", pa.binary()),
-    ])
+    # collect the (small) label table: sorted node array + comp array
+    lab_nodes: list[np.ndarray] = [np.array([], dtype=np.uint64)]
+    lab_comps: list[np.ndarray] = [np.array([], dtype=np.uint64)]
+    n_lab = 0
+    for b in labels.iter_batches(batch_format="pyarrow"):
+        lab_nodes.append(b["node"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        lab_comps.append(b["comp"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        n_lab += len(lab_nodes[-1])
+        if n_lab > broadcast_threshold:
+            raise NotImplementedError(
+                "label table exceeds broadcast threshold; switch "
+                "assign_states to the reduce-side join path")
+    nodes_arr = np.concatenate(lab_nodes)
+    comps_arr = np.concatenate(lab_comps)
+    o = np.argsort(nodes_arr)
+    nodes_arr, comps_arr = nodes_arr[o], comps_arr[o]
+    # duplicate label rows (dedup: min comp wins) — labels are unique per
+    # node from union_find, but be tolerant
+    lab_ref = ray.put((nodes_arr, comps_arr))
 
     def _attach(t: pa.Table) -> pa.Table:
-        sk = t["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        comps = t["comp"].to_pylist()
-        ids = t["id"].to_pylist()
-        okeys = t["order_key"].to_pylist()
-        st0 = t["state0"].to_pylist()
-        order, starts, _ = segments(sk)
-        o_id, o_state, o_cid, o_size, o_comp, o_ok = [], [], [], [], [], []
-        for s, e in zip(starts[:-1], starts[1:]):
-            idx = order[s:e]
-            comp = None
-            doc_i = None
-            for i in idx:
-                if ids[i] is not None:
-                    doc_i = i
-                else:
-                    comp = comps[i]
-            if doc_i is None:
-                continue  # label for a node filtered upstream (shouldn't happen)
-            if st0[doc_i] != "ok":
-                o_id.append(ids[doc_i]); o_state.append(st0[doc_i])
-                o_cid.append(sentinel); o_size.append(0)
-                o_comp.append(None); o_ok.append(None)
-            elif comp is None:
-                o_id.append(ids[doc_i]); o_state.append("unique")
-                o_cid.append(sentinel); o_size.append(1)
-                o_comp.append(None); o_ok.append(None)
-            else:
-                o_id.append(ids[doc_i]); o_state.append("")
-                o_cid.append(sentinel); o_size.append(0)
-                o_comp.append(comp); o_ok.append(okeys[doc_i])
-        return pa.table({"id": pa.array(o_id, id_type),
-                         "state": pa.array(o_state, pa.string()),
-                         "cluster_id": pa.array(o_cid, id_type),
-                         "cluster_size": pa.array(o_size, pa.int64()),
-                         "comp": pa.array(o_comp, pa.uint64()),
-                         "order_key": pa.array(o_ok, pa.binary())},
-                        schema=out_schema)
+        la, lc = ray.get(lab_ref)
+        nd = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pos = np.searchsorted(la, nd)
+        pos_c = np.clip(pos, 0, max(len(la) - 1, 0))
+        hit = (la[pos_c] == nd) if len(la) else np.zeros(len(nd), dtype=bool)
+        ok = pc.equal(t["state0"], "ok").to_numpy(zero_copy_only=False)
+        clustered = hit & ok
+        comp = np.where(clustered, lc[pos_c] if len(lc) else 0, 0)
+        state = np.where(ok, "unique", t["state0"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "id": t["id"],
+            "order_key": t["order_key"],
+            "state": pa.array(state.tolist(), pa.string()),
+            "skey": pa.array(comp, pa.uint64()),
+            "clustered": pa.array(clustered),
+        })
 
-    attached = groupapply(side, "skey", _attach, P).materialize()
+    attached = prep.map_batches(_attach, batch_format="pyarrow").materialize()
 
     def _final_nonclustered(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_null(t["comp"]))
-        return t.select(["id", "state", "cluster_id", "cluster_size"])
+        t = t.filter(pc.invert(t["clustered"]))
+        size = pc.if_else(pc.equal(t["state"], "unique"),
+                          pa.scalar(1, pa.int64()), pa.scalar(0, pa.int64()))
+        n = t.num_rows
+        cid = pa.array([sentinel] * n, id_type)
+        return pa.table({"id": t["id"], "state": t["state"],
+                         "cluster_id": cid, "cluster_size": size})
 
     def _clustered(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.invert(pc.is_null(t["comp"])))
-        return pa.table({"skey": t["comp"], "id": t["id"],
+        t = t.filter(t["clustered"])
+        return pa.table({"skey": t["skey"], "id": t["id"],
                          "order_key": t["order_key"]})
 
     nonclustered = attached.map_batches(_final_nonclustered,
@@ -702,6 +688,8 @@ def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig,
 
     Returns the assignments table (cfg.id_col, state, cluster_id,
     cluster_size), deterministic at any parallelism."""
+    from .dist import tune_context
+    tune_context()
     P = num_partitions or _auto_partitions(cfg)
     prep = prepare(ds, cfg, check_html=check_html).materialize()
     active = _ok_only(prep).materialize()
