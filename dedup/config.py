@@ -75,9 +75,9 @@ class DedupConfig:
 
     # --- substring (winnowing) pass ----------------------------------
     substring: bool = True
-    winnow_gram: int = 50          # char-gram length g
-    winnow_window: int = 100       # winnowing window w; guarantees detection of any
-                                   # shared substring of length >= g + w - 1 chars
+    winnow_gram: int = 64          # char-gram length g
+    winnow_window: int = 192       # winnowing window w; guarantees detection of any
+                                   # shared substring of length >= g + w - 1 = 255 chars
     min_substring: int = 256       # containment verified only at/above this length
 
     # --- misc --------------------------------------------------------

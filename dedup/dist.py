@@ -172,27 +172,36 @@ def _cs_totals(ds: ray.data.Dataset) -> int:
 
 
 def _local_union_find(pairs: ray.data.Dataset) -> ray.data.Dataset:
-    """Driver-side union-find for small edge lists (path-compressed;
-    identical output contract to the distributed rounds)."""
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        r = x
-        while parent.setdefault(r, r) != r:
-            r = parent[r]
-        while parent[x] != r:
-            parent[x], x = r, parent[x]
-        return r
-
+    """Driver-side connected components for small edge lists, fully
+    vectorized (edge-relaxation + pointer jumping over dense indices).
+    np.unique returns node ids sorted, so the minimum dense index of a
+    component is its minimum node id — same contract as the rounds."""
+    eu_l, ev_l = [], []
     for b in pairs.iter_batches(batch_format="pyarrow"):
-        for u, v in zip(b["u"].to_pylist(), b["v"].to_pylist()):
-            ru, rv = find(u), find(v)
-            if ru != rv:
-                parent[max(ru, rv)] = min(ru, rv)
-    nodes = np.fromiter(parent.keys(), dtype=np.uint64, count=len(parent))
-    comps = np.fromiter((find(int(x)) for x in nodes), dtype=np.uint64,
-                        count=len(nodes))
-    return ray.data.from_arrow(pa.table({"node": nodes, "comp": comps}))
+        eu_l.append(b["u"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        ev_l.append(b["v"].to_numpy(zero_copy_only=False).astype(np.uint64))
+    eu = np.concatenate(eu_l)
+    ev = np.concatenate(ev_l)
+    nodes, inv = np.unique(np.concatenate([eu, ev]), return_inverse=True)
+    m = len(eu)
+    eu, ev = inv[:m], inv[m:]
+    label = np.arange(len(nodes))
+    while True:
+        l2 = label.copy()
+        np.minimum.at(l2, eu, label[ev])
+        np.minimum.at(l2, ev, label[eu])
+        while True:  # pointer jumping to fixpoint
+            l3 = l2[l2]
+            if np.array_equal(l3, l2):
+                break
+            l2 = l3
+        if np.array_equal(l2, label):
+            break
+        label = l2
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.uint64()),
+        "comp": pa.array(nodes[label], pa.uint64()),
+    }))
 
 
 def union_find(

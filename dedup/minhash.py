@@ -117,6 +117,26 @@ class MinHashSigner:
         return batch.append_column(self.out_col, pa.array(sigs, type=pa.binary()))
 
 
+_SIGNER_CACHE: dict[tuple, "MinHashSigner"] = {}
+
+
+def cached_signer(num_perm: int, shingle_k: int, seed: int,
+                  text_col: str = "text") -> "MinHashSigner":
+    """Process-level signer cache: Ray tasks run in reusable worker
+    processes, so a module-global memo gives once-per-worker setup (the
+    actor-pool property) without actor-pool startup churn — at 32+ CPUs,
+    spawning dozens of single-purpose actors per stage cost more than the
+    signing itself.  Actor pools remain the right tool for heavyweight
+    state (models); the permutation table is 2*P uint64."""
+    key = (num_perm, shingle_k, seed, text_col)
+    s = _SIGNER_CACHE.get(key)
+    if s is None:
+        s = MinHashSigner(num_perm=num_perm, shingle_k=shingle_k, seed=seed,
+                          text_col=text_col)
+        _SIGNER_CACHE[key] = s
+    return s
+
+
 def signature_agreement(sig_a: bytes, sig_b: bytes) -> float:
     """Fraction of agreeing MinHash components — unbiased estimator of
     the shingle Jaccard similarity."""

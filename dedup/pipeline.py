@@ -37,14 +37,25 @@ _EMPTY_PAIRS = pa.table({"u": pa.array([], pa.uint64()),
                          "v": pa.array([], pa.uint64())})
 
 
-def _auto_partitions(cfg: DedupConfig) -> int:
+def _cluster_cpus() -> int:
+    try:
+        return int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        return 8
+
+
+def _auto_partitions(cfg: DedupConfig, data_bytes: int = 0) -> int:
+    """Shuffle partition count: sized by DATA (one partition per ~128 MiB,
+    floor 16) rather than CPUs — oversized P multiplies per-task fixed
+    costs across every groupapply; at real scale the byte term governs."""
     if getattr(cfg, "num_partitions", 0):
         return cfg.num_partitions
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    return max(16, cpus * 2)
+    return int(max(16, min(4096, data_bytes // (128 << 20))))
+
+
+def _pool() -> tuple[int, int]:
+    """Actor-pool sizing for signer stages: scale with the cluster."""
+    return (1, max(8, _cluster_cpus()))
 
 
 def _ok_only(ds: ray.data.Dataset) -> ray.data.Dataset:
@@ -264,9 +275,12 @@ def simhash_edges(active: ray.data.Dataset, cfg: DedupConfig,
     cap = cfg.pair_cap
     consts = [_band_const(1000 + i) for i in range(n_blocks)]
 
-    sigs = active.map_batches(
-        SimHashSigner, fn_constructor_kwargs={"seed": cfg.seed},
-        batch_format="pyarrow", concurrency=(1, 8),
+    def _sign(t: pa.Table) -> pa.Table:
+        from .simhash import cached_signer
+        return cached_signer(cfg.seed)(t)
+
+    sigs = active.select_columns(["node", "scope64", "text"]).map_batches(
+        _sign, batch_format="pyarrow",
     ).select_columns(["node", "scope64", "simhash"])
 
     def _explode(t: pa.Table) -> pa.Table:
@@ -379,6 +393,7 @@ def substring_candidates(active: ray.data.Dataset, cfg: DedupConfig,
         sk = t["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
         nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
         scopes = t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ncs = t["n_chars"].to_numpy(zero_copy_only=False)
         order, starts, _ = segments(sk)
         sizes = np.diff(starts)
         out_u: list = []
@@ -387,12 +402,25 @@ def substring_candidates(active: ray.data.Dataset, cfg: DedupConfig,
             s, e = starts[gi], starts[gi + 1]
             idx = order[s:e]
             nd = nodes[idx]
-            # drop same-doc repeats of one anchor
-            if len(np.unique(nd)) < 2:
-                continue
             uniq_i = np.unique(nd, return_index=True)[1]
-            _emit_bucket_pairs(nd[uniq_i], scopes[idx][uniq_i], diff_scope,
-                               cap, out_u, out_v)
+            if len(uniq_i) < 2:
+                continue
+            nd, sc, ln = nd[uniq_i], scopes[idx][uniq_i], ncs[idx][uniq_i]
+            o = np.argsort(nd, kind="stable")
+            nd, sc, ln = nd[o], sc[o], ln[o]
+            n = len(nd)
+            if n <= cap:
+                iu, iv = np.triu_indices(n, k=1)
+            else:
+                iu = np.zeros(n - 1, dtype=np.int64)
+                iv = np.arange(1, n, dtype=np.int64)
+            # containment needs strictly different lengths: equal texts are
+            # the exact pass's finding, equal-length unequal texts can't nest
+            keep = ln[iu] != ln[iv]
+            if diff_scope:
+                keep &= sc[iu] != sc[iv]
+            out_u.append(nd[iu][keep])
+            out_v.append(nd[iv][keep])
         return _pairs_table(out_u, out_v)
 
     return groupapply(rows, "skey", _part, P)
@@ -413,18 +441,23 @@ def _candidate_nodes(pairs: ray.data.Dataset) -> np.ndarray:
 
 
 def verify_pairs(pairs: ray.data.Dataset, payload: ray.data.Dataset,
-                 payload_col: str, verdict, P: int) -> ray.data.Dataset:
+                 payload_col: str, verdict, P: int,
+                 broadcast_bytes_cap: int = 1 << 30) -> ray.data.Dataset:
     """Keep pairs where ``verdict(payload_u, payload_v)`` is true.
 
-    Two shuffles: (1) attach payload per node (payload pre-filtered to
-    candidate nodes via a broadcast sorted array + searchsorted, so the
-    corpus-sized payload table never shuffles); (2) regroup by pair."""
+    The candidate-node set is O(pairs) — orders of magnitude below the
+    corpus — so the payloads for exactly those nodes are collected once
+    (streaming corpus-side filter via a broadcast sorted node array +
+    searchsorted), ray.put as one dict, and pairs are judged in a single
+    shuffle-free map_batches.  ``broadcast_bytes_cap`` guards the driver:
+    above it this raises — the scale-out path is the reduce-side
+    payload join (groupapply by node, then by pair) described in
+    SURVEY.md §2.7/D3, to be wired when corpora outgrow the cap."""
     pairs = pairs.materialize()
     nodes = _candidate_nodes(pairs)
     if len(nodes) == 0:
         return pairs
     nodes_ref = ray.put(nodes)
-    pay_type = payload.schema().base_schema.field(payload_col).type
 
     def _filter_payload(t: pa.Table) -> pa.Table:
         arr = ray.get(nodes_ref)
@@ -433,81 +466,42 @@ def verify_pairs(pairs: ray.data.Dataset, payload: ray.data.Dataset,
         pos[pos >= len(arr)] = 0
         hit = arr[pos] == nd
         t = t.filter(pa.array(hit))
-        return pa.table({"skey": t["node"],
-                         "u": pa.nulls(t.num_rows, pa.uint64()),
-                         "v": pa.nulls(t.num_rows, pa.uint64()),
-                         "pay": t[payload_col]})
+        return pa.table({"node": t["node"], "pay": t[payload_col]})
 
-    def _explode_pairs(t: pa.Table) -> pa.Table:
-        u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return pa.table({
-            "skey": np.concatenate([u, v]),
-            "u": np.concatenate([u, u]),
-            "v": np.concatenate([v, v]),
-            "pay": pa.nulls(2 * len(u), pay_type),
-        })
-
-    side = payload.map_batches(_filter_payload, batch_format="pyarrow").union(
-        pairs.map_batches(_explode_pairs, batch_format="pyarrow"))
-
-    def _attach(t: pa.Table) -> pa.Table:
-        sk = t["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        pays = t["pay"].to_pylist()
-        us = t["u"].to_pylist()
-        vs = t["v"].to_pylist()
-        order, starts, _ = segments(sk)
-        o_u, o_v, o_pay, o_side = [], [], [], []
-        for s, e in zip(starts[:-1], starts[1:]):
-            idx = order[s:e]
-            pay = None
-            for i in idx:
-                if us[i] is None:
-                    pay = pays[i]
-                    break
-            if pay is None:
-                continue
-            node = sk[idx[0]]
-            for i in idx:
-                if us[i] is None:
-                    continue
-                o_u.append(us[i]); o_v.append(vs[i]); o_pay.append(pay)
-                o_side.append(0 if us[i] == node else 1)
-        with np.errstate(over="ignore"):
-            pk = (mix64(np.array(o_u, dtype=np.uint64))
-                  ^ mix64(~np.array(o_v, dtype=np.uint64))) if o_u else \
-                 np.array([], dtype=np.uint64)
-        return pa.table({
-            "skey": pa.array(pk, pa.uint64()),
-            "u": pa.array(o_u, pa.uint64()),
-            "v": pa.array(o_v, pa.uint64()),
-            "side": pa.array(o_side, pa.int8()),
-            "pay": pa.array(o_pay, pay_type),
-        })
-
-    attached = groupapply(side, "skey", _attach, P)
+    # collect candidate payloads as ARROW (no python materialization on the
+    # driver): concat + sort-take stay in C++, ray.put ships raw buffers
+    tabs = [b for b in payload.map_batches(
+        _filter_payload, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow")]
+    cand = pa.concat_tables(tabs) if tabs else pa.table(
+        {"node": pa.array([], pa.uint64()), "pay": pa.array([], pa.binary())})
+    if cand.nbytes > broadcast_bytes_cap:
+        raise NotImplementedError(
+            "candidate payload exceeds broadcast cap; wire the reduce-side "
+            "verification join for this corpus size")
+    nd = cand["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    o = np.argsort(nd)
+    cand = cand.take(pa.array(o)).combine_chunks()
+    pay_ref = ray.put((nd[o], cand["pay"]))
 
     def _judge(t: pa.Table) -> pa.Table:
-        sk = t["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        la, pays = ray.get(pay_ref)
         us = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
         vs = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        sides = t["side"].to_numpy(zero_copy_only=False)
-        pays = t["pay"].to_pylist()
-        order, starts, _ = segments(sk)
-        out_u, out_v = [], []
-        for s, e in zip(starts[:-1], starts[1:]):
-            idx = order[s:e]
-            by_pair: dict[tuple, dict] = {}
-            for i in idx:
-                d = by_pair.setdefault((us[i], vs[i]), {})
-                d[int(sides[i])] = pays[i]
-            for (u, v), d in by_pair.items():
-                if 0 in d and 1 in d and verdict(d[0], d[1]):
-                    out_u.append(u); out_v.append(v)
-        return pa.table({"u": pa.array(out_u, pa.uint64()),
-                         "v": pa.array(out_v, pa.uint64())})
+        pu = np.searchsorted(la, us)
+        pv = np.searchsorted(la, vs)
+        pu[pu >= len(la)] = 0
+        pv[pv >= len(la)] = 0
+        ok = (len(la) > 0) & (la[pu] == us) & (la[pv] == vs)
+        keep = np.zeros(len(us), dtype=bool)
+        for i in np.flatnonzero(ok):
+            a = pays[int(pu[i])].as_py()
+            b = pays[int(pv[i])].as_py()
+            if a is not None and b is not None and verdict(a, b):
+                keep[i] = True
+        return pa.table({"u": us[keep], "v": vs[keep]}, schema=_PAIR_SCHEMA)
 
-    return groupapply(attached, "skey", _judge, P)
+    return pairs.map_batches(_judge, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -518,27 +512,61 @@ def minhash_edges(active: ray.data.Dataset, cfg: DedupConfig,
                   P: int) -> ray.data.Dataset:
     """shingle → MinHash actor pool → LSH bands → candidate pairs →
     signature-agreement verify (SURVEY.md §7.2 step 5)."""
+    def _sign(t: pa.Table) -> pa.Table:
+        from .minhash import cached_signer
+        return cached_signer(cfg.num_perm, cfg.shingle_k, cfg.seed)(t)
+
     sigs = active.select_columns(["node", "scope64", "text"]).map_batches(
-        MinHashSigner,
-        fn_constructor_kwargs={"num_perm": cfg.num_perm,
-                               "shingle_k": cfg.shingle_k, "seed": cfg.seed},
-        batch_format="pyarrow", concurrency=(1, 8),
+        _sign, batch_format="pyarrow",
     ).select_columns(["node", "scope64", "minhash"]).materialize()
     pairs = bucket_pairs(lsh_band_rows(sigs, cfg), cfg, P)
     if cfg.verify == "none":
         return pairs
     # dedupe cross-band repeats BEFORE verification: a true dup pair
-    # surfaces in most of the b bands, and verification attaches a P*8-byte
-    # signature payload per pair row — deduping first cuts that shuffle ~b-fold
-    pairs = dedupe_pairs(pairs, P)
+    # surfaces in most of the b bands
+    pairs = dedupe_pairs(pairs, P).materialize()
+    nodes = _candidate_nodes(pairs)
+    if len(nodes) == 0:
+        return pairs
+    # collect candidate signatures into one (n, P) uint64 matrix: the
+    # judge is then a fully vectorized row-agreement compare per batch
+    nodes_ref = ray.put(nodes)
+
+    def _filter_sigs(t: pa.Table) -> pa.Table:
+        arr = ray.get(nodes_ref)
+        nd = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pos = np.searchsorted(arr, nd)
+        pos[pos >= len(arr)] = 0
+        t = t.filter(pa.array(arr[pos] == nd))
+        return pa.table({"node": t["node"], "minhash": t["minhash"]})
+
+    cand_nodes: list[np.ndarray] = []
+    cand_sigs: list[bytes] = []
+    for b in sigs.map_batches(_filter_sigs, batch_format="pyarrow") \
+                 .iter_batches(batch_format="pyarrow"):
+        cand_nodes.append(b["node"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        cand_sigs.extend(b["minhash"].to_pylist())
+    nd_arr = np.concatenate(cand_nodes) if cand_nodes else np.array([], dtype=np.uint64)
+    sig_mat = (np.frombuffer(b"".join(x or b"" for x in cand_sigs), dtype="<u8")
+               .reshape(len(nd_arr), cfg.num_perm)) if len(nd_arr) else         np.empty((0, cfg.num_perm), dtype=np.uint64)
+    o = np.argsort(nd_arr)
+    mat_ref = ray.put((nd_arr[o], np.ascontiguousarray(sig_mat[o])))
     thresh = cfg.verify_threshold
 
-    def _verdict(sa: bytes, sb: bytes) -> bool:
-        a = np.frombuffer(sa, dtype="<u8")
-        b = np.frombuffer(sb, dtype="<u8")
-        return float((a == b).mean()) >= thresh
+    def _judge(t: pa.Table) -> pa.Table:
+        la, mat = ray.get(mat_ref)
+        us = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        vs = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pu = np.searchsorted(la, us)
+        pv = np.searchsorted(la, vs)
+        pu[pu >= len(la)] = 0
+        pv[pv >= len(la)] = 0
+        ok = (la[pu] == us) & (la[pv] == vs)
+        agree = (mat[pu] == mat[pv]).mean(axis=1)
+        keep = ok & (agree >= thresh)
+        return pa.table({"u": us[keep], "v": vs[keep]}, schema=_PAIR_SCHEMA)
 
-    return verify_pairs(pairs, sigs, "minhash", _verdict, P)
+    return pairs.map_batches(_judge, batch_format="pyarrow")
 
 
 def substring_edges(active: ray.data.Dataset, cfg: DedupConfig,
@@ -690,8 +718,8 @@ def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig,
     cluster_size), deterministic at any parallelism."""
     from .dist import tune_context
     tune_context()
-    P = num_partitions or _auto_partitions(cfg)
     prep = prepare(ds, cfg, check_html=check_html).materialize()
+    P = num_partitions or _auto_partitions(cfg, prep.size_bytes())
     active = _ok_only(prep).materialize()
 
     # the four edge stages are independent — materialize them concurrently
@@ -715,6 +743,10 @@ def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig,
         edges = edge_sets[0]
         if len(edge_sets) > 1:
             edges = edges.union(*edge_sets[1:])
+        # parallel dedupe before union-find: simhash blocks and overlapping
+        # passes emit the same pair many times; the UF driver loop (or the
+        # distributed rounds) should only see distinct edges
+        edges = dedupe_pairs(edges, P)
         labels = union_find(edges, P)
     else:
         labels = ray.data.from_arrow(pa.table({

@@ -65,6 +65,19 @@ class SimHashSigner:
         return batch.append_column(self.out_col, pa.array(fps, type=pa.uint64()))
 
 
+_SIGNER_CACHE: dict[tuple, "SimHashSigner"] = {}
+
+
+def cached_signer(seed: int, text_col: str = "text") -> "SimHashSigner":
+    """Process-level cache; see dedup.minhash.cached_signer."""
+    key = (seed, text_col)
+    s = _SIGNER_CACHE.get(key)
+    if s is None:
+        s = SimHashSigner(seed=seed, text_col=text_col)
+        _SIGNER_CACHE[key] = s
+    return s
+
+
 def block_keys(fp: int, n_blocks: int, bits: int = 64) -> list[tuple[int, int]]:
     """Split a fingerprint into ``n_blocks`` disjoint bit-blocks;
     returns (block_id, block_value) candidate keys."""

@@ -158,7 +158,7 @@ def generate_pages(n_docs: int, seed: int = 42, shingle_k: int = 5,
     # short rows (ignored; some byte-identical pairs that must NOT match)
     left = counts["short"]
     while left > 0:
-        t = " ".join(rng.choice(pool) for _ in range(rng.randint(2, 6)))[: min_doc_bytes - 1]
+        t = " ".join(rng.choice(pool) for _ in range(rng.randint(2, 6)))[: min_doc_bytes - 1].strip()
         if left >= 2 and rng.random() < 0.4:
             add_cluster("short", [t, t])
             left -= 2
