@@ -16,3 +16,26 @@ Public surface:
 """
 
 __version__ = "0.1.0"
+
+
+def _shim_broken_fsspec() -> None:
+    """This environment ships fsspec without aiohttp, so importing
+    ``fsspec.implementations.http`` fails mid-module; repeated imports can
+    then surface as plain ImportError ("cannot import name"), which Ray's
+    local-path resolution doesn't guard against — crashing local
+    read_parquet calls nondeterministically.  Preinstall a stub module
+    exposing a never-instantiated HTTPFileSystem placeholder so the
+    isinstance probe in ray.data works."""
+    import sys
+    import types
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+        return  # real one works
+    except Exception:
+        pass
+    mod = types.ModuleType("fsspec.implementations.http")
+    mod.HTTPFileSystem = type("HTTPFileSystem", (), {})
+    sys.modules["fsspec.implementations.http"] = mod
+
+
+_shim_broken_fsspec()

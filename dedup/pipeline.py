@@ -440,68 +440,146 @@ def _candidate_nodes(pairs: ray.data.Dataset) -> np.ndarray:
     return np.unique(np.concatenate(parts))
 
 
-def verify_pairs(pairs: ray.data.Dataset, payload: ray.data.Dataset,
-                 payload_col: str, verdict, P: int,
-                 broadcast_bytes_cap: int = 1 << 30) -> ray.data.Dataset:
-    """Keep pairs where ``verdict(payload_u, payload_v)`` is true.
+def _pair_rows(pairs: ray.data.Dataset, pay_type: pa.DataType) -> ray.data.Dataset:
+    """Explode each pair into two node-keyed rows (one per side)."""
 
-    The candidate-node set is O(pairs) — orders of magnitude below the
-    corpus — so the payloads for exactly those nodes are collected once
-    (streaming corpus-side filter via a broadcast sorted node array +
-    searchsorted), ray.put as one dict, and pairs are judged in a single
-    shuffle-free map_batches.  ``broadcast_bytes_cap`` guards the driver:
-    above it this raises — the scale-out path is the reduce-side
-    payload join (groupapply by node, then by pair) described in
-    SURVEY.md §2.7/D3, to be wired when corpora outgrow the cap."""
-    pairs = pairs.materialize()
-    nodes = _candidate_nodes(pairs)
-    if len(nodes) == 0:
-        return pairs
-    nodes_ref = ray.put(nodes)
+    def _explode(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "skey": np.concatenate([u, v]),
+            "u": np.concatenate([u, u]),
+            "v": np.concatenate([v, v]),
+            "pay": pa.nulls(2 * len(u), pay_type),
+        })
 
-    def _filter_payload(t: pa.Table) -> pa.Table:
-        arr = ray.get(nodes_ref)
-        nd = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        pos = np.searchsorted(arr, nd)
-        pos[pos >= len(arr)] = 0
-        hit = arr[pos] == nd
-        t = t.filter(pa.array(hit))
-        return pa.table({"node": t["node"], "pay": t[payload_col]})
+    return pairs.map_batches(_explode, batch_format="pyarrow")
 
-    # collect candidate payloads as ARROW (no python materialization on the
-    # driver): concat + sort-take stay in C++, ray.put ships raw buffers
-    tabs = [b for b in payload.map_batches(
-        _filter_payload, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow")]
-    cand = pa.concat_tables(tabs) if tabs else pa.table(
-        {"node": pa.array([], pa.uint64()), "pay": pa.array([], pa.binary())})
-    if cand.nbytes > broadcast_bytes_cap:
-        raise NotImplementedError(
-            "candidate payload exceeds broadcast cap; wire the reduce-side "
-            "verification join for this corpus size")
-    nd = cand["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    o = np.argsort(nd)
-    cand = cand.take(pa.array(o)).combine_chunks()
-    pay_ref = ray.put((nd[o], cand["pay"]))
+
+def attach_payloads(pairs: ray.data.Dataset, payload: ray.data.Dataset,
+                    payload_col: str, P: int) -> ray.data.Dataset:
+    """Distributed reduce-side payload join, fully vectorized: one shuffle
+    keyed by node attaches each side's payload, a second keyed by a pair
+    hash co-locates both sides.  No driver-side collection — candidate
+    payload volume scales with the PAIR count, never the corpus.
+    Output rows: (skey=pair-hash, u, v, side, pay)."""
+    pay_type = payload.schema().base_schema.field(payload_col).type
+
+    def _pay_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "skey": t["node"],
+            "u": pa.nulls(t.num_rows, pa.uint64()),
+            "v": pa.nulls(t.num_rows, pa.uint64()),
+            "pay": t[payload_col],
+        })
+
+    side = payload.map_batches(_pay_rows, batch_format="pyarrow").union(
+        _pair_rows(pairs, pay_type))
+
+    def _attach(t: pa.Table) -> pa.Table:
+        # NOTE: split payload/pair rows with arrow filters BEFORE any
+        # to_numpy — converting a nullable uint64 column goes via float64
+        # and silently rounds 64-bit node ids
+        is_pay = pc.is_null(t["u"])
+        pay_tab = t.filter(is_pay)
+        pair_tab = t.filter(pc.invert(is_pay))
+        pay_nodes = pay_tab["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        po = np.argsort(pay_nodes, kind="stable")
+        pay_nodes = pay_nodes[po]
+        pay_arr = pay_tab["pay"].combine_chunks().take(pa.array(po))
+        sk = pair_tab["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pos = np.searchsorted(pay_nodes, sk)
+        pos_c = np.clip(pos, 0, max(len(pay_nodes) - 1, 0))
+        hit = (pay_nodes[pos_c] == sk) if len(pay_nodes) else \
+            np.zeros(len(sk), dtype=bool)
+        u = pair_tab["u"].to_numpy(zero_copy_only=False).astype(np.uint64)[hit]
+        v = pair_tab["v"].to_numpy(zero_copy_only=False).astype(np.uint64)[hit]
+        sk = sk[hit]
+        pos_c = pos_c[hit]
+        side_flag = (sk != u).astype(np.int8)
+        with np.errstate(over="ignore"):
+            pk = mix64(u) ^ mix64(~v)
+        return pa.table({
+            "skey": pa.array(pk, pa.uint64()),
+            "u": pa.array(u, pa.uint64()),
+            "v": pa.array(v, pa.uint64()),
+            "side": pa.array(side_flag, pa.int8()),
+            "pay": pay_arr.take(pa.array(pos_c)),
+        })
+
+    return groupapply(side, "skey", _attach, P)
+
+
+def _paired_indices(t: pa.Table):
+    """Within an attach-output partition: indices (i0, i1) of side-0/side-1
+    rows of each complete pair (sorted by (u, v, side); pairkey collisions
+    are resolved by the real (u, v))."""
+    u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    side = t["side"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((side, v, u))
+    us, vs, ss = u[order], v[order], side[order]
+    n = len(us)
+    if n < 2:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    first = (us[:-1] == us[1:]) & (vs[:-1] == vs[1:]) & (ss[:-1] == 0) & (ss[1:] == 1)
+    i0 = order[:-1][first]
+    i1 = order[1:][first]
+    return i0, i1
+
+
+def verify_minhash_pairs(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
+                         num_perm: int, threshold: float,
+                         P: int) -> ray.data.Dataset:
+    """Signature-agreement verification, distributed + vectorized: the
+    per-pair judge is one row-wise equality mean over (n_pairs, P) uint64
+    matrices."""
+    attached = attach_payloads(pairs, sigs, "minhash", P)
 
     def _judge(t: pa.Table) -> pa.Table:
-        la, pays = ray.get(pay_ref)
-        us = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        vs = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        pu = np.searchsorted(la, us)
-        pv = np.searchsorted(la, vs)
-        pu[pu >= len(la)] = 0
-        pv[pv >= len(la)] = 0
-        ok = (len(la) > 0) & (la[pu] == us) & (la[pv] == vs)
-        keep = np.zeros(len(us), dtype=bool)
-        for i in np.flatnonzero(ok):
-            a = pays[int(pu[i])].as_py()
-            b = pays[int(pv[i])].as_py()
-            if a is not None and b is not None and verdict(a, b):
-                keep[i] = True
-        return pa.table({"u": us[keep], "v": vs[keep]}, schema=_PAIR_SCHEMA)
+        i0, i1 = _paired_indices(t)
+        if len(i0) == 0:
+            return _EMPTY_PAIRS
+        pays = t["pay"].combine_chunks()
+        m0 = np.frombuffer(b"".join(pays.take(pa.array(i0)).to_pylist()),
+                           dtype="<u8").reshape(len(i0), num_perm)
+        m1 = np.frombuffer(b"".join(pays.take(pa.array(i1)).to_pylist()),
+                           dtype="<u8").reshape(len(i1), num_perm)
+        agree = (m0 == m1).mean(axis=1)
+        keep = agree >= threshold
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({"u": u[i0][keep], "v": v[i0][keep]},
+                        schema=_PAIR_SCHEMA)
 
-    return pairs.map_batches(_judge, batch_format="pyarrow")
+    return groupapply(attached, "skey", _judge, P)
+
+
+def verify_pairs(pairs: ray.data.Dataset, payload: ray.data.Dataset,
+                 payload_col: str, verdict, P: int) -> ray.data.Dataset:
+    """Generic pairwise verification with an arbitrary ``verdict(a, b)``
+    (used by the substring pass: exact containment).  Distributed via the
+    same reduce-side attach; only the final per-pair verdict is a Python
+    call, over the (small, deduplicated) candidate pair set."""
+    attached = attach_payloads(pairs, payload, payload_col, P)
+
+    def _judge(t: pa.Table) -> pa.Table:
+        i0, i1 = _paired_indices(t)
+        if len(i0) == 0:
+            return _EMPTY_PAIRS
+        pays = t["pay"]
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = np.zeros(len(i0), dtype=bool)
+        for j in range(len(i0)):
+            a = pays[int(i0[j])].as_py()
+            b = pays[int(i1[j])].as_py()
+            if a is not None and b is not None and verdict(a, b):
+                keep[j] = True
+        return pa.table({"u": u[i0][keep], "v": v[i0][keep]},
+                        schema=_PAIR_SCHEMA)
+
+    return groupapply(attached, "skey", _judge, P)
 
 
 # ---------------------------------------------------------------------------
@@ -522,51 +600,12 @@ def minhash_edges(active: ray.data.Dataset, cfg: DedupConfig,
     pairs = bucket_pairs(lsh_band_rows(sigs, cfg), cfg, P)
     if cfg.verify == "none":
         return pairs
-    # dedupe cross-band repeats BEFORE verification: a true dup pair
-    # surfaces in most of the b bands
-    pairs = dedupe_pairs(pairs, P).materialize()
-    nodes = _candidate_nodes(pairs)
-    if len(nodes) == 0:
-        return pairs
-    # collect candidate signatures into one (n, P) uint64 matrix: the
-    # judge is then a fully vectorized row-agreement compare per batch
-    nodes_ref = ray.put(nodes)
-
-    def _filter_sigs(t: pa.Table) -> pa.Table:
-        arr = ray.get(nodes_ref)
-        nd = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        pos = np.searchsorted(arr, nd)
-        pos[pos >= len(arr)] = 0
-        t = t.filter(pa.array(arr[pos] == nd))
-        return pa.table({"node": t["node"], "minhash": t["minhash"]})
-
-    cand_nodes: list[np.ndarray] = []
-    cand_sigs: list[bytes] = []
-    for b in sigs.map_batches(_filter_sigs, batch_format="pyarrow") \
-                 .iter_batches(batch_format="pyarrow"):
-        cand_nodes.append(b["node"].to_numpy(zero_copy_only=False).astype(np.uint64))
-        cand_sigs.extend(b["minhash"].to_pylist())
-    nd_arr = np.concatenate(cand_nodes) if cand_nodes else np.array([], dtype=np.uint64)
-    sig_mat = (np.frombuffer(b"".join(x or b"" for x in cand_sigs), dtype="<u8")
-               .reshape(len(nd_arr), cfg.num_perm)) if len(nd_arr) else         np.empty((0, cfg.num_perm), dtype=np.uint64)
-    o = np.argsort(nd_arr)
-    mat_ref = ray.put((nd_arr[o], np.ascontiguousarray(sig_mat[o])))
-    thresh = cfg.verify_threshold
-
-    def _judge(t: pa.Table) -> pa.Table:
-        la, mat = ray.get(mat_ref)
-        us = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        vs = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        pu = np.searchsorted(la, us)
-        pv = np.searchsorted(la, vs)
-        pu[pu >= len(la)] = 0
-        pv[pv >= len(la)] = 0
-        ok = (la[pu] == us) & (la[pv] == vs)
-        agree = (mat[pu] == mat[pv]).mean(axis=1)
-        keep = ok & (agree >= thresh)
-        return pa.table({"u": us[keep], "v": vs[keep]}, schema=_PAIR_SCHEMA)
-
-    return pairs.map_batches(_judge, batch_format="pyarrow")
+    # dedupe cross-band repeats BEFORE verification (a true pair surfaces
+    # in most of the b bands), then verify distributed: signature payloads
+    # shuffle once, judged by a vectorized row-agreement compare
+    pairs = dedupe_pairs(pairs, P)
+    return verify_minhash_pairs(pairs, sigs, cfg.num_perm,
+                                cfg.verify_threshold, P)
 
 
 def substring_edges(active: ray.data.Dataset, cfg: DedupConfig,
@@ -718,7 +757,19 @@ def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig,
     cluster_size), deterministic at any parallelism."""
     from .dist import tune_context
     tune_context()
-    prep = prepare(ds, cfg, check_html=check_html).materialize()
+    runner = None
+    if cfg.checkpoint_dir:
+        from .checkpoint import Runner
+        runner = Runner(cfg.checkpoint_dir, cfg.fingerprint())
+
+    def ck(name, fn, inputs=()):
+        """Checkpoint a stage when a checkpoint dir is configured, else
+        just materialize it."""
+        if runner is not None:
+            return runner.stage(name, fn, inputs)
+        return fn().materialize()
+
+    prep = ck("prepare", lambda: prepare(ds, cfg, check_html=check_html))
     P = num_partitions or _auto_partitions(cfg, prep.size_bytes())
     active = _ok_only(prep).materialize()
 
@@ -727,19 +778,24 @@ def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig,
     # driver serializing stage startup
     stage_fns = []
     if cfg.exact:
-        stage_fns.append(lambda: exact_edges(active, cfg, P).materialize())
+        stage_fns.append(("edges_exact",
+                          lambda: exact_edges(active, cfg, P)))
     if cfg.near:
-        stage_fns.append(lambda: minhash_edges(active, cfg, P).materialize())
+        stage_fns.append(("edges_minhash",
+                          lambda: minhash_edges(active, cfg, P)))
     if cfg.simhash:
-        stage_fns.append(lambda: simhash_edges(active, cfg, P).materialize())
+        stage_fns.append(("edges_simhash",
+                          lambda: simhash_edges(active, cfg, P)))
     if cfg.substring:
-        stage_fns.append(lambda: substring_edges(active, cfg, P).materialize())
+        stage_fns.append(("edges_substring",
+                          lambda: substring_edges(active, cfg, P)))
 
     if stage_fns:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=len(stage_fns)) as ex:
             edge_sets = [f.result() for f in
-                         [ex.submit(fn) for fn in stage_fns]]
+                         [ex.submit(ck, name, fn, ("prepare",))
+                           for name, fn in stage_fns]]
         edges = edge_sets[0]
         if len(edge_sets) > 1:
             edges = edges.union(*edge_sets[1:])
@@ -747,13 +803,18 @@ def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig,
         # passes emit the same pair many times; the UF driver loop (or the
         # distributed rounds) should only see distinct edges
         edges = dedupe_pairs(edges, P)
-        labels = union_find(edges, P)
+        labels = ck("labels", lambda: union_find(edges, P),
+                    tuple(n for n, _ in stage_fns))
     else:
         labels = ray.data.from_arrow(pa.table({
             "node": pa.array([], pa.uint64()),
             "comp": pa.array([], pa.uint64())}))
 
-    return assign_states(prep, labels, cfg, P)
+    out = ck("assignments", lambda: assign_states(prep, labels, cfg, P),
+             ("prepare", "labels"))
+    if runner is not None:
+        runner.finish()
+    return out
 
 
 def state_stats(assignments: ray.data.Dataset) -> ray.data.Dataset:

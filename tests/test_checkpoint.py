@@ -1,0 +1,81 @@
+"""Checkpoint/resume semantics (FIXTURES.md F5 'interrupt'): resumed runs
+reuse completed stages without recompute and produce byte-equal outputs;
+a config change invalidates the checkpoint."""
+
+import json
+import os
+
+import pyarrow as pa
+import ray.data
+
+from dedup.config import DedupConfig
+from dedup.pipeline import run_dedup
+from dedup.synth import generate_pages
+
+
+def _collect(out):
+    rows = {}
+    for b in out.iter_batches(batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            rows[b["url"][i].as_py()] = (b["state"][i].as_py(),
+                                         b["cluster_id"][i].as_py(),
+                                         b["cluster_size"][i].as_py())
+    return rows
+
+
+def test_resume_reuses_stages(tmp_path):
+    pages, _ = generate_pages(250, seed=13)
+    ds = ray.data.from_arrow(pages).repartition(3)
+    cfg = DedupConfig(checkpoint_dir=str(tmp_path))
+
+    out1 = _collect(run_dedup(ds, cfg, num_partitions=8))
+    run_dir = os.path.join(str(tmp_path), cfg.fingerprint())
+    metrics1 = json.load(open(os.path.join(run_dir, "metrics.json")))
+    assert not any(m["reused"] for m in metrics1["stages"].values())
+    mtime = os.path.getmtime(os.path.join(run_dir, "prepare", "manifest.json"))
+
+    # full resume: everything reused, output identical
+    out2 = _collect(run_dedup(ds, cfg, num_partitions=8))
+    metrics2 = json.load(open(os.path.join(run_dir, "metrics.json")))
+    assert all(m["reused"] for m in metrics2["stages"].values())
+    assert os.path.getmtime(
+        os.path.join(run_dir, "prepare", "manifest.json")) == mtime
+    assert out1 == out2
+
+    # interrupt simulation: kill a mid-pipeline stage; earlier stages are
+    # reused, the killed one recomputes, output still identical
+    os.remove(os.path.join(run_dir, "labels", "manifest.json"))
+    out3 = _collect(run_dedup(ds, cfg, num_partitions=8))
+    metrics3 = json.load(open(os.path.join(run_dir, "metrics.json")))
+    assert metrics3["stages"]["prepare"]["reused"]
+    assert metrics3["stages"]["edges_exact"]["reused"]
+    assert not metrics3["stages"]["labels"]["reused"]
+    assert out1 == out3
+
+
+def test_config_change_invalidates(tmp_path):
+    pages, _ = generate_pages(150, seed=14)
+    ds = ray.data.from_arrow(pages).repartition(2)
+    cfg1 = DedupConfig(checkpoint_dir=str(tmp_path), near=False,
+                       simhash=False, substring=False)
+    cfg2 = cfg1.with_(min_doc_bytes=32)
+    run_dedup(ds, cfg1, num_partitions=8).materialize()
+    run_dedup(ds, cfg2, num_partitions=8).materialize()
+    # different fingerprints -> disjoint checkpoint trees
+    assert cfg1.fingerprint() != cfg2.fingerprint()
+    assert os.path.isdir(os.path.join(str(tmp_path), cfg1.fingerprint()))
+    assert os.path.isdir(os.path.join(str(tmp_path), cfg2.fingerprint()))
+
+
+def test_manifest_lineage(tmp_path):
+    pages, _ = generate_pages(150, seed=15)
+    ds = ray.data.from_arrow(pages).repartition(2)
+    cfg = DedupConfig(checkpoint_dir=str(tmp_path))
+    run_dedup(ds, cfg, num_partitions=8).materialize()
+    run_dir = os.path.join(str(tmp_path), cfg.fingerprint())
+    m = json.load(open(os.path.join(run_dir, "labels", "manifest.json")))
+    assert set(m["inputs"]) == {"edges_exact", "edges_minhash",
+                                "edges_simhash", "edges_substring"}
+    assert m["rows"] == sum(p["rows"] for p in m["partitions"])
+    for p in m["partitions"]:
+        assert p["rows"] >= 0 and p["bytes"] > 0
