@@ -208,7 +208,7 @@ def union_find(
     edges: ray.data.Dataset,
     num_partitions: int,
     max_rounds: int = 24,
-    local_threshold: int = 2_000_000,
+    local_threshold: int = 20_000_000,
 ) -> ray.data.Dataset:
     """Connected components over an edge list of uint64 node ids.
 

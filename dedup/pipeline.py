@@ -366,7 +366,7 @@ def substring_candidates(active: ray.data.Dataset, cfg: DedupConfig,
         scopes = t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
         ncs = t["n_chars"].to_numpy(zero_copy_only=False)
         texts = t["text"].to_pylist()
-        ks, ns, ss, ls = [], [], [], []
+        ks, ns, ss, ls, cs = [], [], [], [], []
         for i, txt in enumerate(texts):
             a = winnow(txt, g, w)
             if same_scope:
@@ -376,15 +376,18 @@ def substring_candidates(active: ray.data.Dataset, cfg: DedupConfig,
             ns.append(np.full(len(a), nodes[i], dtype=np.uint64))
             ss.append(np.full(len(a), scopes[i], dtype=np.uint64))
             ls.append(np.full(len(a), ncs[i], dtype=np.int64))
+            cs.append(np.full(len(a), len(a), dtype=np.int64))
         if not ks:
             return pa.table({"skey": pa.array([], pa.uint64()),
                              "node": pa.array([], pa.uint64()),
                              "scope64": pa.array([], pa.uint64()),
-                             "n_chars": pa.array([], pa.int64())})
+                             "n_chars": pa.array([], pa.int64()),
+                             "n_anchors": pa.array([], pa.int64())})
         return pa.table({"skey": np.concatenate(ks),
                          "node": np.concatenate(ns),
                          "scope64": np.concatenate(ss),
-                         "n_chars": np.concatenate(ls)})
+                         "n_chars": np.concatenate(ls),
+                         "n_anchors": np.concatenate(cs)})
 
     rows = active.select_columns(["node", "scope64", "n_chars", "text"]) \
                  .map_batches(_anchors, batch_format="pyarrow")
@@ -394,10 +397,12 @@ def substring_candidates(active: ray.data.Dataset, cfg: DedupConfig,
         nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
         scopes = t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
         ncs = t["n_chars"].to_numpy(zero_copy_only=False)
+        nas = t["n_anchors"].to_numpy(zero_copy_only=False)
         order, starts, _ = segments(sk)
         sizes = np.diff(starts)
         out_u: list = []
         out_v: list = []
+        out_na: list = []
         for gi in np.flatnonzero(sizes >= 2):
             s, e = starts[gi], starts[gi + 1]
             idx = order[s:e]
@@ -405,9 +410,11 @@ def substring_candidates(active: ray.data.Dataset, cfg: DedupConfig,
             uniq_i = np.unique(nd, return_index=True)[1]
             if len(uniq_i) < 2:
                 continue
-            nd, sc, ln = nd[uniq_i], scopes[idx][uniq_i], ncs[idx][uniq_i]
+            nd = nd[uniq_i]
+            sc, ln, na = (scopes[idx][uniq_i], ncs[idx][uniq_i],
+                          nas[idx][uniq_i])
             o = np.argsort(nd, kind="stable")
-            nd, sc, ln = nd[o], sc[o], ln[o]
+            nd, sc, ln, na = nd[o], sc[o], ln[o], na[o]
             n = len(nd)
             if n <= cap:
                 iu, iv = np.triu_indices(n, k=1)
@@ -421,7 +428,16 @@ def substring_candidates(active: ray.data.Dataset, cfg: DedupConfig,
                 keep &= sc[iu] != sc[iv]
             out_u.append(nd[iu][keep])
             out_v.append(nd[iv][keep])
-        return _pairs_table(out_u, out_v)
+            # anchor count of the SHORTER side (containment denominator)
+            small_na = np.where(ln[iu] <= ln[iv], na[iu], na[iv])
+            out_na.append(small_na[keep])
+        if not out_u:
+            return pa.table({"u": pa.array([], pa.uint64()),
+                             "v": pa.array([], pa.uint64()),
+                             "na_small": pa.array([], pa.int64())})
+        return pa.table({"u": np.concatenate(out_u),
+                         "v": np.concatenate(out_v),
+                         "na_small": np.concatenate(out_na)})
 
     return groupapply(rows, "skey", _part, P)
 
@@ -462,10 +478,23 @@ def attach_payloads(pairs: ray.data.Dataset, payload: ray.data.Dataset,
     keyed by node attaches each side's payload, a second keyed by a pair
     hash co-locates both sides.  No driver-side collection — candidate
     payload volume scales with the PAIR count, never the corpus.
-    Output rows: (skey=pair-hash, u, v, side, pay)."""
+    Output rows: (skey=pair-hash, u, v, side, pay).
+
+    The corpus-sized payload table is pre-filtered to candidate nodes via
+    a broadcast sorted array (8 bytes per candidate; at extreme scale swap
+    for a bloom filter) so only O(pairs) payload bytes enter the shuffle."""
     pay_type = payload.schema().base_schema.field(payload_col).type
+    pairs = pairs.materialize()
+    cand = _candidate_nodes(pairs)
+    cand_ref = ray.put(cand)
 
     def _pay_rows(t: pa.Table) -> pa.Table:
+        arr = ray.get(cand_ref)
+        nd = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pos = np.searchsorted(arr, nd)
+        pos[pos >= len(arr)] = 0
+        t = t.filter(pa.array(arr[pos] == nd) if len(arr) else
+                     pa.array(np.zeros(len(nd), dtype=bool)))
         return pa.table({
             "skey": t["node"],
             "u": pa.nulls(t.num_rows, pa.uint64()),
@@ -540,11 +569,21 @@ def verify_minhash_pairs(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
         i0, i1 = _paired_indices(t)
         if len(i0) == 0:
             return _EMPTY_PAIRS
+        # zero-copy: every signature is num_perm*8 bytes, so the binary
+        # column's value buffer IS an (n, num_perm) uint64 matrix
         pays = t["pay"].combine_chunks()
-        m0 = np.frombuffer(b"".join(pays.take(pa.array(i0)).to_pylist()),
-                           dtype="<u8").reshape(len(i0), num_perm)
-        m1 = np.frombuffer(b"".join(pays.take(pa.array(i1)).to_pylist()),
-                           dtype="<u8").reshape(len(i1), num_perm)
+        offs = np.frombuffer(pays.buffers()[1], dtype=np.int32,
+                             count=len(pays) + 1, offset=pays.offset * 4)
+        widths = np.diff(offs)
+        if len(widths) and (widths == num_perm * 8).all():
+            vals = np.frombuffer(pays.buffers()[2], dtype="<u8")
+            mat = vals[offs[0] // 8: offs[-1] // 8].reshape(len(pays), num_perm)
+            m0, m1 = mat[i0], mat[i1]
+        else:  # ragged/odd layout fallback
+            m0 = np.frombuffer(b"".join(pays.take(pa.array(i0)).to_pylist()),
+                               dtype="<u8").reshape(len(i0), num_perm)
+            m1 = np.frombuffer(b"".join(pays.take(pa.array(i1)).to_pylist()),
+                               dtype="<u8").reshape(len(i1), num_perm)
         agree = (m0 == m1).mean(axis=1)
         keep = agree >= threshold
         u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -612,10 +651,37 @@ def substring_edges(active: ray.data.Dataset, cfg: DedupConfig,
                     P: int) -> ray.data.Dataset:
     """winnow anchors → candidates → exact containment verify
     (`shorter in longer`, both >= min_substring chars)."""
-    # dedupe first: members of exact/near clusters share most anchors, so the
-    # same candidate pair is emitted once per common anchor; verification
-    # attaches full TEXT payloads per pair row, making dedupe essential here
-    pairs = dedupe_pairs(substring_candidates(active, cfg, P), P)
+    # count-aware dedupe: a candidate pair appears once per shared anchor,
+    # so the duplicate count IS the shared-anchor count.  True containment
+    # shares ~all of the shorter doc's anchors (winnowing is content-
+    # defined), while near-dup noise shares fewer — requiring
+    # count >= 0.9 * n_anchors(shorter) kills most false candidates BEFORE
+    # the expensive text-verify shuffle without touching recall.
+    cands = substring_candidates(active, cfg, P)
+
+    def _ratio_dedupe(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        na = t["na_small"].to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        uv = np.stack([lo, hi], axis=1)
+        uniq, inv, cnt = np.unique(uv, axis=0, return_inverse=True,
+                                   return_counts=True)
+        na_u = np.zeros(len(uniq), dtype=np.int64)
+        np.maximum.at(na_u, inv, na)
+        keep = cnt >= np.maximum(1, (0.9 * na_u).astype(np.int64))
+        return pa.table({"u": uniq[keep, 0], "v": uniq[keep, 1]},
+                        schema=_PAIR_SCHEMA)
+
+    def _pk(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            k = mix64(np.minimum(u, v)) ^ mix64(~np.maximum(u, v))
+        return t.append_column("skey", pa.array(k, pa.uint64()))
+
+    pairs = groupapply(cands.map_batches(_pk, batch_format="pyarrow"),
+                       "skey", _ratio_dedupe, P)
     payload = active.select_columns(["node", "text"])
 
     def _verdict(ta: str, tb: str) -> bool:
