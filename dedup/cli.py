@@ -1,0 +1,101 @@
+"""CLI entrypoint — the shape a ``ray job submit`` run uses:
+
+    ray job submit --working-dir . -- python -m dedup.cli run \\
+        --input /data/pages --output /runs/out --config cfg.json
+
+Subcommands:
+  run    read pages parquet -> full dedup -> write assignments parquet
+         (+ checkpoints/metrics when --checkpoint-dir or cfg sets one)
+  bench  two fresh-process runs at different --cpus for the scaling
+         protocol (delegates to bench.py)
+
+This module owns its Ray session (guarded init), unlike the library /
+__ray_entry__ which never call ray.init().
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _init(num_cpus: int | None) -> None:
+    import ray
+    if not ray.is_initialized():
+        kw = {"include_dashboard": False}
+        if num_cpus:
+            kw["num_cpus"] = num_cpus
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), **kw)
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    _init(args.cpus)
+    import ray
+    import ray.data
+    from .config import DedupConfig
+    from .pipeline import run_dedup, state_stats
+
+    if args.config:
+        cfg = DedupConfig.from_json(open(args.config).read())
+    else:
+        cfg = DedupConfig()
+    if args.checkpoint_dir:
+        cfg = cfg.with_(checkpoint_dir=args.checkpoint_dir)
+
+    ds = ray.data.read_parquet(args.input)
+    t0 = time.time()
+    out = run_dedup(ds, cfg)
+    os.makedirs(args.output, exist_ok=True)
+    out.write_parquet(os.path.join(args.output, "assignments"))
+    stats = {r["state"]: r["count()"] for r in state_stats(
+        ray.data.read_parquet(os.path.join(args.output, "assignments"))
+    ).iter_rows()}
+    report = {
+        "input": args.input,
+        "output": args.output,
+        "config_fingerprint": cfg.fingerprint(),
+        "wall_sec": round(time.time() - t0, 2),
+        "states": stats,
+    }
+    with open(os.path.join(args.output, "run.json"), "w") as fh:
+        json.dump(report, fh, indent=2)
+    with open(os.path.join(args.output, "config.json"), "w") as fh:
+        fh.write(cfg.to_json())
+    print(json.dumps(report))
+    ray.shutdown()
+    return 0
+
+
+def cmd_bench(args: argparse.Namespace) -> int:
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [sys.executable, os.path.join(repo, "bench.py")]
+    if args.scaling:
+        cmd.append("--scaling")
+    return subprocess.call(cmd)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="dedup")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    rp = sub.add_parser("run", help="full dedup over a pages parquet dir")
+    rp.add_argument("--input", required=True)
+    rp.add_argument("--output", required=True)
+    rp.add_argument("--config", default=None, help="DedupConfig JSON path")
+    rp.add_argument("--checkpoint-dir", default=None)
+    rp.add_argument("--cpus", type=int, default=None)
+    rp.set_defaults(fn=cmd_run)
+    bp = sub.add_parser("bench", help="benchmark suite / scaling runs")
+    bp.add_argument("--scaling", action="store_true")
+    bp.set_defaults(fn=cmd_bench)
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -176,20 +176,39 @@ def _local_union_find(pairs: ray.data.Dataset) -> ray.data.Dataset:
     vectorized (edge-relaxation + pointer jumping over dense indices).
     np.unique returns node ids sorted, so the minimum dense index of a
     component is its minimum node id — same contract as the rounds."""
+    import ray
     eu_l, ev_l = [], []
-    for b in pairs.iter_batches(batch_format="pyarrow"):
+    for ref in pairs.get_internal_block_refs():
+        b = ray.get(ref)
         eu_l.append(b["u"].to_numpy(zero_copy_only=False).astype(np.uint64))
         ev_l.append(b["v"].to_numpy(zero_copy_only=False).astype(np.uint64))
-    eu = np.concatenate(eu_l)
-    ev = np.concatenate(ev_l)
-    nodes, inv = np.unique(np.concatenate([eu, ev]), return_inverse=True)
+    eu = np.concatenate(eu_l) if eu_l else np.array([], dtype=np.uint64)
+    ev = np.concatenate(ev_l) if ev_l else np.array([], dtype=np.uint64)
+    allv = np.concatenate([eu, ev])
+    ns = np.sort(allv)
+    keep = np.empty(len(ns), dtype=bool)
+    if len(ns):
+        keep[0] = True
+        np.not_equal(ns[1:], ns[:-1], out=keep[1:])
+    nodes = ns[keep]
+    inv = np.searchsorted(nodes, allv)
     m = len(eu)
-    eu, ev = inv[:m], inv[m:]
-    label = np.arange(len(nodes))
+    n = len(nodes)
+    # symmetric incidence, pre-sorted ONCE by source endpoint so each
+    # iteration is gather + segment-min (reduceat) — no ufunc.at
+    src = np.concatenate([inv[:m], inv[m:]])
+    dst = np.concatenate([inv[m:], inv[:m]])
+    order = np.argsort(src, kind="stable")
+    src_s = src[order]
+    dst_s = dst[order]
+    brk = np.flatnonzero(src_s[1:] != src_s[:-1]) + 1
+    starts = np.concatenate([[0], brk])
+    seg_nodes = src_s[starts]
+    label = np.arange(n)
     while True:
+        neigh_min = np.minimum.reduceat(label[dst_s], starts)
         l2 = label.copy()
-        np.minimum.at(l2, eu, label[ev])
-        np.minimum.at(l2, ev, label[eu])
+        l2[seg_nodes] = np.minimum(l2[seg_nodes], neigh_min)
         while True:  # pointer jumping to fixpoint
             l3 = l2[l2]
             if np.array_equal(l3, l2):

@@ -45,12 +45,15 @@ def _cluster_cpus() -> int:
 
 
 def _auto_partitions(cfg: DedupConfig, data_bytes: int = 0) -> int:
-    """Shuffle partition count: sized by DATA (one partition per ~128 MiB,
-    floor 16) rather than CPUs — oversized P multiplies per-task fixed
-    costs across every groupapply; at real scale the byte term governs."""
+    """Shuffle partition count: one partition per ~128 MiB of prepared
+    data, but never below the cluster CPU count (a partition is the unit
+    of reduce-side parallelism) and floored at 16.  Oversized P multiplies
+    per-task fixed costs across every groupapply; at real scale the byte
+    term governs."""
     if getattr(cfg, "num_partitions", 0):
         return cfg.num_partitions
-    return int(max(16, min(4096, data_bytes // (128 << 20))))
+    by_bytes = data_bytes // (128 << 20)
+    return int(max(16, _cluster_cpus(), min(4096, by_bytes)))
 
 
 def _pool() -> tuple[int, int]:
@@ -447,10 +450,12 @@ def substring_candidates(active: ray.data.Dataset, cfg: DedupConfig,
 # ---------------------------------------------------------------------------
 
 def _candidate_nodes(pairs: ray.data.Dataset) -> np.ndarray:
-    """Sorted distinct node ids appearing in any pair (driver-collected;
-    8 bytes/node — at true web scale swap for a distributed semi-join)."""
+    """Sorted distinct node ids appearing in any pair (driver-collected via
+    raw block refs; 8 bytes/node — at true web scale swap for a
+    distributed semi-join / bloom filter)."""
     parts = [np.array([], dtype=np.uint64)]
-    for b in pairs.iter_batches(batch_format="pyarrow"):
+    for ref in pairs.get_internal_block_refs():
+        b = ray.get(ref)
         parts.append(b["u"].to_numpy(zero_copy_only=False).astype(np.uint64))
         parts.append(b["v"].to_numpy(zero_copy_only=False).astype(np.uint64))
     return np.unique(np.concatenate(parts))
@@ -725,7 +730,8 @@ def assign_states(prep: ray.data.Dataset, labels: ray.data.Dataset,
     lab_nodes: list[np.ndarray] = [np.array([], dtype=np.uint64)]
     lab_comps: list[np.ndarray] = [np.array([], dtype=np.uint64)]
     n_lab = 0
-    for b in labels.iter_batches(batch_format="pyarrow"):
+    for ref in labels.materialize().get_internal_block_refs():
+        b = ray.get(ref)
         lab_nodes.append(b["node"].to_numpy(zero_copy_only=False).astype(np.uint64))
         lab_comps.append(b["comp"].to_numpy(zero_copy_only=False).astype(np.uint64))
         n_lab += len(lab_nodes[-1])
