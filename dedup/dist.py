@@ -180,6 +180,8 @@ def _local_union_find(pairs: ray.data.Dataset) -> ray.data.Dataset:
     eu_l, ev_l = [], []
     for ref in pairs.get_internal_block_refs():
         b = ray.get(ref)
+        if b.num_rows == 0 or "u" not in b.column_names:
+            continue
         eu_l.append(b["u"].to_numpy(zero_copy_only=False).astype(np.uint64))
         ev_l.append(b["v"].to_numpy(zero_copy_only=False).astype(np.uint64))
     eu = np.concatenate(eu_l) if eu_l else np.array([], dtype=np.uint64)

@@ -456,6 +456,8 @@ def _candidate_nodes(pairs: ray.data.Dataset) -> np.ndarray:
     parts = [np.array([], dtype=np.uint64)]
     for ref in pairs.get_internal_block_refs():
         b = ray.get(ref)
+        if b.num_rows == 0 or "u" not in b.column_names:
+            continue
         parts.append(b["u"].to_numpy(zero_copy_only=False).astype(np.uint64))
         parts.append(b["v"].to_numpy(zero_copy_only=False).astype(np.uint64))
     return np.unique(np.concatenate(parts))
@@ -732,6 +734,8 @@ def assign_states(prep: ray.data.Dataset, labels: ray.data.Dataset,
     n_lab = 0
     for ref in labels.materialize().get_internal_block_refs():
         b = ray.get(ref)
+        if b.num_rows == 0 or "node" not in b.column_names:
+            continue
         lab_nodes.append(b["node"].to_numpy(zero_copy_only=False).astype(np.uint64))
         lab_comps.append(b["comp"].to_numpy(zero_copy_only=False).astype(np.uint64))
         n_lab += len(lab_nodes[-1])
