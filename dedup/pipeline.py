@@ -875,10 +875,9 @@ def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig,
         edges = edge_sets[0]
         if len(edge_sets) > 1:
             edges = edges.union(*edge_sets[1:])
-        # parallel dedupe before union-find: simhash blocks and overlapping
-        # passes emit the same pair many times; the UF driver loop (or the
-        # distributed rounds) should only see distinct edges
-        edges = dedupe_pairs(edges, P)
+        # no dedupe shuffle here: both union-find paths tolerate duplicate
+        # edges natively (the local path is vectorized relaxation, the
+        # distributed rounds dedupe per partition each round)
         labels = ck("labels", lambda: union_find(edges, P),
                     tuple(n for n, _ in stage_fns))
     else:
