@@ -68,6 +68,37 @@ def _q_exact_dedup_stats(sf_dir: str):
     return agg.map_batches(_rn, batch_format="pyarrow").sort("state")
 
 
+def _q_exact_dedup_lang(sf_dir: str):
+    """Exact dedup with the lang column as an additional equality key
+    (CompareExtension analogue)."""
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+    return run_dedup(ds, _doc_cfg(key_lang=True)).sort("doc_id")
+
+
+def _q_exact_dedup_byteverify(sf_dir: str):
+    """Exact dedup with the byte comparator enabled (M9): carries text
+    through the exact shuffle and sub-splits groups on byte equality.
+    Same oracle as exact_dedup — sha256 collisions don't occur here, so
+    the verified result must be identical."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return run_dedup(ds, _doc_cfg(byte_verify=True)).sort("doc_id")
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing: actor-pool decode over a deterministic fake
+    media table (decode kernel stubbed; see dedup.multimodal)."""
+    from dedup.multimodal import decode_features, synth_media
+    ds = ray.data.from_arrow(synth_media(300, seed=42))
+    out = decode_features(ds, feature_dim=16, batch_size=32)
+
+    def _summ(t: pa.Table) -> pa.Table:
+        ok = pc.is_null(t["decode_error"]).to_pylist()
+        return pa.table({"media_id": t["media_id"], "kind": t["kind"],
+                         "decoded": pa.array(ok, pa.bool_())})
+
+    return out.map_batches(_summ, batch_format="pyarrow").sort("media_id")
+
+
 def _q_token_count(sf_dir: str):
     return textstats.token_count(_docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
 
@@ -168,7 +199,10 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
+        "exact_dedup_lang": _q_exact_dedup_lang,
+        "exact_dedup_byteverify": _q_exact_dedup_byteverify,
         "exact_dedup_stats": _q_exact_dedup_stats,
+        "media_features": _q_media_features,
         "token_count": _q_token_count,
         "doc_stats": _q_doc_stats,
         "top_tokens": _q_top_tokens,
@@ -206,8 +240,14 @@ FROM base WHERE nb < {_MIN}
 
 
 def oracle_sql() -> dict[str, str]:
+    lang_sql = _EXACT_SQL.replace(
+        "SELECT doc_id, text, length(text) AS nb FROM documents",
+        "SELECT doc_id, text, lang, length(text) AS nb FROM documents",
+    ).replace("PARTITION BY text", "PARTITION BY text, lang")
     return {
         "exact_dedup": f"SELECT * FROM ({_EXACT_SQL}) ORDER BY doc_id",
+        "exact_dedup_lang": f"SELECT * FROM ({lang_sql}) ORDER BY doc_id",
+        "exact_dedup_byteverify": f"SELECT * FROM ({_EXACT_SQL}) ORDER BY doc_id",
         "exact_dedup_stats": f"""
             WITH a AS ({_EXACT_SQL})
             SELECT a.state, count(*) AS n_docs, sum(d.n_chars) AS total_chars

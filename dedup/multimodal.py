@@ -1,0 +1,142 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Treats image/audio/video as opaque ``binary`` columns with typed
+metadata, processed by actor-pool ``map_batches`` stages — the same
+shape a model-backed decode would use (state loaded once per actor in
+``__init__``, batched work in ``__call__``).  The decode kernels
+themselves are STUBBED (no media libraries in this container): a real
+deployment swaps ``_decode_impl`` for PIL/torchaudio/ffmpeg while every
+Ray-side concern — schema, batch sizing, actor pool signature, output
+layout, error routing — stays exactly as tested here.
+
+``DeterministicFakeDecoder`` produces a seeded, content-derived feature
+vector so the plumbing is testable end-to-end without media libs;
+``MediaDecoder(strict=True)`` raises NotImplementedError at the decode
+step, marking the boundary explicitly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+#: canonical media-table schema: payload is opaque binary; metadata typed
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("kind", pa.string()),          # 'image' | 'audio' | 'video'
+    ("payload", pa.binary()),
+    ("mime", pa.string()),
+    ("width", pa.int32()),          # images/video
+    ("height", pa.int32()),
+    ("sample_rate", pa.int32()),    # audio
+    ("duration_ms", pa.int64()),    # audio/video
+])
+
+
+class MediaDecoder:
+    """Actor-pool decode stage (strict): raises at the decode boundary.
+
+    Use with
+    ``ds.map_batches(MediaDecoder, fn_constructor_kwargs={...},
+    concurrency=(1, N), num_cpus=1, batch_size=B)`` — batch_size must be
+    small for large payloads (payload_bytes * batch_size * concurrency
+    bounds worker heap)."""
+
+    def __init__(self, feature_dim: int = 64, strict: bool = True) -> None:
+        # a real implementation loads the model / codec context HERE,
+        # once per actor
+        self.feature_dim = feature_dim
+        self.strict = strict
+
+    def _decode_impl(self, payload: bytes, kind: str) -> np.ndarray:
+        raise NotImplementedError(
+            "media decode requires image/audio libraries not present in "
+            "this environment; swap _decode_impl for a real decoder")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats: list[list[float] | None] = []
+        errs: list[str | None] = []
+        for payload, kind in zip(t["payload"].to_pylist(),
+                                 t["kind"].to_pylist()):
+            if payload is None:
+                feats.append(None)
+                errs.append("null payload")
+                continue
+            try:
+                v = self._decode_impl(payload, kind)
+                feats.append([float(x) for x in v])
+                errs.append(None)
+            except NotImplementedError:
+                raise
+            except Exception as e:  # error rows flow, never abort the batch
+                feats.append(None)
+                errs.append(f"{type(e).__name__}: {e}")
+        return pa.table({
+            "media_id": t["media_id"],
+            "kind": t["kind"],
+            "feature": pa.array(feats, pa.list_(pa.float32())),
+            "decode_error": pa.array(errs, pa.string()),
+        })
+
+
+class DeterministicFakeDecoder(MediaDecoder):
+    """Deterministic stand-in decode: a content-derived pseudo-feature
+    (blake2b-seeded) so the actor-pool plumbing is testable end-to-end."""
+
+    def _decode_impl(self, payload: bytes, kind: str) -> np.ndarray:
+        seed = int.from_bytes(
+            hashlib.blake2b(payload, digest_size=8).digest(), "little")
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal(self.feature_dim).astype(np.float32)
+
+
+def decode_features(ds: ray.data.Dataset, feature_dim: int = 64,
+                    batch_size: int = 64, concurrency=(1, 4),
+                    decoder_cls=DeterministicFakeDecoder) -> ray.data.Dataset:
+    """Media table -> (media_id, kind, feature, decode_error).
+
+    Small batch_size: payloads are large binaries, so batch bytes — not
+    row count — is the memory unit."""
+    return ds.map_batches(
+        decoder_cls,
+        fn_constructor_kwargs={"feature_dim": feature_dim},
+        batch_size=batch_size,
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
+
+
+def frame_sample_plan(duration_ms: int, every_ms: int = 1000,
+                      max_frames: int = 32) -> list[int]:
+    """Deterministic frame-sampling timestamps for a video payload (the
+    plan is real; extracting frames is part of the stubbed decode)."""
+    if duration_ms <= 0:
+        return []
+    ts = list(range(0, duration_ms, every_ms))[:max_frames]
+    return ts
+
+
+def synth_media(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    import random
+    rng = random.Random(seed)
+    kinds = ["image", "audio", "video"]
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = bytes(rng.randrange(256) for _ in range(rng.randint(64, 512)))
+        rows["media_id"].append(f"m{i:06d}")
+        rows["kind"].append(kind)
+        rows["payload"].append(payload if i % 17 else None)  # some nulls
+        rows["mime"].append({"image": "image/jpeg", "audio": "audio/wav",
+                             "video": "video/mp4"}[kind])
+        rows["width"].append(640 if kind != "audio" else None)
+        rows["height"].append(480 if kind != "audio" else None)
+        rows["sample_rate"].append(16000 if kind == "audio" else None)
+        rows["duration_ms"].append(rng.randint(1000, 60000)
+                                   if kind != "image" else None)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
