@@ -176,6 +176,21 @@ def _q_fingerprints(sf_dir: str):
     return textstats.doc_fingerprints(_docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
 
 
+def _q_ngram_jaccard_dedup(sf_dir: str):
+    """n-gram Jaccard dedup: LSH candidates verified by EXACT shingle
+    Jaccard over the texts."""
+    cfg = DOCUMENTS_CONFIG.with_(exact=False, simhash=False, substring=False,
+                                 min_doc_bytes=_MIN, verify="jaccard",
+                                 verify_threshold=0.7)
+    return run_dedup(_docs(sf_dir, ["doc_id", "text"]), cfg).sort("doc_id")
+
+
+def _q_knn_ivf(sf_dir: str):
+    """IVF approximate top-k (coarse k-means cells, n_probe probing)."""
+    return ann.knn_ivf(_embs(sf_dir), query_ids=[0, 1, 2, 3, 4], k=10,
+                       n_centroids=8, n_probe=8)
+
+
 def _q_embedding_dup_pairs_lsh(sf_dir: str):
     return ann.dup_pairs_lsh(_embs(sf_dir), threshold=0.45, n_planes=6, n_tables=12)
 
@@ -212,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": _q_knn,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "minhash_dedup": _q_minhash_dedup,
+        "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
+        "knn_ivf": _q_knn_ivf,
         "simhash_dedup": _q_simhash_dedup,
         "substring_dedup": _q_substring_dedup,
         "full_dedup": _q_full_dedup,

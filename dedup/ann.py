@@ -206,3 +206,85 @@ def dup_pairs_lsh(ds: ray.data.Dataset, threshold: float = 0.9,
 
     return groupapply(out.map_batches(_pairkey, batch_format="pyarrow"),
                       "skey", _uniq, num_partitions).sort(["a", "b"])
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate nearest neighbours — the scale path for
+# top-k search: coarse k-means centroids partition the corpus; queries probe
+# only the nearest n_probe cells, so no all-pairs matmul exists.
+# ---------------------------------------------------------------------------
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
+            seed: int = 42) -> np.ndarray:
+    """Small deterministic k-means (driver-side, on a bounded sample)."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(sample))
+    cent = sample[rng.choice(len(sample), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(k):
+            m = a == c
+            if m.any():
+                cent[c] = sample[m].mean(axis=0)
+    return cent
+
+
+def knn_ivf(ds: ray.data.Dataset, query_ids: list[int], k: int = 10,
+            n_centroids: int = 16, n_probe: int = 4,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            sample_size: int = 2048, seed: int = 42) -> ray.data.Dataset:
+    """Approximate top-k cosine via IVF: train coarse centroids on a
+    sample, assign every vector to its nearest cell (one broadcast
+    matmul per batch), then score queries only against vectors whose cell
+    is among the query's n_probe nearest cells.
+
+    Output: (q, vec_id, score) — approximate; recall rises with n_probe.
+    """
+    sample_t = ds.limit(sample_size).select_columns([vec_col])
+    sample = np.array(
+        pa.concat_tables(list(sample_t.iter_batches(batch_format="pyarrow")))
+        [vec_col].to_pylist(), dtype=np.float64)
+    cent = _kmeans(sample, n_centroids, seed=seed)
+    cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-300)
+
+    q_ids, q_mat = _load_queries(ds, id_col, vec_col, query_ids)
+    qn = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-300)
+    # per query: the n_probe nearest cells
+    q_cells = np.argsort(-(qn @ cn.T), axis=1)[:, :n_probe]
+    ref = ray.put((q_ids, qn, cn, q_cells))
+
+    def _score(t: pa.Table) -> pa.Table:
+        ids_b, qn_b, cn_b, cells_b = ray.get(ref)
+        m = _batch_matrix(t, vec_col)
+        vids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        cell = (mn @ cn_b.T).argmax(axis=1)
+        sims = np.round(mn @ qn_b.T, 6)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(ids_b)):
+            mask = np.isin(cell, cells_b[qi]) & (vids != ids_b[qi])
+            cand = np.flatnonzero(mask)
+            col = sims[:, qi]
+            if len(cand) > k:
+                kth = np.partition(-col[cand], k - 1)[k - 1]
+                cand = cand[-col[cand] <= kth]
+            out_q.append(np.full(len(cand), ids_b[qi], dtype=np.int64))
+            out_v.append(vids[cand])
+            out_s.append(col[cand])
+        return pa.table({"q": np.concatenate(out_q),
+                         "vec_id": np.concatenate(out_v),
+                         "score": np.concatenate(out_s)})
+
+    cand = ds.map_batches(_score, batch_format="pyarrow")
+
+    def _topk(t: pa.Table) -> pa.Table:
+        qs = t["q"].to_numpy(zero_copy_only=False)
+        vs = t["vec_id"].to_numpy(zero_copy_only=False)
+        ss = t["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vs, -ss))[:k]
+        return pa.table({"q": qs[order], "vec_id": vs[order],
+                         "score": ss[order]})
+
+    return cand.groupby("q").map_groups(_topk, batch_format="pyarrow") \
+               .sort(["q", "score", "vec_id"], descending=[False, True, False])

@@ -64,8 +64,10 @@ class DedupConfig:
     num_perm: int = 128            # MinHash signature length P
     lsh_bands: int = 32            # b bands x r rows; b*r must == num_perm
     lsh_rows: int = 4
-    verify: str = "signature"      # 'none' | 'signature' (est. Jaccard from sig agreement)
-    verify_threshold: float = 0.5  # min signature agreement to keep a candidate pair
+    verify: str = "signature"      # 'none' | 'signature' (est. Jaccard from sig
+                                   # agreement) | 'jaccard' (exact shingle Jaccard
+                                   # over texts — n-gram Jaccard dedup)
+    verify_threshold: float = 0.5  # min agreement/Jaccard to keep a candidate pair
     pair_cap: int = 64             # buckets larger than this emit star edges (skew guard)
 
     # --- SimHash pass ------------------------------------------------
@@ -92,8 +94,9 @@ class DedupConfig:
                 f"lsh_bands*lsh_rows ({self.lsh_bands}x{self.lsh_rows}) must equal "
                 f"num_perm ({self.num_perm})"
             )
-        if self.verify not in ("none", "signature"):
-            raise ValueError(f"verify must be 'none' or 'signature', got {self.verify!r}")
+        if self.verify not in ("none", "signature", "jaccard"):
+            raise ValueError(
+                f"verify must be 'none'|'signature'|'jaccard', got {self.verify!r}")
 
     # -----------------------------------------------------------------
     def to_json(self) -> str:

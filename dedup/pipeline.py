@@ -647,9 +647,20 @@ def minhash_edges(active: ray.data.Dataset, cfg: DedupConfig,
     if cfg.verify == "none":
         return pairs
     # dedupe cross-band repeats BEFORE verification (a true pair surfaces
-    # in most of the b bands), then verify distributed: signature payloads
-    # shuffle once, judged by a vectorized row-agreement compare
+    # in most of the b bands)
     pairs = dedupe_pairs(pairs, P)
+    if cfg.verify == "jaccard":
+        # exact n-gram Jaccard over the candidate texts (the n-gram
+        # Jaccard dedup operator): candidates from LSH, verdict exact
+        from .minhash import jaccard as _jac
+        k = cfg.shingle_k
+        thr = cfg.verify_threshold
+
+        def _verdict(ta: str, tb: str) -> bool:
+            return _jac(ta, tb, k) >= thr
+
+        payload = active.select_columns(["node", "text"])
+        return verify_pairs(pairs, payload, "text", _verdict, P)
     return verify_minhash_pairs(pairs, sigs, cfg.num_perm,
                                 cfg.verify_threshold, P)
 
