@@ -24,6 +24,7 @@ import ray.data
 from dedup.config import DOCUMENTS_CONFIG, DedupConfig
 from dedup import ann, textstats
 from dedup.pipeline import run_dedup
+from dedup import windows as W
 
 _MIN = 64  # ignore threshold used by the SQL-checked dedup queries
 
@@ -131,6 +132,18 @@ def _q_lang_sources(sf_dir: str):
     return out.map_batches(_cast, batch_format="pyarrow").sort("lang")
 
 
+def _q_events_hourly(sf_dir: str):
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "event_type", "value"])
+    return W.hourly_aggregate(ds)
+
+
+def _q_user_sessions(sf_dir: str):
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id"])
+    return W.user_sessions(ds, gap_minutes=30)
+
+
 def _q_embedding_norms(sf_dir: str):
     return ann.embedding_norms(_embs(sf_dir)).sort("vec_id")
 
@@ -223,6 +236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": _q_top_tokens,
         "lang_group_stats": _q_lang_group_stats,
         "lang_sources": _q_lang_sources,
+        "events_hourly": _q_events_hourly,
+        "user_sessions": _q_user_sessions,
         "embedding_norms": _q_embedding_norms,
         "knn_brute": _q_knn,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
@@ -292,6 +307,27 @@ def oracle_sql() -> dict[str, str]:
         "lang_sources": """
             SELECT lang, count(DISTINCT source) AS n_sources
             FROM documents GROUP BY lang ORDER BY lang""",
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events, round(sum(value), 6) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "user_sessions": """
+            WITH e AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            g AS (
+              SELECT user_id,
+                     sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS sess
+              FROM e),
+            c AS (SELECT user_id, sess, count(*) AS n FROM g GROUP BY 1, 2)
+            SELECT user_id, count(*) AS n_sessions,
+                   max(n) AS max_session_events
+            FROM c GROUP BY user_id ORDER BY user_id""",
         "embedding_norms": """
             SELECT vec_id,
                    round(sqrt(list_aggregate(list_transform(embedding,
