@@ -24,6 +24,7 @@ import ray.data
 from dedup.config import DOCUMENTS_CONFIG, DedupConfig
 from dedup import ann, textstats
 from dedup.pipeline import run_dedup
+from dedup import relational as R
 from dedup import windows as W
 
 _MIN = 64  # ignore threshold used by the SQL-checked dedup queries
@@ -132,6 +133,31 @@ def _q_lang_sources(sf_dir: str):
     return out.map_batches(_cast, batch_format="pyarrow").sort("lang")
 
 
+def _q_pricing_summary(sf_dir: str):
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_returnflag", "l_linestatus",
+                                        "l_quantity", "l_extendedprice",
+                                        "l_discount", "l_shipdate"])
+    return R.pricing_summary(li)
+
+
+def _q_top_customers(sf_dir: str):
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_orderkey", "o_custkey",
+                                            "o_totalprice"])
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey", "c_name", "c_nationkey"])
+    nation = ray.data.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+    return R.top_customers(orders, cust, nation, k=20)
+
+
+def _q_region_supplier_stats(sf_dir: str):
+    sup = ray.data.read_parquet(os.path.join(sf_dir, "supplier.parquet"))
+    nation = ray.data.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+    region = ray.data.read_parquet(os.path.join(sf_dir, "region.parquet"))
+    return R.region_supplier_stats(sup, nation, region)
+
+
 def _q_events_hourly(sf_dir: str):
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["ts", "event_type", "value"])
@@ -236,6 +262,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": _q_top_tokens,
         "lang_group_stats": _q_lang_group_stats,
         "lang_sources": _q_lang_sources,
+        "pricing_summary": _q_pricing_summary,
+        "top_customers": _q_top_customers,
+        "region_supplier_stats": _q_region_supplier_stats,
         "events_hourly": _q_events_hourly,
         "user_sessions": _q_user_sessions,
         "embedding_norms": _q_embedding_norms,
@@ -307,6 +336,34 @@ def oracle_sql() -> dict[str, str]:
         "lang_sources": """
             SELECT lang, count(DISTINCT source) AS n_sources
             FROM documents GROUP BY lang ORDER BY lang""",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
+        "top_customers": """
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   round(sum(o.o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY c.c_custkey, c.c_name, n.n_name
+            ORDER BY revenue DESC, c.c_custkey LIMIT 20""",
+        "region_supplier_stats": """
+            SELECT r.r_name, count(*) AS n_suppliers,
+                   round(sum(s.s_acctbal), 2) AS total_bal,
+                   round(min(s.s_acctbal), 2) AS min_bal,
+                   round(max(s.s_acctbal), 2) AS max_bal
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name ORDER BY r.r_name""",
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events, round(sum(value), 6) AS total_value

@@ -1,0 +1,150 @@
+"""Relational pipelines over the TPC-H-ish star schema — general
+query/data-processing capability of the engine beyond dedup: filtered
+groupby-aggregates with per-batch combiners, broadcast dimension joins,
+hash joins, and top-k.
+
+Float discipline: every aggregate that leaves the engine is rounded to 6
+decimals on BOTH the Ray and SQL sides so value-hash comparison is
+float-stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def pricing_summary(lineitem: ray.data.Dataset,
+                    ship_cutoff: str = "1998-09-02") -> ray.data.Dataset:
+    """TPC-H Q1 shape: per (l_returnflag, l_linestatus) over rows with
+    l_shipdate <= cutoff — sums/counts with a vectorized per-batch
+    combiner before the (tiny) groupby."""
+    import datetime
+    cutoff = datetime.date.fromisoformat(ship_cutoff)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"]
+        mask = pc.less_equal(sd, pa.scalar(cutoff).cast(sd.type))
+        t = t.filter(mask)
+        qty = t["l_quantity"]
+        price = t["l_extendedprice"]
+        disc = t["l_discount"]
+        disc_price = pc.multiply(price, pc.subtract(pa.scalar(1.0), disc))
+        tmp = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": qty, "price": price, "dprice": disc_price,
+        })
+        g = tmp.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price", "sum"), ("dprice", "sum"),
+             ("qty", "count")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "sum_qty",
+                                 "sum_price", "sum_disc_price", "n"])
+
+    partial = lineitem.map_batches(_partial, batch_format="pyarrow")
+    agg = partial.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        ray.data.aggregate.Sum("sum_qty"),
+        ray.data.aggregate.Sum("sum_price"),
+        ray.data.aggregate.Sum("sum_disc_price"),
+        ray.data.aggregate.Sum("n"),
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["l_returnflag", "l_linestatus", "sum_qty",
+                              "sum_price", "sum_disc_price", "count_order"])
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": pc.round(t["sum_qty"], 2),
+            "sum_price": pc.round(t["sum_price"], 2),
+            "sum_disc_price": pc.round(t["sum_disc_price"], 2),
+            "count_order": t["count_order"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow") \
+              .sort(["l_returnflag", "l_linestatus"])
+
+
+def top_customers(orders: ray.data.Dataset, customer: ray.data.Dataset,
+                  nation: ray.data.Dataset, k: int = 20) -> ray.data.Dataset:
+    """Revenue per customer with nation name: hash join orders↔customer
+    (both large-ish → Dataset.join), broadcast join to the tiny nation
+    dimension, then top-k by (revenue desc, custkey)."""
+    # pre-aggregate orders per customer BEFORE the join (combiner)
+    def _per_cust(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("o_totalprice", "sum"),
+                                               ("o_orderkey", "count")])
+        return g.rename_columns(["o_custkey", "rev", "n_orders"])
+
+    per_cust = orders.map_batches(_per_cust, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(
+            ray.data.aggregate.Sum("rev"),
+            ray.data.aggregate.Sum("n_orders"))
+
+    def _rn(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["o_custkey", "rev", "n_orders"])
+
+    per_cust = per_cust.map_batches(_rn, batch_format="pyarrow")
+
+    joined = per_cust.join(customer, join_type="inner", num_partitions=8,
+                           on=("o_custkey",), right_on=("c_custkey",))
+
+    # nation is tiny: broadcast lookup instead of a shuffle join
+    nat = {r["n_nationkey"]: r["n_name"] for r in nation.iter_rows()}
+    nat_ref = ray.put(nat)
+
+    def _attach_nation(t: pa.Table) -> pa.Table:
+        nm = ray.get(nat_ref)
+        names = [nm.get(x) for x in t["c_nationkey"].to_pylist()]
+        # Dataset.join folds the right key into the left key column
+        return pa.table({
+            "c_custkey": t["o_custkey"],
+            "c_name": t["c_name"],
+            "n_name": pa.array(names, pa.string()),
+            "revenue": pc.round(t["rev"], 2),
+            "n_orders": t["n_orders"].cast(pa.int64()),
+        })
+
+    out = joined.map_batches(_attach_nation, batch_format="pyarrow")
+    return out.sort(["revenue", "c_custkey"], descending=[True, False]).limit(k)
+
+
+def region_supplier_stats(supplier: ray.data.Dataset,
+                          nation: ray.data.Dataset,
+                          region: ray.data.Dataset) -> ray.data.Dataset:
+    """Suppliers per region with account-balance stats: two broadcast
+    dimension joins + a small groupby."""
+    nat = {r["n_nationkey"]: r["n_regionkey"] for r in nation.iter_rows()}
+    reg = {r["r_regionkey"]: r["r_name"] for r in region.iter_rows()}
+    ref = ray.put((nat, reg))
+
+    def _f(t: pa.Table) -> pa.Table:
+        nm, rm = ray.get(ref)
+        rnames = [rm.get(nm.get(x)) for x in t["s_nationkey"].to_pylist()]
+        return pa.table({"r_name": pa.array(rnames, pa.string()),
+                         "s_acctbal": t["s_acctbal"]})
+
+    rows = supplier.map_batches(_f, batch_format="pyarrow")
+    agg = rows.groupby("r_name").aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("s_acctbal"),
+        ray.data.aggregate.Min("s_acctbal"),
+        ray.data.aggregate.Max("s_acctbal"),
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["r_name", "n_suppliers", "total_bal",
+                              "min_bal", "max_bal"])
+        return pa.table({
+            "r_name": t["r_name"],
+            "n_suppliers": t["n_suppliers"].cast(pa.int64()),
+            "total_bal": pc.round(t["total_bal"], 2),
+            "min_bal": pc.round(t["min_bal"], 2),
+            "max_bal": pc.round(t["max_bal"], 2),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow").sort("r_name")
