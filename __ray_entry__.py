@@ -234,6 +234,16 @@ def _q_embedding_dup_pairs_lsh(sf_dir: str):
     return ann.dup_pairs_lsh(_embs(sf_dir), threshold=0.45, n_planes=6, n_tables=12)
 
 
+def _q_pages_dedup_same_host(sf_dir: str):
+    """Scope-mode pipeline: duplicates only match within the same host
+    (disk-predicate analogue, FolderComparisonMode.SameFolder family)."""
+    from dedup.synth import write_pages
+    paths = write_pages("/tmp/dedup_pages_scope", n_docs=2000, seed=42)
+    ds = ray.data.read_parquet(paths["pages"])
+    return run_dedup(ds, DedupConfig(scope="same_host"),
+                     check_html=False).sort("url")
+
+
 def _q_pages_dedup(sf_dir: str):
     """Flagship web-pages pipeline on the self-synthesized input_hint
     corpus (url, warc_ts, html, text, lang), sized by scale factor."""
@@ -280,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_fingerprints,
         "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
         "pages_dedup": _q_pages_dedup,
+        "pages_dedup_same_host": _q_pages_dedup_same_host,
     }
 
 
