@@ -349,9 +349,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang ORDER BY lang""",
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   CAST(round(sum(l_quantity) * 10000) AS BIGINT) AS sum_qty_e4,
+                   CAST(round(sum(l_extendedprice) * 10000) AS BIGINT) AS sum_price_e4,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS sum_disc_price_e4,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= DATE '1998-09-02'
@@ -359,25 +359,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag, l_linestatus""",
         "top_customers": """
             SELECT c.c_custkey, c.c_name, n.n_name,
-                   round(sum(o.o_totalprice), 2) AS revenue,
+                   CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS revenue_cents,
                    count(*) AS n_orders
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY c.c_custkey, c.c_name, n.n_name
-            ORDER BY revenue DESC, c.c_custkey LIMIT 20""",
+            ORDER BY revenue_cents DESC, c.c_custkey LIMIT 20""",
         "region_supplier_stats": """
             SELECT r.r_name, count(*) AS n_suppliers,
-                   round(sum(s.s_acctbal), 2) AS total_bal,
-                   round(min(s.s_acctbal), 2) AS min_bal,
-                   round(max(s.s_acctbal), 2) AS max_bal
+                   CAST(round(sum(s.s_acctbal) * 100) AS BIGINT) AS total_bal_cents,
+                   CAST(round(min(s.s_acctbal) * 100) AS BIGINT) AS min_bal_cents,
+                   CAST(round(max(s.s_acctbal) * 100) AS BIGINT) AS max_bal_cents
             FROM supplier s
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY r.r_name ORDER BY r.r_name""",
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
-                   count(*) AS n_events, round(sum(value), 6) AS total_value
+                   count(*) AS n_events,
+                   CAST(round(sum(value) * 100) AS BIGINT) AS total_value_cents
             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
         "user_sessions": """
             WITH e AS (
@@ -398,26 +399,27 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY user_id ORDER BY user_id""",
         "embedding_norms": """
             SELECT vec_id,
-                   round(sqrt(list_aggregate(list_transform(embedding,
-                         x -> CAST(x AS DOUBLE) * x), 'sum')), 6) AS l2_norm
+                   CAST(round(sqrt(list_aggregate(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * x), 'sum')) * 1000000)
+                        AS BIGINT) AS l2_norm_e6
             FROM embeddings ORDER BY vec_id""",
         "knn_brute": """
-            SELECT q, vec_id, score FROM (
+            SELECT q, vec_id, score_e6 FROM (
               SELECT a.vec_id AS q, b.vec_id AS vec_id,
-                     round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                           CAST(b.embedding AS DOUBLE[])), 6) AS score,
+                     CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS score_e6,
                      row_number() OVER (
                        PARTITION BY a.vec_id
-                       ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                       ORDER BY CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT) DESC,
                                 b.vec_id) AS rn
               FROM embeddings a, embeddings b
               WHERE a.vec_id IN (0, 1, 2, 3, 4) AND b.vec_id != a.vec_id)
-            WHERE rn <= 10 ORDER BY q, score DESC, vec_id""",
+            WHERE rn <= 10 ORDER BY q, score_e6 DESC, vec_id""",
         "embedding_dup_pairs": """
             SELECT a.vec_id AS a, b.vec_id AS b,
-                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                         CAST(b.embedding AS DOUBLE[])), 6) AS score
+                   CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS score_e6
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

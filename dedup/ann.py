@@ -9,8 +9,9 @@ Two paths (SURVEY.md "beyond the reference" scope):
     hyperplane signatures (Charikar 2002) bucket vectors; exact cosine
     is verified only within buckets, so no all-pairs pass exists.
 
-Scores are rounded to 6 decimals in BOTH the Ray path and the SQL
-oracle so value-hash comparison is float-stable.
+Scores leave the engine as scaled integers (1e-6 units) in BOTH the Ray
+path and the SQL oracle: bit-exact under value hashing, immune to the
+one-ulp differences between numpy and DuckDB round().
 """
 
 from __future__ import annotations
@@ -55,7 +56,9 @@ def knn_brute(ds: ray.data.Dataset, query_ids: list[int], k: int = 10,
         m = _batch_matrix(t, vec_col)
         vids = np.array(t[id_col].to_pylist(), dtype=np.int64)
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
-        sims = np.round(mn @ qn_b.T, 6)  # rounded once: ranking == emitted values
+        # scaled-integer scores (1e-6 units): bit-exact across engines,
+        # immune to one-ulp round() differences vs the SQL oracle
+        sims = np.rint((mn @ qn_b.T) * 1e6).astype(np.int64)
         out_q, out_v, out_s = [], [], []
         for qi in range(len(ids_b)):
             col = sims[:, qi]
@@ -73,20 +76,22 @@ def knn_brute(ds: ray.data.Dataset, query_ids: list[int], k: int = 10,
             out_s.append(col[part])
         return pa.table({"q": np.concatenate(out_q),
                          "vec_id": np.concatenate(out_v),
-                         "score": np.concatenate(out_s)})
+                         "score_e6": np.concatenate(out_s)})
 
     cand = ds.map_batches(_scores, batch_format="pyarrow")
 
     def _topk(t: pa.Table) -> pa.Table:
         qs = t["q"].to_numpy(zero_copy_only=False)
         vs = t["vec_id"].to_numpy(zero_copy_only=False)
-        ss = t["score"].to_numpy(zero_copy_only=False)
+        ss = t["score_e6"].to_numpy(zero_copy_only=False)
         order = np.lexsort((vs, -ss))  # score desc, vec_id asc
         take = order[:k]
-        return pa.table({"q": qs[take], "vec_id": vs[take], "score": ss[take]})
+        return pa.table({"q": qs[take], "vec_id": vs[take],
+                         "score_e6": ss[take]})
 
     return cand.groupby("q").map_groups(_topk, batch_format="pyarrow") \
-               .sort(["q", "score", "vec_id"], descending=[False, True, False])
+               .sort(["q", "score_e6", "vec_id"],
+                     descending=[False, True, False])
 
 
 def embedding_norms(ds: ray.data.Dataset, id_col: str = "vec_id",
@@ -97,7 +102,7 @@ def embedding_norms(ds: ray.data.Dataset, id_col: str = "vec_id",
         m = _batch_matrix(t, vec_col)
         return pa.table({
             id_col: t[id_col],
-            "l2_norm": np.round(np.linalg.norm(m, axis=1), 6),
+            "l2_norm_e6": np.rint(np.linalg.norm(m, axis=1) * 1e6).astype(np.int64),
         })
 
     return ds.map_batches(_f, batch_format="pyarrow")
@@ -125,7 +130,7 @@ def dup_pairs_brute(ds: ray.data.Dataset, threshold: float = 0.9,
         sims = bn @ all_mn.T
         bi, aj = np.nonzero((sims >= threshold) & (vids[:, None] < all_ids[None, :]))
         return pa.table({"a": vids[bi], "b": all_ids[aj],
-                         "score": np.round(sims[bi, aj], 6)})
+                         "score_e6": np.rint(sims[bi, aj] * 1e6).astype(np.int64)})
 
     return ds.map_batches(_f, batch_format="pyarrow").sort(["a", "b"])
 
@@ -184,10 +189,11 @@ def dup_pairs_lsh(ds: ray.data.Dataset, threshold: float = 0.9,
             ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
             for x, y in zip(ai, bj):
                 a, b = (vv[x], vv[y]) if vv[x] < vv[y] else (vv[y], vv[x])
-                o_a.append(a); o_b.append(b); o_s.append(round(float(sims[x, y]), 6))
+                o_a.append(a); o_b.append(b)
+                o_s.append(int(round(float(sims[x, y]) * 1e6)))
         return pa.table({"a": pa.array(o_a, pa.int64()),
                          "b": pa.array(o_b, pa.int64()),
-                         "score": pa.array(o_s, pa.float64())})
+                         "score_e6": pa.array(o_s, pa.int64())})
 
     out = groupapply(rows, "skey", _part, num_partitions)
 
@@ -200,9 +206,9 @@ def dup_pairs_lsh(ds: ray.data.Dataset, threshold: float = 0.9,
         return t.append_column("skey", pa.array(k, pa.uint64()))
 
     def _uniq(t: pa.Table) -> pa.Table:
-        import pandas as pd
         df = t.to_pandas().drop_duplicates(subset=["a", "b"])
-        return pa.Table.from_pandas(df[["a", "b", "score"]], preserve_index=False)
+        return pa.Table.from_pandas(df[["a", "b", "score_e6"]],
+                                    preserve_index=False)
 
     return groupapply(out.map_batches(_pairkey, batch_format="pyarrow"),
                       "skey", _uniq, num_partitions).sort(["a", "b"])
@@ -260,7 +266,7 @@ def knn_ivf(ds: ray.data.Dataset, query_ids: list[int], k: int = 10,
         vids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
         cell = (mn @ cn_b.T).argmax(axis=1)
-        sims = np.round(mn @ qn_b.T, 6)
+        sims = np.rint((mn @ qn_b.T) * 1e6).astype(np.int64)
         out_q, out_v, out_s = [], [], []
         for qi in range(len(ids_b)):
             mask = np.isin(cell, cells_b[qi]) & (vids != ids_b[qi])
@@ -274,17 +280,18 @@ def knn_ivf(ds: ray.data.Dataset, query_ids: list[int], k: int = 10,
             out_s.append(col[cand])
         return pa.table({"q": np.concatenate(out_q),
                          "vec_id": np.concatenate(out_v),
-                         "score": np.concatenate(out_s)})
+                         "score_e6": np.concatenate(out_s)})
 
     cand = ds.map_batches(_score, batch_format="pyarrow")
 
     def _topk(t: pa.Table) -> pa.Table:
         qs = t["q"].to_numpy(zero_copy_only=False)
         vs = t["vec_id"].to_numpy(zero_copy_only=False)
-        ss = t["score"].to_numpy(zero_copy_only=False)
+        ss = t["score_e6"].to_numpy(zero_copy_only=False)
         order = np.lexsort((vs, -ss))[:k]
         return pa.table({"q": qs[order], "vec_id": vs[order],
-                         "score": ss[order]})
+                         "score_e6": ss[order]})
 
     return cand.groupby("q").map_groups(_topk, batch_format="pyarrow") \
-               .sort(["q", "score", "vec_id"], descending=[False, True, False])
+               .sort(["q", "score_e6", "vec_id"],
+                     descending=[False, True, False])

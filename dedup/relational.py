@@ -3,9 +3,10 @@ query/data-processing capability of the engine beyond dedup: filtered
 groupby-aggregates with per-batch combiners, broadcast dimension joins,
 hash joins, and top-k.
 
-Float discipline: every aggregate that leaves the engine is rounded to 6
-decimals on BOTH the Ray and SQL sides so value-hash comparison is
-float-stable.
+Float discipline: every money/value aggregate leaves the engine as
+integer CENTS on BOTH the Ray and SQL sides — bit-exact under value
+hashing (numpy and DuckDB round() can differ by one ulp on large
+doubles).
 """
 
 from __future__ import annotations
@@ -56,12 +57,17 @@ def pricing_summary(lineitem: ray.data.Dataset,
     def _final(t: pa.Table) -> pa.Table:
         t = t.rename_columns(["l_returnflag", "l_linestatus", "sum_qty",
                               "sum_price", "sum_disc_price", "count_order"])
+        # scale by 1e4: disc_price carries exactly 4 decimals, so scaled
+        # values land ON integers and float noise (~1e-3 in these units)
+        # can never flip a rounding boundary
+        def e4(col):
+            return pc.round(pc.multiply(col, pa.scalar(10000.0))).cast(pa.int64())
         return pa.table({
             "l_returnflag": t["l_returnflag"],
             "l_linestatus": t["l_linestatus"],
-            "sum_qty": pc.round(t["sum_qty"], 2),
-            "sum_price": pc.round(t["sum_price"], 2),
-            "sum_disc_price": pc.round(t["sum_disc_price"], 2),
+            "sum_qty_e4": e4(t["sum_qty"]),
+            "sum_price_e4": e4(t["sum_price"]),
+            "sum_disc_price_e4": e4(t["sum_disc_price"]),
             "count_order": t["count_order"].cast(pa.int64()),
         })
 
@@ -105,12 +111,13 @@ def top_customers(orders: ray.data.Dataset, customer: ray.data.Dataset,
             "c_custkey": t["o_custkey"],
             "c_name": t["c_name"],
             "n_name": pa.array(names, pa.string()),
-            "revenue": pc.round(t["rev"], 2),
+            "revenue_cents": pc.round(pc.multiply(t["rev"], pa.scalar(100.0))).cast(pa.int64()),
             "n_orders": t["n_orders"].cast(pa.int64()),
         })
 
     out = joined.map_batches(_attach_nation, batch_format="pyarrow")
-    return out.sort(["revenue", "c_custkey"], descending=[True, False]).limit(k)
+    return out.sort(["revenue_cents", "c_custkey"],
+                    descending=[True, False]).limit(k)
 
 
 def region_supplier_stats(supplier: ray.data.Dataset,
@@ -139,12 +146,14 @@ def region_supplier_stats(supplier: ray.data.Dataset,
     def _final(t: pa.Table) -> pa.Table:
         t = t.rename_columns(["r_name", "n_suppliers", "total_bal",
                               "min_bal", "max_bal"])
+        def cents(col):
+            return pc.round(pc.multiply(col, pa.scalar(100.0))).cast(pa.int64())
         return pa.table({
             "r_name": t["r_name"],
             "n_suppliers": t["n_suppliers"].cast(pa.int64()),
-            "total_bal": pc.round(t["total_bal"], 2),
-            "min_bal": pc.round(t["min_bal"], 2),
-            "max_bal": pc.round(t["max_bal"], 2),
+            "total_bal_cents": cents(t["total_bal"]),
+            "min_bal_cents": cents(t["min_bal"]),
+            "max_bal_cents": cents(t["max_bal"]),
         })
 
     return agg.map_batches(_final, batch_format="pyarrow").sort("r_name")

@@ -45,11 +45,12 @@ def hourly_aggregate(events: ray.data.Dataset,
     def _final(t: pa.Table) -> pa.Table:
         t = t.rename_columns(["window_start", "event_type", "total_value",
                               "n_events"])
+        cents = pc.round(pc.multiply(t["total_value"], pa.scalar(100.0)))
         return pa.table({
             "window_start": t["window_start"],
             "event_type": t["event_type"],
             "n_events": t["n_events"].cast(pa.int64()),
-            "total_value": pc.round(t["total_value"], 6),
+            "total_value_cents": cents.cast(pa.int64()),
         })
 
     return agg.map_batches(_final, batch_format="pyarrow") \
