@@ -69,6 +69,12 @@ class DedupConfig:
                                    # over texts — n-gram Jaccard dedup)
     verify_threshold: float = 0.5  # min agreement/Jaccard to keep a candidate pair
     pair_cap: int = 64             # buckets larger than this emit star edges (skew guard)
+    lsh_salt: int = 0              # >0: salt band keys with hash(node) %% S so one hot
+                                   # band spreads over S partitions (memory-level skew
+                                   # guard for web-scale boilerplate); cross-salt
+                                   # connectivity restored by a per-bucket rep pass.
+                                   # 0 (default) = unsalted; star-edge caps already
+                                   # bound compute at sandbox scale
 
     # --- SimHash pass ------------------------------------------------
     simhash: bool = True

@@ -184,8 +184,16 @@ def _band_const(i: int) -> np.uint64:
 
 def lsh_band_rows(sigs: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
     """Explode each signature into b band rows (skey = hash of the band's
-    r signature components [+ scope for same_* modes])."""
+    r signature components [+ scope for same_* modes]).
+
+    With cfg.lsh_salt = S > 0 the emitted skey is the SALTED band key
+    (band hash ⊕ hash(node) % S) — the "salted groupby on band-hash keys"
+    skew control: one hot band (web boilerplate) spreads over S groups so
+    no single partition must hold its full membership.  The unsalted key
+    rides along as ``skey0`` for the cross-salt rep pass
+    (see minhash_edges)."""
     b, r = cfg.lsh_bands, cfg.lsh_rows
+    S = cfg.lsh_salt
     same_scope = cfg.scope.startswith("same_")
     consts = [_band_const(i) for i in range(b)]
 
@@ -194,9 +202,12 @@ def lsh_band_rows(sigs: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
         t = t.filter(mask)
         n = t.num_rows
         if n == 0:
-            return pa.table({"skey": pa.array([], pa.uint64()),
-                             "node": pa.array([], pa.uint64()),
-                             "scope64": pa.array([], pa.uint64())})
+            cols = {"skey": pa.array([], pa.uint64()),
+                    "node": pa.array([], pa.uint64()),
+                    "scope64": pa.array([], pa.uint64())}
+            if S > 0:
+                cols["skey0"] = pa.array([], pa.uint64())
+            return pa.table(cols)
         sig = np.frombuffer(b"".join(t["minhash"].to_pylist()),
                             dtype="<u8").reshape(n, b * r)
         nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -210,13 +221,44 @@ def lsh_band_rows(sigs: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
                 if same_scope:
                     h = mix64(h ^ scopes)
                 keys[i] = h
-        return pa.table({
-            "skey": keys.reshape(-1),
-            "node": np.tile(nodes, b),
-            "scope64": np.tile(scopes, b),
-        })
+        cols = {}
+        if S > 0:
+            with np.errstate(over="ignore"):
+                salt = mix64(nodes) % np.uint64(S)
+                salted = mix64(keys ^ (salt[None, :] + np.uint64(1)))
+            cols["skey"] = salted.reshape(-1)
+            cols["skey0"] = keys.reshape(-1)
+        else:
+            cols["skey"] = keys.reshape(-1)
+        cols["node"] = np.tile(nodes, b)
+        cols["scope64"] = np.tile(scopes, b)
+        return pa.table(cols)
 
     return sigs.map_batches(_explode, batch_format="pyarrow")
+
+
+def _salt_rep_rows(rows: ray.data.Dataset, P: int) -> ray.data.Dataset:
+    """Per salted bucket: one representative row (min node) keyed by the
+    UNSALTED band key — the second, tiny groupby that reconnects salt
+    groups of one hot band (reps per band <= S)."""
+
+    def _part(t: pa.Table) -> pa.Table:
+        sk = t["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sk0 = t["skey0"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        scopes = t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order, starts, _ = segments(sk)
+        reps = []
+        for gi in range(len(starts) - 1):
+            idx = order[starts[gi]:starts[gi + 1]]
+            i_min = idx[np.argmin(nodes[idx])]
+            reps.append(i_min)
+        reps = np.asarray(reps, dtype=np.int64)
+        return pa.table({"skey": sk0[reps],
+                         "node": nodes[reps],
+                         "scope64": scopes[reps]})
+
+    return groupapply(rows, "skey", _part, P)
 
 
 def bucket_pairs(rows: ray.data.Dataset, cfg: DedupConfig,
@@ -643,7 +685,13 @@ def minhash_edges(active: ray.data.Dataset, cfg: DedupConfig,
     sigs = active.select_columns(["node", "scope64", "text"]).map_batches(
         _sign, batch_format="pyarrow",
     ).select_columns(["node", "scope64", "minhash"]).materialize()
-    pairs = bucket_pairs(lsh_band_rows(sigs, cfg), cfg, P)
+    rows = lsh_band_rows(sigs, cfg)
+    pairs = bucket_pairs(rows, cfg, P)
+    if cfg.lsh_salt > 0:
+        # cross-salt pairs: reps of each salt group meet under the
+        # unsalted key; their pairs are verified like any others
+        rep_pairs = bucket_pairs(_salt_rep_rows(rows, P), cfg, P)
+        pairs = pairs.union(rep_pairs)
     if cfg.verify == "none":
         return pairs
     # dedupe cross-band repeats BEFORE verification (a true pair surfaces
