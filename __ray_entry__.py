@@ -244,6 +244,37 @@ def _q_pages_dedup_same_host(sf_dir: str):
                      check_html=False).sort("url")
 
 
+def _q_pages_dedup_recall(sf_dir: str):
+    """Dup-pair recall of the full pipeline vs the planted ground truth
+    (the north-rule metric, target >= 0.99): one summary row."""
+    from dedup.synth import write_pages
+    import pyarrow.parquet as pq
+    paths = write_pages("/tmp/dedup_pages_recall", n_docs=4000, seed=42)
+    ds = ray.data.read_parquet(paths["pages"])
+    out = run_dedup(ds, DedupConfig(), check_html=False)
+    cid = {}
+    for b in out.iter_batches(batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            cid[b["url"][i].as_py()] = b["cluster_id"][i].as_py()
+    truth = pq.read_table(paths["truth"])
+    clusters: dict[int, list[str]] = {}
+    for u, c in zip(truth["url"].to_pylist(), truth["cluster_id"].to_pylist()):
+        if c >= 0:
+            clusters.setdefault(c, []).append(u)
+    total = found = 0
+    for members in clusters.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                total += 1
+                if cid[members[i]] == cid[members[j]] != "":
+                    found += 1
+    return pa.table({
+        "truth_pairs": pa.array([total], pa.int64()),
+        "found_pairs": pa.array([found], pa.int64()),
+        "recall_e6": pa.array([int(round(found / total * 1e6))], pa.int64()),
+    })
+
+
 def _q_pages_dedup(sf_dir: str):
     """Flagship web-pages pipeline on the self-synthesized input_hint
     corpus (url, warc_ts, html, text, lang), sized by scale factor."""
@@ -291,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
         "pages_dedup": _q_pages_dedup,
         "pages_dedup_same_host": _q_pages_dedup_same_host,
+        "pages_dedup_recall": _q_pages_dedup_recall,
     }
 
 
