@@ -25,6 +25,9 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("DEDUP_BENCH_DOCS", "100000"))
+# scaling runs need a compute-dominated corpus: fixed per-stage costs at
+# 100k docs would swamp the 8-vs-32-cpu signal
+SCALING_DOCS = int(os.environ.get("DEDUP_BENCH_DOCS", "1500000"))
 BENCH_REPS = int(os.environ.get("DEDUP_BENCH_REPS", "2"))
 BENCH_CORPUS = f"/tmp/dedup_bench_pages_{BENCH_DOCS}"
 
@@ -52,21 +55,23 @@ def _consume(res) -> int:
     return len(res)
 
 
-def synth_bench_corpus() -> str:
+def synth_bench_corpus(n_docs: int | None = None) -> str:
     from dedup.synth import write_pages
-    return write_pages(BENCH_CORPUS, n_docs=BENCH_DOCS, seed=42,
+    n = n_docs or BENCH_DOCS
+    return write_pages(f"/tmp/dedup_bench_pages_{n}", n_docs=n, seed=42,
                        num_files=32)["pages"]
 
 
-def run_pages_dedup(num_cpus: int) -> dict:
+def run_pages_dedup(num_cpus: int, n_docs: int | None = None) -> dict:
     """Headline: full dedup (exact+minhash+simhash+substring+UF) over the
     input_hint pages corpus.  Returns wall time + docs/s."""
+    n_docs = n_docs or BENCH_DOCS
     _init_ray(num_cpus)
     import ray
     import ray.data
     from dedup.config import DedupConfig
     from dedup.pipeline import run_dedup
-    path = synth_bench_corpus()
+    path = synth_bench_corpus(n_docs)
     ds = ray.data.read_parquet(path)
     # warm the worker pool so process spawn/import cost isn't in the timing
     ray.data.range(num_cpus * 8, override_num_blocks=num_cpus * 4).map_batches(
@@ -77,8 +82,8 @@ def run_pages_dedup(num_cpus: int) -> dict:
         n = _consume(run_dedup(ds, DedupConfig(), check_html=False))
         dt = time.time() - t0
         best = dt if best is None or dt < best else best
-    return {"wall_sec": round(best, 2), "docs": BENCH_DOCS,
-            "docs_per_sec": round(BENCH_DOCS / best, 1), "rows_out": n,
+    return {"wall_sec": round(best, 2), "docs": n_docs,
+            "docs_per_sec": round(n_docs / best, 1), "rows_out": n,
             "num_cpus": num_cpus}
 
 
@@ -111,13 +116,15 @@ def run_suite() -> dict:
 
 def run_scaling() -> dict:
     # pre-synthesize once so neither timed run pays generation cost
-    synth_bench_corpus_sub()
+    synth_bench_corpus_sub(SCALING_DOCS)
     results = {}
+    env = {**os.environ, "DEDUP_BENCH_DOCS": str(SCALING_DOCS)}
     for cpus in (8, 32):
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--pages-only",
              "--cpus", str(cpus)],
-            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
         line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
         results[cpus] = json.loads(line)
     eff = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0
@@ -126,17 +133,17 @@ def run_scaling() -> dict:
         "value": round(eff, 3),
         "unit": "efficiency",
         "runs": results,
-        "docs": BENCH_DOCS,
+        "docs": SCALING_DOCS,
     }
     _record_baseline(results, eff)
     return out
 
 
-def synth_bench_corpus_sub() -> None:
+def synth_bench_corpus_sub(n_docs: int) -> None:
     subprocess.run([sys.executable, "-c",
                     "import sys; sys.path.insert(0, %r); "
-                    "import bench; bench.synth_bench_corpus()"
-                    % os.path.dirname(os.path.abspath(__file__))],
+                    "import bench; bench.synth_bench_corpus(%d)"
+                    % (os.path.dirname(os.path.abspath(__file__)), n_docs)],
                    check=True)
 
 
