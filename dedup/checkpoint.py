@@ -88,6 +88,11 @@ class Runner:
         ds = fn().materialize()
         rows = ds.count()
         schema = ds.schema().base_schema
+        if os.path.isdir(data_dir):
+            # a crash between write and manifest leaves partial files; a
+            # retry must replace them, not append alongside
+            import shutil
+            shutil.rmtree(data_dir)
         os.makedirs(data_dir, exist_ok=True)
         if rows > 0:
             ds.write_parquet(data_dir)

@@ -51,7 +51,11 @@ def cmd_run(args: argparse.Namespace) -> int:
     t0 = time.time()
     out = run_dedup(ds, cfg)
     os.makedirs(args.output, exist_ok=True)
-    out.write_parquet(os.path.join(args.output, "assignments"))
+    assign_dir = os.path.join(args.output, "assignments")
+    if os.path.isdir(assign_dir):  # rerun: replace, don't append files
+        import shutil
+        shutil.rmtree(assign_dir)
+    out.write_parquet(assign_dir)
     stats = {r["state"]: r["count()"] for r in state_stats(
         ray.data.read_parquet(os.path.join(args.output, "assignments"))
     ).iter_rows()}

@@ -79,3 +79,18 @@ def test_manifest_lineage(tmp_path):
     assert m["rows"] == sum(p["rows"] for p in m["partitions"])
     for p in m["partitions"]:
         assert p["rows"] >= 0 and p["bytes"] > 0
+
+
+def test_partial_write_replaced_on_retry(tmp_path):
+    """A stage dir with leftover partial files (crash before manifest)
+    must be replaced, not appended to."""
+    pages, _ = generate_pages(120, seed=16)
+    ds = ray.data.from_arrow(pages).repartition(2)
+    cfg = DedupConfig(checkpoint_dir=str(tmp_path), near=False,
+                      simhash=False, substring=False)
+    run_dir = os.path.join(str(tmp_path), cfg.fingerprint())
+    out1 = run_dedup(ds, cfg, num_partitions=8).materialize().count()
+    # simulate crash: manifest gone, stale data files remain
+    os.remove(os.path.join(run_dir, "prepare", "manifest.json"))
+    out2 = run_dedup(ds, cfg, num_partitions=8).materialize().count()
+    assert out1 == out2 == 120
