@@ -354,7 +354,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_byteverify": f"SELECT * FROM ({_EXACT_SQL}) ORDER BY doc_id",
         "exact_dedup_stats": f"""
             WITH a AS ({_EXACT_SQL})
-            SELECT a.state, count(*) AS n_docs, sum(d.n_chars) AS total_chars
+            SELECT a.state, count(*) AS n_docs,
+                   CAST(sum(d.n_chars) AS BIGINT) AS total_chars
             FROM a JOIN documents d USING (doc_id)
             GROUP BY a.state ORDER BY a.state""",
         "token_count": r"""
@@ -373,7 +374,8 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             GROUP BY token ORDER BY cnt DESC, token LIMIT 50""",
         "lang_group_stats": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    min(n_chars) AS min_chars, max(n_chars) AS max_chars
             FROM documents GROUP BY lang ORDER BY lang""",
         "lang_sources": """

@@ -61,12 +61,16 @@ def main(sf_dir):
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
             fails += 1
             continue
-        # tolerant value compare (dtype-insensitive)
+        # dtype-strict value compare (mirrors the driver's value hash,
+        # which is dtype-sensitive: int64 799 != float64 799.0)
         try:
             eq = True
             for c in got.columns:
                 a, b = got[c], exp[c]
-                if a.dtype.kind in "fc" or b.dtype.kind in "fc":
+                if a.dtype.kind != b.dtype.kind:
+                    print(f"  dtype mismatch {c}: {a.dtype} vs {b.dtype}")
+                    eq = False; break
+                if a.dtype.kind in "fc":
                     if not ((a.astype(float) - b.astype(float)).abs() < 1e-9).all():
                         eq = False; break
                 else:
