@@ -24,7 +24,23 @@ import ray.data
 
 
 def _batch_matrix(t: pa.Table, vec_col: str) -> np.ndarray:
-    return np.array(t[vec_col].to_pylist(), dtype=np.float64)
+    """(n, dim) float64 matrix from a list<float> column — zero-copy for
+    fixed-width non-null lists via list_flatten (no per-row Python)."""
+    col = t[vec_col].combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    import pyarrow.compute as pc
+    flat = pc.list_flatten(col)
+    if len(flat) % n != 0:  # ragged — shouldn't happen for embeddings
+        return np.array(col.to_pylist(), dtype=np.float64)
+    dim = len(flat) // n
+    return flat.to_numpy(zero_copy_only=False).astype(
+        np.float64, copy=False).reshape(n, dim)
+
+
+def _ids_np(t: pa.Table, id_col: str) -> np.ndarray:
+    return t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
 
 
 def _load_queries(ds: ray.data.Dataset, id_col: str, vec_col: str,
@@ -37,7 +53,7 @@ def _load_queries(ds: ray.data.Dataset, id_col: str, vec_col: str,
 
     qt = pa.concat_tables(list(
         ds.map_batches(_f, batch_format="pyarrow").iter_batches(batch_format="pyarrow")))
-    ids = np.array(qt[id_col].to_pylist(), dtype=np.int64)
+    ids = _ids_np(qt, id_col)
     mat = _batch_matrix(qt, vec_col)
     order = np.argsort(ids)
     return ids[order], mat[order]
@@ -54,7 +70,7 @@ def knn_brute(ds: ray.data.Dataset, query_ids: list[int], k: int = 10,
     def _scores(t: pa.Table) -> pa.Table:
         ids_b, qn_b = ray.get(q_ref)
         m = _batch_matrix(t, vec_col)
-        vids = np.array(t[id_col].to_pylist(), dtype=np.int64)
+        vids = _ids_np(t, id_col)
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
         # scaled-integer scores (1e-6 units): bit-exact across engines,
         # immune to one-ulp round() differences vs the SQL oracle
@@ -115,7 +131,7 @@ def dup_pairs_brute(ds: ray.data.Dataset, threshold: float = 0.9,
     broadcast of the full (small) matrix; use dup_pairs_lsh at scale."""
     full = pa.concat_tables(list(
         ds.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow")))
-    ids = np.array(full[id_col].to_pylist(), dtype=np.int64)
+    ids = _ids_np(full, id_col)
     mat = _batch_matrix(full, vec_col)
     order = np.argsort(ids)
     ids, mat = ids[order], mat[order]
@@ -125,7 +141,7 @@ def dup_pairs_brute(ds: ray.data.Dataset, threshold: float = 0.9,
     def _f(t: pa.Table) -> pa.Table:
         all_ids, all_mn = ray.get(ref)
         m = _batch_matrix(t, vec_col)
-        vids = np.array(t[id_col].to_pylist(), dtype=np.int64)
+        vids = _ids_np(t, id_col)
         bn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
         sims = bn @ all_mn.T
         bi, aj = np.nonzero((sims >= threshold) & (vids[:, None] < all_ids[None, :]))
@@ -155,7 +171,7 @@ def dup_pairs_lsh(ds: ray.data.Dataset, threshold: float = 0.9,
         n = len(m)
         bits = (m @ pl) > 0
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
-        vids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        vids = _ids_np(t, id_col)
         keys = np.empty((n_tables, n), dtype=np.uint64)
         with np.errstate(over="ignore"):
             for ti in range(n_tables):
@@ -164,11 +180,16 @@ def dup_pairs_lsh(ds: ray.data.Dataset, threshold: float = 0.9,
                 for j in range(n_planes):
                     key = (key << np.uint64(1)) | bits[:, ti * n_planes + j].astype(np.uint64)
                 keys[ti] = mix64(key)
-        payload = [v.tobytes() for v in mn]
+        # one contiguous buffer for all n payloads (no per-row tobytes)
+        width = mn.shape[1] * 8
+        data = pa.py_buffer(np.ascontiguousarray(mn).tobytes())
+        offsets = pa.py_buffer(
+            (np.arange(n + 1, dtype=np.int32) * width).tobytes())
+        vec_arr = pa.Array.from_buffers(pa.binary(), n, [None, offsets, data])
         return pa.table({
             "skey": pa.array(keys.reshape(-1), pa.uint64()),
             "vid": pa.array(np.tile(vids, n_tables), pa.int64()),
-            "vec": pa.array(payload * n_tables, pa.binary()),
+            "vec": pa.chunked_array([vec_arr] * n_tables),
         })
 
     rows = ds.map_batches(_sig, batch_format="pyarrow")
@@ -176,24 +197,42 @@ def dup_pairs_lsh(ds: ray.data.Dataset, threshold: float = 0.9,
     def _part(t: pa.Table) -> pa.Table:
         sk = t["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
         vids = t["vid"].to_numpy(zero_copy_only=False)
-        vecs = t["vec"].to_pylist()
+        # decode the whole partition's vectors at once: fixed-width binary
+        # values are one contiguous buffer == an (n, dim) float64 matrix
+        vecs = t["vec"].combine_chunks()
+        offs = np.frombuffer(vecs.buffers()[1], dtype=np.int32,
+                             count=len(vecs) + 1, offset=vecs.offset * 4)
+        widths = np.diff(offs)
+        if len(widths) and (widths == widths[0]).all() and widths[0] % 8 == 0:
+            vals = np.frombuffer(vecs.buffers()[2], dtype=np.float64)
+            mat = vals[offs[0] // 8: offs[-1] // 8].reshape(
+                len(vecs), widths[0] // 8)
+        else:  # ragged fallback
+            mat = np.stack([np.frombuffer(x, dtype=np.float64)
+                            for x in vecs.to_pylist()])
         order, starts, _ = segments(sk)
         o_a, o_b, o_s = [], [], []
         for s, e in zip(starts[:-1], starts[1:]):
             if e - s < 2:
                 continue
             idx = order[s:e]
-            m = np.stack([np.frombuffer(vecs[i], dtype=np.float64) for i in idx])
+            m = mat[idx]
             vv = vids[idx]
             sims = m @ m.T
             ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
-            for x, y in zip(ai, bj):
-                a, b = (vv[x], vv[y]) if vv[x] < vv[y] else (vv[y], vv[x])
-                o_a.append(a); o_b.append(b)
-                o_s.append(int(round(float(sims[x, y]) * 1e6)))
-        return pa.table({"a": pa.array(o_a, pa.int64()),
-                         "b": pa.array(o_b, pa.int64()),
-                         "score_e6": pa.array(o_s, pa.int64())})
+            if len(ai) == 0:
+                continue
+            va, vb = vv[ai], vv[bj]
+            o_a.append(np.minimum(va, vb))
+            o_b.append(np.maximum(va, vb))
+            o_s.append(np.rint(sims[ai, bj] * 1e6).astype(np.int64))
+        if not o_a:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "score_e6": pa.array([], pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(o_a), pa.int64()),
+                         "b": pa.array(np.concatenate(o_b), pa.int64()),
+                         "score_e6": pa.array(np.concatenate(o_s), pa.int64())})
 
     out = groupapply(rows, "skey", _part, num_partitions)
 
@@ -206,9 +245,15 @@ def dup_pairs_lsh(ds: ray.data.Dataset, threshold: float = 0.9,
         return t.append_column("skey", pa.array(k, pa.uint64()))
 
     def _uniq(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().drop_duplicates(subset=["a", "b"])
-        return pa.Table.from_pandas(df[["a", "b", "score_e6"]],
-                                    preserve_index=False)
+        # (a, b, score) rows repeat bit-identically across LSH tables, so
+        # row-level np.unique dedupes pairs without pandas
+        arr = np.stack([t["a"].to_numpy(zero_copy_only=False),
+                        t["b"].to_numpy(zero_copy_only=False),
+                        t["score_e6"].to_numpy(zero_copy_only=False)], axis=1)
+        arr = np.unique(arr, axis=0)
+        return pa.table({"a": pa.array(arr[:, 0], pa.int64()),
+                         "b": pa.array(arr[:, 1], pa.int64()),
+                         "score_e6": pa.array(arr[:, 2], pa.int64())})
 
     return groupapply(out.map_batches(_pairkey, batch_format="pyarrow"),
                       "skey", _uniq, num_partitions).sort(["a", "b"])
@@ -263,7 +308,7 @@ def knn_ivf(ds: ray.data.Dataset, query_ids: list[int], k: int = 10,
     def _score(t: pa.Table) -> pa.Table:
         ids_b, qn_b, cn_b, cells_b = ray.get(ref)
         m = _batch_matrix(t, vec_col)
-        vids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        vids = _ids_np(t, id_col)
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
         cell = (mn @ cn_b.T).argmax(axis=1)
         sims = np.rint((mn @ qn_b.T) * 1e6).astype(np.int64)

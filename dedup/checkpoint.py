@@ -33,6 +33,30 @@ import pyarrow as pa
 import ray.data
 
 
+def input_identity(ds: ray.data.Dataset) -> str:
+    """Digest of the input's file identity (paths + size/mtime when
+    stat-able): folded into the checkpoint run key so the same config
+    over a DIFFERENT or updated corpus never reuses stale stages.
+    In-memory datasets (from_arrow etc.) have no input files and return
+    "" — their checkpoints key on config alone, as before."""
+    import hashlib
+    try:
+        files = ds.input_files()
+    except Exception:
+        return ""
+    if not files:
+        return ""
+    h = hashlib.sha256()
+    for f in sorted(files):
+        h.update(f.encode())
+        try:
+            st = os.stat(f)
+            h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+        except OSError:
+            pass
+    return h.hexdigest()[:16]
+
+
 class Runner:
     """Checkpointed stage executor.
 

@@ -521,35 +521,56 @@ def _pair_rows(pairs: ray.data.Dataset, pay_type: pa.DataType) -> ray.data.Datas
     return pairs.map_batches(_explode, batch_format="pyarrow")
 
 
+#: Above this many candidate-pair endpoints the payload semi-join switches
+#: from the broadcast-filter path to the full co-shuffle path (see
+#: attach_payloads).  Module-level so tests can force the co-shuffle.
+ATTACH_BROADCAST_THRESHOLD = 20_000_000
+
+
 def attach_payloads(pairs: ray.data.Dataset, payload: ray.data.Dataset,
                     payload_col: str, P: int) -> ray.data.Dataset:
     """Distributed reduce-side payload join, fully vectorized: one shuffle
     keyed by node attaches each side's payload, a second keyed by a pair
-    hash co-locates both sides.  No driver-side collection — candidate
-    payload volume scales with the PAIR count, never the corpus.
-    Output rows: (skey=pair-hash, u, v, side, pay).
+    hash co-locates both sides.  Output rows: (skey=pair-hash, u, v,
+    side, pay); candidate payload volume scales with the PAIR count.
 
-    The corpus-sized payload table is pre-filtered to candidate nodes via
-    a broadcast sorted array (8 bytes per candidate; at extreme scale swap
-    for a bloom filter) so only O(pairs) payload bytes enter the shuffle."""
+    Semi-join strategy, auto-selected by candidate count:
+      * <= ATTACH_BROADCAST_THRESHOLD endpoints: the sorted candidate-node
+        array (8 B/candidate) is broadcast once via ray.put and the
+        corpus-sized payload table is pre-filtered map-side, so only
+        O(pairs) payload bytes enter the shuffle;
+      * above it: no driver-side structure at all — every payload row
+        enters the node-keyed shuffle and non-candidates are dropped
+        reduce-side (the join in ``_attach`` emits only rows matching a
+        pair side).  One full payload shuffle, but streaming and spillable
+        — never a driver or single-worker materialization."""
     pay_type = payload.schema().base_schema.field(payload_col).type
     pairs = pairs.materialize()
-    cand = _candidate_nodes(pairs)
-    cand_ref = ray.put(cand)
 
-    def _pay_rows(t: pa.Table) -> pa.Table:
-        arr = ray.get(cand_ref)
-        nd = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        pos = np.searchsorted(arr, nd)
-        pos[pos >= len(arr)] = 0
-        t = t.filter(pa.array(arr[pos] == nd) if len(arr) else
-                     pa.array(np.zeros(len(nd), dtype=bool)))
-        return pa.table({
-            "skey": t["node"],
-            "u": pa.nulls(t.num_rows, pa.uint64()),
-            "v": pa.nulls(t.num_rows, pa.uint64()),
-            "pay": t[payload_col],
-        })
+    if 2 * pairs.count() <= ATTACH_BROADCAST_THRESHOLD:
+        cand_ref = ray.put(_candidate_nodes(pairs))
+
+        def _pay_rows(t: pa.Table) -> pa.Table:
+            arr = ray.get(cand_ref)
+            nd = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            pos = np.searchsorted(arr, nd)
+            pos[pos >= len(arr)] = 0
+            t = t.filter(pa.array(arr[pos] == nd) if len(arr) else
+                         pa.array(np.zeros(len(nd), dtype=bool)))
+            return pa.table({
+                "skey": t["node"],
+                "u": pa.nulls(t.num_rows, pa.uint64()),
+                "v": pa.nulls(t.num_rows, pa.uint64()),
+                "pay": t[payload_col],
+            })
+    else:
+        def _pay_rows(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "skey": t["node"],
+                "u": pa.nulls(t.num_rows, pa.uint64()),
+                "v": pa.nulls(t.num_rows, pa.uint64()),
+                "pay": t[payload_col],
+            })
 
     side = payload.map_batches(_pay_rows, batch_format="pyarrow").union(
         _pair_rows(pairs, pay_type))
@@ -763,51 +784,23 @@ def substring_edges(active: ray.data.Dataset, cfg: DedupConfig,
 # assignment (D2: keep = order-minimum member, delete = rest, unique = unmatched)
 # ---------------------------------------------------------------------------
 
-def assign_states(prep: ray.data.Dataset, labels: ray.data.Dataset,
-                  cfg: DedupConfig, P: int,
-                  broadcast_threshold: int = 20_000_000) -> ray.data.Dataset:
-    """labels (node, comp) + prepared docs → assignments table
-    (id_col, state, cluster_id, cluster_size).
-
-    cluster_id = the keeper's original id (reference: cluster representative
-    is the first record in the deterministic global order that probed a
-    non-empty candidate set, MainViewModel.cs:1227-1234 — equal to the
-    order-minimum member for symmetric predicates, SURVEY.md §0.1).
-    Sentinel for non-clustered rows: -1 (int ids) / "" (string ids).
-
-    The label table holds only MATCHED nodes (O(dups), not O(corpus)); up
-    to ``broadcast_threshold`` labels it is broadcast once via ray.put and
-    joined into a single vectorized map_batches over the corpus — no
-    corpus-wide shuffle.  Above the threshold a reduce-side join
-    (groupapply by node) would be required; that path raises for now and
-    is the documented scale-out extension.  The per-cluster keeper
-    selection then shuffles only the clustered rows (again O(dups))."""
-    docs = prep.select_columns(["node", "id", "order_key", "state0"])
-    id_type = docs.schema().base_schema.field("id").type
-    string_ids = pa.types.is_string(id_type) or pa.types.is_large_string(id_type)
-    sentinel = "" if string_ids else -1
-
-    # collect the (small) label table: sorted node array + comp array
+def _attach_broadcast(prep: ray.data.Dataset,
+                      labels: ray.data.Dataset) -> ray.data.Dataset:
+    """Small-label path: collect the label table once, ``ray.put`` the
+    sorted (node, comp) arrays, and join them into the corpus with one
+    vectorized map_batches — no corpus-wide shuffle."""
     lab_nodes: list[np.ndarray] = [np.array([], dtype=np.uint64)]
     lab_comps: list[np.ndarray] = [np.array([], dtype=np.uint64)]
-    n_lab = 0
-    for ref in labels.materialize().get_internal_block_refs():
+    for ref in labels.get_internal_block_refs():
         b = ray.get(ref)
         if b.num_rows == 0 or "node" not in b.column_names:
             continue
         lab_nodes.append(b["node"].to_numpy(zero_copy_only=False).astype(np.uint64))
         lab_comps.append(b["comp"].to_numpy(zero_copy_only=False).astype(np.uint64))
-        n_lab += len(lab_nodes[-1])
-        if n_lab > broadcast_threshold:
-            raise NotImplementedError(
-                "label table exceeds broadcast threshold; switch "
-                "assign_states to the reduce-side join path")
     nodes_arr = np.concatenate(lab_nodes)
     comps_arr = np.concatenate(lab_comps)
     o = np.argsort(nodes_arr)
     nodes_arr, comps_arr = nodes_arr[o], comps_arr[o]
-    # duplicate label rows (dedup: min comp wins) — labels are unique per
-    # node from union_find, but be tolerant
     lab_ref = ray.put((nodes_arr, comps_arr))
 
     def _attach(t: pa.Table) -> pa.Table:
@@ -828,7 +821,98 @@ def assign_states(prep: ray.data.Dataset, labels: ray.data.Dataset,
             "clustered": pa.array(clustered),
         })
 
-    attached = prep.map_batches(_attach, batch_format="pyarrow").materialize()
+    return prep.map_batches(_attach, batch_format="pyarrow")
+
+
+def _attach_reduce(prep: ray.data.Dataset, labels: ray.data.Dataset,
+                   id_type: pa.DataType, P: int) -> ray.data.Dataset:
+    """Large-label path: reduce-side join of docs ↔ labels on node (one
+    hash shuffle, O(corpus + labels) rows; no driver materialization).
+    Same output schema as the broadcast path, byte-identical rows."""
+
+    def _doc_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "skey": t["node"],
+            "id": t["id"],
+            "order_key": t["order_key"],
+            "state0": t["state0"],
+            "comp": pa.nulls(t.num_rows, pa.uint64()),
+        })
+
+    def _lab_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "skey": t["node"],
+            "id": pa.nulls(t.num_rows, id_type),
+            "order_key": pa.nulls(t.num_rows, pa.binary()),
+            "state0": pa.nulls(t.num_rows, pa.string()),
+            "comp": t["comp"],
+        })
+
+    docs = prep.select_columns(["node", "id", "order_key", "state0"])
+    side = docs.map_batches(_doc_rows, batch_format="pyarrow").union(
+        labels.map_batches(_lab_rows, batch_format="pyarrow"))
+
+    def _join(t: pa.Table) -> pa.Table:
+        # arrow-filter the label/doc split BEFORE to_numpy: converting a
+        # nullable uint64 column goes via float64 and rounds node ids
+        is_lab = pc.invert(pc.is_null(t["comp"]))
+        lab = t.filter(is_lab)
+        doc = t.filter(pc.invert(is_lab))
+        ln = lab["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        lc = lab["comp"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        o = np.argsort(ln)
+        ln, lc = ln[o], lc[o]
+        dn = doc["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pos = np.searchsorted(ln, dn)
+        pos_c = np.clip(pos, 0, max(len(ln) - 1, 0))
+        hit = (ln[pos_c] == dn) if len(ln) else np.zeros(len(dn), dtype=bool)
+        ok = pc.equal(doc["state0"], "ok").to_numpy(zero_copy_only=False)
+        clustered = hit & ok
+        comp = np.where(clustered, lc[pos_c] if len(lc) else 0, 0)
+        state = np.where(ok, "unique",
+                         doc["state0"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "id": doc["id"],
+            "order_key": doc["order_key"],
+            "state": pa.array(state.tolist(), pa.string()),
+            "skey": pa.array(comp, pa.uint64()),
+            "clustered": pa.array(clustered),
+        })
+
+    return groupapply(side, "skey", _join, P)
+
+
+def assign_states(prep: ray.data.Dataset, labels: ray.data.Dataset,
+                  cfg: DedupConfig, P: int,
+                  broadcast_threshold: int = 20_000_000) -> ray.data.Dataset:
+    """labels (node, comp) + prepared docs → assignments table
+    (id_col, state, cluster_id, cluster_size).
+
+    cluster_id = the keeper's original id (reference: cluster representative
+    is the first record in the deterministic global order that probed a
+    non-empty candidate set, MainViewModel.cs:1227-1234 — equal to the
+    order-minimum member for symmetric predicates, SURVEY.md §0.1).
+    Sentinel for non-clustered rows: -1 (int ids) / "" (string ids).
+
+    The label table holds only MATCHED nodes (O(dups), not O(corpus)); up
+    to ``broadcast_threshold`` labels it is broadcast once via ray.put and
+    joined into the corpus with a single vectorized map_batches.  Above
+    the threshold the reduce-side join runs instead (one hash shuffle on
+    node; nothing ever lands on the driver), so the path scales to
+    billions of labels.  Both paths produce byte-identical assignments.
+    The per-cluster keeper selection then shuffles only the clustered
+    rows (again O(dups))."""
+    docs = prep.select_columns(["node", "id", "order_key", "state0"])
+    id_type = docs.schema().base_schema.field("id").type
+    string_ids = pa.types.is_string(id_type) or pa.types.is_large_string(id_type)
+    sentinel = "" if string_ids else -1
+
+    labels = labels.materialize()
+    if labels.count() <= broadcast_threshold:
+        attached = _attach_broadcast(prep, labels)
+    else:
+        attached = _attach_reduce(prep, labels, id_type, P)
+    attached = attached.materialize()
 
     def _final_nonclustered(t: pa.Table) -> pa.Table:
         t = t.filter(pc.invert(t["clustered"]))
@@ -884,7 +968,8 @@ def assign_states(prep: ray.data.Dataset, labels: ray.data.Dataset,
 
 def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig,
               check_html: bool = True,
-              num_partitions: int | None = None) -> ray.data.Dataset:
+              num_partitions: int | None = None,
+              broadcast_threshold: int = 20_000_000) -> ray.data.Dataset:
     """Full dedup: exact [+ MinHash/LSH] [+ SimHash] [+ substring] edges →
     distributed union-find → keep/delete/unique/ignored/error assignment.
 
@@ -894,8 +979,12 @@ def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig,
     tune_context()
     runner = None
     if cfg.checkpoint_dir:
-        from .checkpoint import Runner
-        runner = Runner(cfg.checkpoint_dir, cfg.fingerprint())
+        from .checkpoint import Runner, input_identity
+        key = cfg.fingerprint()
+        iid = input_identity(ds)
+        if iid:
+            key = f"{key}-{iid}"
+        runner = Runner(cfg.checkpoint_dir, key)
 
     def ck(name, fn, inputs=()):
         """Checkpoint a stage when a checkpoint dir is configured, else
@@ -944,7 +1033,9 @@ def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig,
             "node": pa.array([], pa.uint64()),
             "comp": pa.array([], pa.uint64())}))
 
-    out = ck("assignments", lambda: assign_states(prep, labels, cfg, P),
+    out = ck("assignments",
+             lambda: assign_states(prep, labels, cfg, P,
+                                   broadcast_threshold=broadcast_threshold),
              ("prepare", "labels"))
     if runner is not None:
         runner.finish()

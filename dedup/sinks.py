@@ -6,20 +6,56 @@ outputs (SURVEY.md §2.1 S4/S5): the delete pass
 MANIFEST Parquet — the destructive I/O stays out-of-band, reading the
 manifest — and the copy pass (CopyVisibleFilesAsync, :1348-1469) becomes
 the SURVIVORS table (keep+unique rows), written as partitioned Parquet
-(one directory per state / id-hash shard) so a failed write can resume
-per partition and no single giant file exists.
+keyed by a url-prefix-derived shard (the copy sink's structure-preserving
+re-rooting analogue, MainViewModel.cs:1413-1421: survivors of one source
+prefix land together) so a failed write can resume per partition and no
+single giant file exists.
+
+Both sinks REPLACE their target directory on rerun (write to the final
+path only after clearing it): a rerun with the same out_dir must never
+mix stale rows from a prior run into the manifest — the manifest feeds
+out-of-band destructive I/O.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
 from .dist import mix64
+from .keys import url_prefix
+
+_N_SHARDS = 16
+
+
+def _fresh_dir(path: str) -> str:
+    """Clear-and-recreate: a rerun replaces prior output, never appends."""
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _shard_of(ids: pa.ChunkedArray | pa.Array, by_prefix: bool) -> pa.Array:
+    """Stable shard column: hash of the url prefix (string ids — survivors
+    of one source directory colocate, the re-rooting analogue) or of the
+    id value (integer ids)."""
+    if pa.types.is_string(ids.type) or pa.types.is_large_string(ids.type):
+        import hashlib
+        vals = ids.to_pylist()
+        keys = (url_prefix(x) for x in vals) if by_prefix else iter(vals)
+        shard = [int.from_bytes(
+            hashlib.blake2b(k.encode(), digest_size=2).digest(),
+            "little") % _N_SHARDS for k in keys]
+        return pa.array(shard, pa.int32())
+    vals = ids.to_numpy(zero_copy_only=False).astype(np.uint64)
+    return pa.array((mix64(vals) % np.uint64(_N_SHARDS)).astype(np.int32))
 
 
 def write_action_manifest(assignments: ray.data.Dataset, out_dir: str,
@@ -28,22 +64,11 @@ def write_action_manifest(assignments: ray.data.Dataset, out_dir: str,
     cluster_size), partitioned by an id-hash shard column."""
 
     def _f(t: pa.Table) -> pa.Table:
-        t = t.filter(pa.compute.equal(t["state"], "delete"))
-        ids = t[id_col]
-        if pa.types.is_string(ids.type) or pa.types.is_large_string(ids.type):
-            import hashlib
-            shard = [int.from_bytes(
-                hashlib.blake2b(x.encode(), digest_size=2).digest(), "little") % 16
-                for x in ids.to_pylist()]
-            shard = pa.array(shard, pa.int32())
-        else:
-            vals = ids.to_numpy(zero_copy_only=False).astype(np.uint64)
-            shard = pa.array((mix64(vals) % np.uint64(16)).astype(np.int32))
-        return t.append_column("shard", shard)
+        t = t.filter(pc.equal(t["state"], "delete"))
+        return t.append_column("shard", _shard_of(t[id_col], by_prefix=False))
 
     ds = assignments.map_batches(_f, batch_format="pyarrow")
-    path = os.path.join(out_dir, "delete_manifest")
-    os.makedirs(path, exist_ok=True)
+    path = _fresh_dir(os.path.join(out_dir, "delete_manifest"))
     ds.write_parquet(path, partition_cols=["shard"])
     return path
 
@@ -52,25 +77,21 @@ def write_survivors(pages: ray.data.Dataset, assignments: ray.data.Dataset,
                     out_dir: str, id_col: str = "url",
                     num_partitions: int = 16) -> str:
     """Keep+unique rows joined back to their page content, written as
-    partitioned Parquet.  The survivor id set is broadcast (ids only —
-    O(corpus) x 8..60 bytes; shard the manifest and run per shard beyond
-    driver memory)."""
-    keep_ids: set = set()
-    for ref in assignments.materialize().get_internal_block_refs():
-        b = ray.get(ref)
-        if b.num_rows == 0 or "state" not in b.column_names:
-            continue
-        t = b.filter(pa.compute.is_in(
-            b["state"], value_set=pa.array(["keep", "unique"])))
-        keep_ids.update(t[id_col].to_pylist())
-    ref_ids = ray.put(keep_ids)
+    Parquet partitioned by a url-prefix shard (copy-sink re-rooting
+    analogue).  The survivor filter is a DISTRIBUTED hash join on the id
+    column — nothing is collected to the driver, so the sink scales with
+    the corpus (the id set is O(corpus) and must never become a Python
+    set)."""
+    keep = assignments.filter(
+        expr="state == 'keep' or state == 'unique'",
+    ).select_columns([id_col])
+    joined = pages.join(keep, join_type="inner",
+                        num_partitions=num_partitions, on=(id_col,))
 
-    def _f(t: pa.Table) -> pa.Table:
-        ids = ray.get(ref_ids)
-        mask = pa.array([x in ids for x in t[id_col].to_pylist()])
-        return t.filter(mask)
+    def _shard(t: pa.Table) -> pa.Table:
+        return t.append_column("shard", _shard_of(t[id_col], by_prefix=True))
 
-    path = os.path.join(out_dir, "survivors")
-    os.makedirs(path, exist_ok=True)
-    pages.map_batches(_f, batch_format="pyarrow").write_parquet(path)
+    path = _fresh_dir(os.path.join(out_dir, "survivors"))
+    joined.map_batches(_shard, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["shard"])
     return path

@@ -94,3 +94,31 @@ def test_partial_write_replaced_on_retry(tmp_path):
     os.remove(os.path.join(run_dir, "prepare", "manifest.json"))
     out2 = run_dedup(ds, cfg, num_partitions=8).materialize().count()
     assert out1 == out2 == 120
+
+
+def test_input_change_invalidates(tmp_path):
+    """Same config, different --input: the run key folds an input identity
+    digest (paths + size/mtime), so stale stages are never reused."""
+    import pyarrow.parquet as pq
+    pages_a, _ = generate_pages(120, seed=16)
+    pages_b, _ = generate_pages(120, seed=17)
+    in_a, in_b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(pages_a, in_a)
+    pq.write_table(pages_b, in_b)
+    cfg = DedupConfig(checkpoint_dir=str(tmp_path / "ckpt"), near=False,
+                      simhash=False, substring=False)
+
+    out_a = _collect(run_dedup(ray.data.read_parquet(in_a), cfg,
+                               check_html=False, num_partitions=4))
+    out_b = _collect(run_dedup(ray.data.read_parquet(in_b), cfg,
+                               check_html=False, num_partitions=4))
+    # different corpora -> different keyspaces and different outputs
+    assert set(out_a) != set(out_b)
+    runs = os.listdir(str(tmp_path / "ckpt"))
+    assert len(runs) == 2
+    # updating a file in place (same path, new mtime/size) also invalidates
+    pq.write_table(pages_b, in_a)
+    out_a2 = _collect(run_dedup(ray.data.read_parquet(in_a), cfg,
+                                check_html=False, num_partitions=4))
+    assert set(out_a2) == set(out_b)
+    assert len(os.listdir(str(tmp_path / "ckpt"))) == 3

@@ -298,3 +298,42 @@ def test_salted_lsh_recall(planted):
                 if cid[members[i]] == cid[members[j]] != "":
                     near_found += 1
     assert near_found / near_total >= 0.99, near_found / near_total
+
+
+def test_reduce_side_label_join_identical(planted):
+    """Forcing broadcast_threshold=0 routes assignment through the
+    reduce-side label join (the >20M-label scale path); assignments must
+    be byte-identical to the broadcast path."""
+    pages, _ = planted
+    ds = ray.data.from_arrow(pages).repartition(4)
+    cfg = DedupConfig()
+    a = _collect(run_dedup(ds, cfg, num_partitions=8))
+    b = _collect(run_dedup(ds, cfg, num_partitions=8, broadcast_threshold=0))
+    assert a == b
+    # sanity: the corpus actually has matched labels, so the reduce path ran
+    assert "delete" in a[0].values()
+
+
+def test_reduce_side_label_join_int_ids():
+    """Reduce path with integer ids (documents-table shape)."""
+    rows = [{"doc_id": i, "text": (LONG if i % 3 == 0 else f"unique {i} " * 8)}
+            for i in range(30)]
+    cfg = DedupConfig(id_col="doc_id", ts_col="", lang_col="", **EXACT)
+    got_b = _run(rows, cfg)
+    got_r = _run(rows, cfg, broadcast_threshold=0)
+    assert got_b == got_r
+    assert got_r[0][0] == "keep" and got_r[3][0] == "delete"
+
+
+def test_attach_coshuffle_identical(planted, monkeypatch):
+    """Forcing ATTACH_BROADCAST_THRESHOLD=0 routes the verify payload
+    semi-join through the full co-shuffle path; results must match the
+    broadcast-filter path exactly."""
+    import dedup.pipeline as pl
+    pages, _ = planted
+    ds = ray.data.from_arrow(pages).repartition(4)
+    cfg = DedupConfig(simhash=False)  # exercises minhash + substring verify
+    a = _collect(run_dedup(ds, cfg, num_partitions=8))
+    monkeypatch.setattr(pl, "ATTACH_BROADCAST_THRESHOLD", 0)
+    b = _collect(run_dedup(ds, cfg, num_partitions=8))
+    assert a == b

@@ -38,5 +38,36 @@ def test_sinks_roundtrip(tmp_path):
             assert u in survivors
         else:
             assert u not in survivors and u not in deleted
-    # survivors table preserves full page schema
-    assert set(surv_t.column_names) == {"url", "warc_ts", "html", "text", "lang"}
+    # survivors table preserves full page schema (+ the shard partition key)
+    assert set(surv_t.column_names) == {"url", "warc_ts", "html", "text",
+                                        "lang", "shard"}
+    # partitioned layout: shard=N directories, no giant single file
+    shards = [d for d in os.listdir(surv) if d.startswith("shard=")]
+    assert len(shards) > 1
+    assert any(d.startswith("shard=") for d in os.listdir(man))
+    # same url-prefix always lands in the same shard directory (re-rooting
+    # analogue: survivors of one source directory colocate)
+    from dedup.keys import url_prefix
+    seen = {}
+    for b in surv_t.select(["url", "shard"]).to_batches():
+        for u, s in zip(b["url"].to_pylist(), b["shard"].to_pylist()):
+            p = url_prefix(u)
+            assert seen.setdefault(p, s) == s
+
+
+def test_sinks_rerun_replaces(tmp_path):
+    """Rerunning into the same out_dir must REPLACE prior output — a
+    manifest feeding destructive I/O must never accumulate stale rows."""
+    pages, _ = generate_pages(120, seed=7)
+    ds = ray.data.from_arrow(pages).repartition(2)
+    assignments = run_dedup(ds, DedupConfig(), num_partitions=4).materialize()
+
+    man1 = write_action_manifest(assignments, str(tmp_path))
+    n_man1 = pq.read_table(man1).num_rows
+    surv1 = write_survivors(ds, assignments, str(tmp_path))
+    n_surv1 = pq.read_table(surv1).num_rows
+
+    man2 = write_action_manifest(assignments, str(tmp_path))
+    surv2 = write_survivors(ds, assignments, str(tmp_path))
+    assert pq.read_table(man2).num_rows == n_man1
+    assert pq.read_table(surv2).num_rows == n_surv1
