@@ -23,9 +23,12 @@ import ray.data
 
 from dedup.config import DOCUMENTS_CONFIG, DedupConfig
 from dedup import ann, textstats
+from dedup.dist import quiet_empty_schema_warnings
 from dedup.pipeline import run_dedup
 from dedup import relational as R
 from dedup import windows as W
+
+quiet_empty_schema_warnings()
 
 _MIN = 64  # ignore threshold used by the SQL-checked dedup queries
 
@@ -84,6 +87,34 @@ def _q_exact_dedup_byteverify(sf_dir: str):
     the verified result must be identical."""
     ds = _docs(sf_dir, ["doc_id", "text"])
     return run_dedup(ds, _doc_cfg(byte_verify=True)).sort("doc_id")
+
+
+def _q_exact_dedup_blake2b(sf_dir: str):
+    """Exact dedup under the blake2b content hash (pluggable
+    HashingAlgorithm analogue, MainViewModel.cs:25-38): the hash choice
+    can never change assignments, so the oracle is exact_dedup's."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return run_dedup(ds, _doc_cfg(content_hash="blake2b")).sort("doc_id")
+
+
+def _q_exact_dedup_same_source(sf_dir: str):
+    """Same-scope exact dedup with the scope attribute read from the
+    ``source`` column (disk-predicate analogue over an integer-id table,
+    MainViewModel.cs:618-688 SameFolder family): duplicates only match
+    within one source."""
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+    return run_dedup(ds, _doc_cfg(scope="same_host", scope_col="source")) \
+        .sort("doc_id")
+
+
+def _q_exact_dedup_diff_source(sf_dir: str):
+    """Different-scope exact dedup (DifferentFolder family,
+    MainViewModel.cs:720-749): candidate pairs must span two sources;
+    the engine computes the transitive closure, so an exact block with
+    >= 2 distinct sources clusters whole."""
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+    return run_dedup(ds, _doc_cfg(scope="diff_host", scope_col="source")) \
+        .sort("doc_id")
 
 
 def _q_media_features(sf_dir: str):
@@ -244,35 +275,61 @@ def _q_pages_dedup_same_host(sf_dir: str):
                      check_html=False).sort("url")
 
 
+def _recall_table(out, truth_path: str, classes: tuple[str, ...] | None = None):
+    """Vectorized planted dup-pair recall: one summary row
+    (truth_pairs, found_pairs, recall_e6).  Runs on bounded planted
+    corpora (<= a few thousand docs), so the pandas merge is driver-side
+    by design; the expensive part (the dedup run) stays distributed."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    truth = pq.read_table(truth_path).to_pandas()
+    truth = truth[truth["cluster_id"] >= 0]
+    if classes is not None:
+        truth = truth[truth["cluster_class"].isin(classes)]
+    out_df = out.to_pandas()[["url", "cluster_id"]].rename(
+        columns={"cluster_id": "oc"})
+    df = truth.merge(out_df, on="url", how="left")
+    # total pairs: C(k, 2) per truth cluster
+    tc = df.groupby("cluster_id").size().to_numpy()
+    total = int((tc * (tc - 1) // 2).sum())
+    # found pairs: C(m, 2) per (truth cluster, non-sentinel output cluster)
+    hit = df[(df["oc"].notna()) & (df["oc"] != "")]
+    fc = hit.groupby(["cluster_id", "oc"]).size().to_numpy()
+    found = int((fc * (fc - 1) // 2).sum())
+    return pa.table({
+        "truth_pairs": pa.array([total], pa.int64()),
+        "found_pairs": pa.array([found], pa.int64()),
+        "recall_e6": pa.array([int(round(found / total * 1e6)) if total else -1],
+                              pa.int64()),
+    })
+
+
 def _q_pages_dedup_recall(sf_dir: str):
     """Dup-pair recall of the full pipeline vs the planted ground truth
     (the north-rule metric, target >= 0.99): one summary row."""
     from dedup.synth import write_pages
-    import pyarrow.parquet as pq
     paths = write_pages("/tmp/dedup_pages_recall", n_docs=4000, seed=42)
     ds = ray.data.read_parquet(paths["pages"])
     out = run_dedup(ds, DedupConfig(), check_html=False)
-    cid = {}
-    for b in out.iter_batches(batch_format="pyarrow"):
-        for i in range(b.num_rows):
-            cid[b["url"][i].as_py()] = b["cluster_id"][i].as_py()
-    truth = pq.read_table(paths["truth"])
-    clusters: dict[int, list[str]] = {}
-    for u, c in zip(truth["url"].to_pylist(), truth["cluster_id"].to_pylist()):
-        if c >= 0:
-            clusters.setdefault(c, []).append(u)
-    total = found = 0
-    for members in clusters.values():
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                total += 1
-                if cid[members[i]] == cid[members[j]] != "":
-                    found += 1
-    return pa.table({
-        "truth_pairs": pa.array([total], pa.int64()),
-        "found_pairs": pa.array([found], pa.int64()),
-        "recall_e6": pa.array([int(round(found / total * 1e6))], pa.int64()),
-    })
+    return _recall_table(out, paths["truth"])
+
+
+def _method_recall(method: str, classes: tuple[str, ...]):
+    """Per-pass recall query: run ONLY the named edge pass over the
+    planted pages corpus and report dup-pair recall on the fixture
+    classes that pass is responsible for (VERDICT r1 item 5b)."""
+    flags = {"exact": False, "near": False, "simhash": False,
+             "substring": False}
+    flags[method] = True
+
+    def _q(sf_dir: str):
+        from dedup.synth import write_pages
+        paths = write_pages("/tmp/dedup_pages_recall", n_docs=4000, seed=42)
+        ds = ray.data.read_parquet(paths["pages"])
+        out = run_dedup(ds, DedupConfig(**flags), check_html=False)
+        return _recall_table(out, paths["truth"], classes)
+
+    return _q
 
 
 def _q_pages_dedup(sf_dir: str):
@@ -295,6 +352,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
         "exact_dedup_lang": _q_exact_dedup_lang,
+        "exact_dedup_blake2b": _q_exact_dedup_blake2b,
+        "exact_dedup_same_source": _q_exact_dedup_same_source,
+        "exact_dedup_diff_source": _q_exact_dedup_diff_source,
         "exact_dedup_byteverify": _q_exact_dedup_byteverify,
         "exact_dedup_stats": _q_exact_dedup_stats,
         "media_features": _q_media_features,
@@ -323,6 +383,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_dedup": _q_pages_dedup,
         "pages_dedup_same_host": _q_pages_dedup_same_host,
         "pages_dedup_recall": _q_pages_dedup_recall,
+        "minhash_dedup_recall": _method_recall("near", ("exact", "near")),
+        "simhash_dedup_recall": _method_recall("simhash", ("exact", "simhash")),
+        "substring_dedup_recall": _method_recall("substring", ("substring",)),
     }
 
 
@@ -343,7 +406,29 @@ FROM base WHERE nb < {_MIN}
 """
 
 
+_DIFF_SOURCE_SQL = f"""
+WITH base AS (SELECT doc_id, text, source, length(text) AS nb FROM documents),
+ok AS (SELECT * FROM base WHERE nb >= {_MIN}),
+stats AS (SELECT text, min(doc_id) AS min_id, count(*) AS cnt,
+                 count(DISTINCT source) AS nsrc
+          FROM ok GROUP BY text)
+SELECT o.doc_id,
+       CASE WHEN s.cnt = 1 OR s.nsrc < 2 THEN 'unique'
+            WHEN o.doc_id = s.min_id THEN 'keep' ELSE 'delete' END AS state,
+       CASE WHEN s.cnt = 1 OR s.nsrc < 2 THEN -1 ELSE s.min_id END AS cluster_id,
+       CASE WHEN s.cnt = 1 OR s.nsrc < 2 THEN 1 ELSE s.cnt END AS cluster_size
+FROM ok o JOIN stats s USING (text)
+UNION ALL
+SELECT doc_id, 'ignored' AS state, -1 AS cluster_id, 0 AS cluster_size
+FROM base WHERE nb < {_MIN}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
+    same_source_sql = _EXACT_SQL.replace(
+        "SELECT doc_id, text, length(text) AS nb FROM documents",
+        "SELECT doc_id, text, source, length(text) AS nb FROM documents",
+    ).replace("PARTITION BY text", "PARTITION BY text, source")
     lang_sql = _EXACT_SQL.replace(
         "SELECT doc_id, text, length(text) AS nb FROM documents",
         "SELECT doc_id, text, lang, length(text) AS nb FROM documents",
@@ -351,7 +436,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "exact_dedup": f"SELECT * FROM ({_EXACT_SQL}) ORDER BY doc_id",
         "exact_dedup_lang": f"SELECT * FROM ({lang_sql}) ORDER BY doc_id",
+        "exact_dedup_same_source":
+            f"SELECT * FROM ({same_source_sql}) ORDER BY doc_id",
+        "exact_dedup_diff_source":
+            f"SELECT * FROM ({_DIFF_SOURCE_SQL}) ORDER BY doc_id",
         "exact_dedup_byteverify": f"SELECT * FROM ({_EXACT_SQL}) ORDER BY doc_id",
+        "exact_dedup_blake2b": f"SELECT * FROM ({_EXACT_SQL}) ORDER BY doc_id",
         "exact_dedup_stats": f"""
             WITH a AS ({_EXACT_SQL})
             SELECT a.state, count(*) AS n_docs,

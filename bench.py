@@ -39,6 +39,8 @@ def _init_ray(num_cpus: int) -> None:
                  logging_level="error")
     import ray.data
     ray.data.DataContext.get_current().enable_progress_bars = False
+    from dedup.dist import quiet_empty_schema_warnings
+    quiet_empty_schema_warnings()
 
 
 def _consume(res) -> int:

@@ -31,6 +31,8 @@ def _init(num_cpus: int | None) -> None:
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"), **kw)
     import ray.data
     ray.data.DataContext.get_current().enable_progress_bars = False
+    from dedup.dist import quiet_empty_schema_warnings
+    quiet_empty_schema_warnings()
 
 
 def cmd_run(args: argparse.Namespace) -> int:

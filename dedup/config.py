@@ -45,6 +45,11 @@ class DedupConfig:
 
     # --- exact pass (conjunctive equality keys) ----------------------
     exact: bool = True             # CompareHash/CompareContent analogue
+    content_hash: str = "sha256"   # pluggable content-hash algorithm
+                                   # (HashingAlgorithm enum CRC32/MD5/SHA1/SHA256,
+                                   # MainViewModel.cs:25-38, FileEntryViewModel.cs:146-190);
+                                   # sha256|blake2b|sha1|md5 — the choice can never
+                                   # change assignments, only hash cost
     key_ts: bool = False           # CompareDateModified (MainViewModel.cs:1011-1014)
     key_lang: bool = False         # CompareExtension analogue (:1081-1085)
     byte_verify: bool = False      # M9 byte comparator analogue (:1094-1146); carries
@@ -52,6 +57,10 @@ class DedupConfig:
 
     # --- scope (comparison domain) -----------------------------------
     scope: str = "all"             # one of SCOPE_MODES
+    scope_col: str = ""            # non-empty: read the scope attribute from this
+                                   # column instead of deriving it from the url —
+                                   # required for integer-id tables (there is no url
+                                   # to derive host/prefix/root from)
     roots: tuple[str, ...] = ()    # ordered url-prefix roots (Folders list analogue);
                                    # first-prefix-wins (MainViewModel.cs:522-527)
 
@@ -103,6 +112,10 @@ class DedupConfig:
         if self.verify not in ("none", "signature", "jaccard"):
             raise ValueError(
                 f"verify must be 'none'|'signature'|'jaccard', got {self.verify!r}")
+        if self.content_hash not in ("sha256", "blake2b", "sha1", "md5"):
+            raise ValueError(
+                "content_hash must be sha256|blake2b|sha1|md5, "
+                f"got {self.content_hash!r}")
 
     # -----------------------------------------------------------------
     def to_json(self) -> str:

@@ -37,6 +37,29 @@ import ray.data
 _MIX_MUL = np.uint64(0x9E3779B97F4A7C15)
 
 
+def quiet_empty_schema_warnings() -> None:
+    """Silence ONE specific cosmetic Ray-internal warning: Ray 2.49's
+    sort-based groupby/aggregate/map_groups emits EMPTY blocks with no
+    schema whenever the shuffle has more partitions than key-groups
+    (reproduced with a bare ``ds.groupby(k).aggregate(Count())`` — no
+    user UDF involved), and streaming_executor_state.py:793 then logs
+    "RefBundle with a different schema".  The blocks are empty, so
+    values are unaffected; the warning floods bench output.  The filter
+    matches exactly that message and nothing else."""
+    import logging
+
+    class _F(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return ("RefBundle with a different schema"
+                    not in record.getMessage())
+
+    for name in logging.root.manager.loggerDict:
+        if name.endswith("streaming_executor_state"):
+            logging.getLogger(name).addFilter(_F())
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state").addFilter(_F())
+
+
 def tune_context() -> None:
     """Size Ray Data's read parallelism to the cluster instead of the
     200-block floor: at sandbox scale the default turns every operator of
@@ -50,6 +73,7 @@ def tune_context() -> None:
     except Exception:
         cpus = 8
     ctx.read_op_min_num_blocks = max(8, cpus)
+    quiet_empty_schema_warnings()
 
 
 def mix64(x: np.ndarray) -> np.ndarray:

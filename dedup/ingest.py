@@ -59,6 +59,8 @@ def read_input(path: str | list[str], cfg: DedupConfig,
         cols.append(cfg.ts_col)
     if cfg.lang_col:
         cols.append(cfg.lang_col)
+    if cfg.scope_col and cfg.scope != "all" and cfg.scope_col not in cols:
+        cols.append(cfg.scope_col)
     if has_html:
         cols.append("html")
     return ray.data.read_parquet(path, columns=cols)
@@ -71,6 +73,9 @@ class Preparer:
         self.cfg = cfg
         self.check_html = check_html
         self.string_ids = None  # resolved on first batch
+        # pluggable content hash (HashingAlgorithm analogue,
+        # MainViewModel.cs:25-38); any choice yields identical assignments
+        self._hash = getattr(hashlib, cfg.content_hash)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -96,18 +101,26 @@ class Preparer:
         scope64 = np.zeros(n, dtype=np.uint64)
         shas: list[bytes | None] = []
         scoped = cfg.scope != "all"
+        if scoped and not cfg.scope_col and not self.string_ids:
+            raise ValueError(
+                f"scope={cfg.scope!r} over integer ids needs scope_col: "
+                "there is no url to derive host/prefix/root from")
+        scope_vals = (t[cfg.scope_col].to_pylist()
+                      if (scoped and cfg.scope_col) else None)
         for i in range(n):
             if self.string_ids:
                 u = id_list[i]
                 node[i] = _h64(u.encode())
                 okeys.append(order_key_bytes(u, root_rank(u, cfg.roots) if cfg.roots else 0))
-                if scoped:
-                    scope64[i] = _h64(_scope_value(cfg, u).encode())
             else:
                 node[i] = np.uint64(id_list[i])
                 okeys.append(int(id_list[i]).to_bytes(8, "big"))
+            if scoped:
+                sv = (str(scope_vals[i]) if scope_vals is not None
+                      else _scope_value(cfg, id_list[i]))
+                scope64[i] = _h64(sv.encode())
             txt = texts[i]
-            shas.append(hashlib.sha256(txt.encode()).digest() if txt is not None else None)
+            shas.append(self._hash(txt.encode()).digest() if txt is not None else None)
 
         n_chars = pc.fill_null(pc.utf8_length(t[cfg.text_col]), 0).cast(pa.int64())
         nc = n_chars.to_numpy(zero_copy_only=False)

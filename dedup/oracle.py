@@ -26,7 +26,9 @@ from .config import DedupConfig
 from .keys import natural_key, root_rank, url_host, url_prefix
 
 
-def _scope_val(cfg: DedupConfig, ident) -> str:
+def _scope_val(cfg: DedupConfig, row: dict, ident) -> str:
+    if cfg.scope_col:
+        return str(row.get(cfg.scope_col))
     if not isinstance(ident, str):
         return ""
     if cfg.scope in ("same_prefix", "diff_prefix"):
@@ -64,7 +66,7 @@ def oracle_assign(rows: list[dict], cfg: DedupConfig) -> pa.Table:
         elif len(texts[i]) < cfg.min_doc_bytes:
             state[i] = "ignored"
 
-    scopes = [_scope_val(cfg, ids[i]) for i in range(n)]
+    scopes = [_scope_val(cfg, rows[i], ids[i]) for i in range(n)]
     same = cfg.scope.startswith("same_")
     diff = cfg.scope.startswith("diff_")
 

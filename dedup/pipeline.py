@@ -71,15 +71,27 @@ def _ok_only(ds: ray.data.Dataset) -> ray.data.Dataset:
 # pair emission inside a bucket (vectorized per partition)
 # ---------------------------------------------------------------------------
 
+#: Star anchors per over-cap bucket.  With ONE anchor, a verified pass
+#: (minhash signature / jaccard / substring containment) loses every
+#: (x, y) link of a hot bucket whenever the (anchor, x) candidates fail
+#: verification — the anchor might be a bucket false-positive.  k
+#: independent anchors bound that recall loss to the probability that
+#: ALL k anchors fail against a true pair's endpoints, while edges stay
+#: O(k·n) (ADVICE r1).
+_STAR_ANCHORS = 3
+
+
 def _emit_bucket_pairs(nodes: np.ndarray, scopes: np.ndarray | None,
                        diff_scope: bool, cap: int,
                        out_u: list, out_v: list) -> None:
     """Candidate pairs for one bucket.  <=cap: all pairs; larger buckets
-    emit star edges to the min node — O(n), connectivity-equivalent under
-    union-find.  diff_scope restricts pairs to unequal scopes (reference
-    Different-X modes, MainViewModel.cs:720-749); a >=2-scope bucket is
-    transitively fully connected, so star edges anchored at the two
-    smallest nodes of distinct scopes preserve components."""
+    emit star edges from the _STAR_ANCHORS smallest nodes — O(k·n),
+    connectivity-equivalent under union-find and robust to post-hoc edge
+    verification (see _STAR_ANCHORS).  diff_scope restricts pairs to
+    unequal scopes (reference Different-X modes,
+    MainViewModel.cs:720-749); a >=2-scope bucket is transitively fully
+    connected, so star edges anchored at the two smallest nodes of
+    distinct scopes preserve components."""
     n = len(nodes)
     if n < 2:
         return
@@ -110,8 +122,20 @@ def _emit_bucket_pairs(nodes: np.ndarray, scopes: np.ndarray | None,
         iu, iv = np.triu_indices(n, k=1)
         out_u.append(nodes[iu]); out_v.append(nodes[iv])
     else:
-        out_u.append(np.full(n - 1, nodes[0], dtype=np.uint64))
-        out_v.append(nodes[1:])
+        for a in range(min(_STAR_ANCHORS, n - 1)):
+            out_u.append(np.full(n - 1 - a, nodes[a], dtype=np.uint64))
+            out_v.append(nodes[a + 1:])
+
+
+def _star_indices(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Index pairs of a multi-anchor star over n sorted nodes (the
+    over-cap replacement for triu_indices; see _STAR_ANCHORS)."""
+    k_a = min(_STAR_ANCHORS, n - 1)
+    iu = np.concatenate([np.full(n - 1 - a, a, dtype=np.int64)
+                         for a in range(k_a)])
+    iv = np.concatenate([np.arange(a + 1, n, dtype=np.int64)
+                         for a in range(k_a)])
+    return iu, iv
 
 
 def _pairs_table(out_u: list, out_v: list) -> pa.Table:
@@ -374,9 +398,9 @@ def simhash_edges(active: ray.data.Dataset, cfg: DedupConfig,
             n = len(nd)
             if n <= cap:
                 iu, iv = np.triu_indices(n, k=1)
-            else:  # star against the min node (skew guard)
-                iu = np.zeros(n - 1, dtype=np.int64)
-                iv = np.arange(1, n, dtype=np.int64)
+            else:  # multi-anchor star (skew guard robust to the inline
+                   # Hamming verify; see _STAR_ANCHORS)
+                iu, iv = _star_indices(n)
             ham = _popcnt(f[iu] ^ f[iv])
             keep = (ham <= maxham) & (nd[iu] != nd[iv])
             if diff_scope:
@@ -463,9 +487,9 @@ def substring_candidates(active: ray.data.Dataset, cfg: DedupConfig,
             n = len(nd)
             if n <= cap:
                 iu, iv = np.triu_indices(n, k=1)
-            else:
-                iu = np.zeros(n - 1, dtype=np.int64)
-                iv = np.arange(1, n, dtype=np.int64)
+            else:  # multi-anchor star (see _STAR_ANCHORS: the containment
+                   # verify post-filters these edges)
+                iu, iv = _star_indices(n)
             # containment needs strictly different lengths: equal texts are
             # the exact pass's finding, equal-length unequal texts can't nest
             keep = ln[iu] != ln[iv]

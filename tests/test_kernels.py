@@ -102,3 +102,55 @@ def test_tokenize_matches_regex_semantics():
     import re
     for s in ["a b  c", " lead", "trail ", "", "\tx\ny z "]:
         assert tokenize(s) == re.findall(r"\S+", s)
+
+
+def test_multi_anchor_star_edges():
+    """Over-cap buckets emit stars from _STAR_ANCHORS smallest nodes, so
+    a single bucket false-positive anchor can't sever verified links
+    (ADVICE r1)."""
+    from dedup.pipeline import _STAR_ANCHORS, _emit_bucket_pairs
+    nodes = np.array([50, 10, 30, 20, 60, 40], dtype=np.uint64)
+    out_u, out_v = [], []
+    _emit_bucket_pairs(nodes, None, False, cap=3, out_u=out_u, out_v=out_v)
+    edges = set(zip(np.concatenate(out_u).tolist(),
+                    np.concatenate(out_v).tolist()))
+    srt = np.sort(nodes)
+    for a in range(_STAR_ANCHORS):
+        for x in srt[a + 1:]:
+            assert (srt[a], int(x)) in edges
+    # still O(k*n), not all-pairs
+    assert len(edges) < 6 * 5 / 2 + 1
+
+
+def test_star_cap_recall_under_verification():
+    """pair_cap=2 forces every bucket through the star path while the
+    jaccard verify post-filters edges; planted recall must hold."""
+    import pyarrow as pa
+    import ray.data
+    from dedup.config import DedupConfig
+    from dedup.pipeline import run_dedup
+    from dedup.synth import generate_pages
+    pages, truth = generate_pages(400, seed=33)
+    ds = ray.data.from_arrow(pages).repartition(4)
+    cfg = DedupConfig(simhash=False, substring=False, pair_cap=2,
+                      verify="jaccard", verify_threshold=0.7)
+    out = run_dedup(ds, cfg, num_partitions=8)
+    cid = {}
+    for b in out.iter_batches(batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            cid[b["url"][i].as_py()] = b["cluster_id"][i].as_py()
+    cls_of = dict(zip(truth["url"].to_pylist(),
+                      truth["cluster_class"].to_pylist()))
+    clusters = {}
+    for u, c in zip(truth["url"].to_pylist(), truth["cluster_id"].to_pylist()):
+        if c >= 0 and cls_of[u] in ("exact", "near"):
+            clusters.setdefault(c, []).append(u)
+    total = found = 0
+    for members in clusters.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                total += 1
+                if cid[members[i]] == cid[members[j]] != "":
+                    found += 1
+    assert total > 20
+    assert found / total >= 0.99, found / total

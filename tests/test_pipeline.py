@@ -337,3 +337,50 @@ def test_attach_coshuffle_identical(planted, monkeypatch):
     monkeypatch.setattr(pl, "ATTACH_BROADCAST_THRESHOLD", 0)
     b = _collect(run_dedup(ds, cfg, num_partitions=8))
     assert a == b
+
+
+def test_scope_col_int_ids_matches_oracle():
+    """scope_col reads the scope attribute from a column — the only way
+    to scope integer-id tables (documents shape)."""
+    rows = [
+        {"doc_id": 1, "text": LONG, "source": "s1"},
+        {"doc_id": 2, "text": LONG, "source": "s1"},
+        {"doc_id": 3, "text": LONG, "source": "s2"},
+        {"doc_id": 4, "text": "something else entirely " * 3, "source": "s1"},
+    ]
+    base = dict(id_col="doc_id", ts_col="", lang_col="", **EXACT)
+    got_same = _run(rows, DedupConfig(scope="same_host", scope_col="source",
+                                      **base))
+    assert got_same[1][0] == "keep" and got_same[2][0] == "delete"
+    assert got_same[3][0] == "unique"          # alone in its source
+    got_diff = _run(rows, DedupConfig(scope="diff_host", scope_col="source",
+                                      **base))
+    # transitive closure across the cross-source match: all three cluster
+    assert got_diff[1] == ("keep", 1, 3)
+    assert got_diff[2][0] == "delete" and got_diff[3][0] == "delete"
+    # oracle agreement for both modes
+    for cfg in (DedupConfig(scope="same_host", scope_col="source", **base),):
+        assert _run(rows, cfg) == _oracle(rows, cfg)
+
+
+def test_scope_int_ids_without_scope_col_raises():
+    """ADVICE r1: integer ids with a url-derived scope mode silently
+    degenerated; now it raises."""
+    rows = [{"doc_id": 1, "text": LONG}, {"doc_id": 2, "text": LONG}]
+    cfg = DedupConfig(scope="same_host", id_col="doc_id", ts_col="",
+                      lang_col="", **EXACT)
+    with pytest.raises(Exception) as ei:
+        _run(rows, cfg)
+    assert "scope_col" in str(ei.value)
+
+
+def test_content_hash_choice_invariant():
+    """Any supported content_hash yields identical assignments (the
+    reference's HashingAlgorithm switch changes cost, never results)."""
+    rows = _pages([("https://h/a", LONG), ("https://h/b", LONG),
+                   ("https://h/c", "other text " * 5)])
+    outs = [_run(rows, DedupConfig(content_hash=h, **EXACT))
+            for h in ("sha256", "blake2b", "sha1", "md5")]
+    assert all(o == outs[0] for o in outs[1:])
+    with pytest.raises(ValueError):
+        DedupConfig(content_hash="crc999")
