@@ -117,6 +117,55 @@ def _q_exact_dedup_diff_source(sf_dir: str):
         .sort("doc_id")
 
 
+def _q_visible_duplicates(sf_dir: str):
+    """M10 visibility filter over the assignments view: show only the
+    duplicate-involved rows (keep+delete), FilterByVisibleFolders
+    analogue (MainViewModel.cs:1819-1851)."""
+    from dedup.pipeline import filter_visible
+    assign = run_dedup(_docs(sf_dir, ["doc_id", "text"]), _doc_cfg())
+    return filter_visible(assign, visible_states=("keep", "delete"),
+                          id_col="doc_id").sort("doc_id")
+
+
+def _q_delete_manifest(sf_dir: str):
+    """S4 delete sink through the driver gate: exact-dedup assignments →
+    write_action_manifest (partitioned parquet on disk) → read back.
+    Oracle = the delete rows of the exact_dedup oracle."""
+    from dedup.sinks import write_action_manifest
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    assign = run_dedup(_docs(sf_dir, ["doc_id", "text"]), _doc_cfg())
+    path = write_action_manifest(assign.materialize(),
+                                 f"/tmp/dedup_sink_{tag}", id_col="doc_id")
+    import glob
+    if not glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "cluster_id": pa.array([], pa.int64()),
+                         "cluster_size": pa.array([], pa.int64())})
+    return ray.data.read_parquet(path) \
+        .select_columns(["doc_id", "cluster_id", "cluster_size"]) \
+        .sort("doc_id")
+
+
+def _q_survivors(sf_dir: str):
+    """S5 copy sink through the driver gate: keep+unique rows joined back
+    to the corpus via the distributed hash join and written partitioned;
+    read back.  Oracle = non-delete, non-ignored doc ids."""
+    from dedup.sinks import write_survivors
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    assign = run_dedup(_docs(sf_dir, ["doc_id", "text"]), _doc_cfg())
+    path = write_survivors(docs, assign.materialize(),
+                           f"/tmp/dedup_sink_{tag}", id_col="doc_id",
+                           num_partitions=8)
+    out = ray.data.read_parquet(path).select_columns(["doc_id", "lang"])
+
+    def _n(t: pa.Table) -> pa.Table:  # hive partition col reads as int32 str
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "lang": t["lang"]})
+
+    return out.map_batches(_n, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing: actor-pool decode over a deterministic fake
     media table (decode kernel stubbed; see dedup.multimodal)."""
@@ -357,6 +406,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_diff_source": _q_exact_dedup_diff_source,
         "exact_dedup_byteverify": _q_exact_dedup_byteverify,
         "exact_dedup_stats": _q_exact_dedup_stats,
+        "visible_duplicates": _q_visible_duplicates,
+        "delete_manifest": _q_delete_manifest,
+        "survivors": _q_survivors,
         "media_features": _q_media_features,
         "token_count": _q_token_count,
         "doc_stats": _q_doc_stats,
@@ -440,6 +492,16 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM ({same_source_sql}) ORDER BY doc_id",
         "exact_dedup_diff_source":
             f"SELECT * FROM ({_DIFF_SOURCE_SQL}) ORDER BY doc_id",
+        "visible_duplicates": f"""
+            SELECT * FROM ({_EXACT_SQL})
+            WHERE state IN ('keep', 'delete') ORDER BY doc_id""",
+        "delete_manifest": f"""
+            SELECT doc_id, cluster_id, cluster_size FROM ({_EXACT_SQL})
+            WHERE state = 'delete' ORDER BY doc_id""",
+        "survivors": f"""
+            SELECT a.doc_id, d.lang FROM ({_EXACT_SQL}) a
+            JOIN documents d USING (doc_id)
+            WHERE a.state IN ('keep', 'unique') ORDER BY a.doc_id""",
         "exact_dedup_byteverify": f"SELECT * FROM ({_EXACT_SQL}) ORDER BY doc_id",
         "exact_dedup_blake2b": f"SELECT * FROM ({_EXACT_SQL}) ORDER BY doc_id",
         "exact_dedup_stats": f"""

@@ -89,6 +89,52 @@ def run_pages_dedup(num_cpus: int, n_docs: int | None = None) -> dict:
             "num_cpus": num_cpus}
 
 
+HOTBAND_DOCS = int(os.environ.get("DEDUP_HOTBAND_DOCS", "200000"))
+
+
+def run_hotband(num_cpus: int, n_docs: int | None = None) -> dict:
+    """Hot-band skew stress (VERDICT r1 item 9): 5% of docs share ~90%
+    boilerplate, run the minhash pipeline with lsh_salt off vs on and
+    report wall time, throughput, the max band-bucket size each way, and
+    whether the hot set stayed one cluster (salt must not cut recall)."""
+    n_docs = n_docs or HOTBAND_DOCS
+    _init_ray(num_cpus)
+    import ray.data
+    from dedup.config import DedupConfig
+    from dedup.ingest import prepare
+    from dedup.minhash import cached_signer
+    from dedup.pipeline import _ok_only, lsh_band_rows, run_dedup
+    from dedup.synth import write_hotband_pages
+
+    info = write_hotband_pages(f"/tmp/dedup_hotband_{n_docs}", n_docs=n_docs,
+                               seed=42)
+    n_hot = int(info["n_hot"])
+    ds = ray.data.read_parquet(info["pages"])
+    out: dict[str, dict] = {}
+    for salt in (0, 8):
+        cfg = DedupConfig(simhash=False, substring=False, lsh_salt=salt)
+        t0 = time.time()
+        res = run_dedup(ds, cfg, check_html=False).materialize()
+        dt = time.time() - t0
+        max_cluster = res.max("cluster_size")
+        # max band-bucket size under this salt (the skew the shuffle sees)
+        prep = _ok_only(prepare(ds, cfg, check_html=False))
+        sigs = prep.select_columns(["node", "scope64", "text"]).map_batches(
+            lambda t, c=cfg: cached_signer(c.num_perm, c.shingle_k, c.seed)(t),
+            batch_format="pyarrow",
+        ).select_columns(["node", "scope64", "minhash"])
+        max_bucket = lsh_band_rows(sigs, cfg).groupby("skey").count() \
+            .max("count()")
+        out[f"salt{salt}"] = {
+            "wall_sec": round(dt, 2),
+            "docs_per_sec": round(n_docs / dt, 1),
+            "max_cluster_size": int(max_cluster),
+            "max_band_bucket": int(max_bucket),
+            "hot_cluster_intact": bool(max_cluster >= 0.99 * n_hot),
+        }
+    return {"docs": n_docs, "n_hot": n_hot, "num_cpus": num_cpus, **out}
+
+
 def run_suite() -> dict:
     _init_ray(NUM_CPUS)
     import __ray_entry__ as E
@@ -104,6 +150,9 @@ def run_suite() -> dict:
     # headline pages pipeline (in-process; corpus synth excluded from timing)
     pages = run_pages_dedup(NUM_CPUS)
     out["pages_dedup"] = pages["wall_sec"]
+    # hot-band skew stress (salted vs unsalted LSH; separate key so the
+    # suite 'value' stays comparable across rounds)
+    hotband = run_hotband(NUM_CPUS)
     return {
         "metric": "dedup pipeline suite wall time",
         "value": round(sum(out.values()), 2),
@@ -113,6 +162,7 @@ def run_suite() -> dict:
         "num_cpus": NUM_CPUS,
         "pages_docs_per_sec": pages["docs_per_sec"],
         "pages_docs": pages["docs"],
+        "hotband": hotband,
     }
 
 
@@ -175,11 +225,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--pages-only", action="store_true")
+    ap.add_argument("--hotband", action="store_true")
     ap.add_argument("--cpus", type=int, default=NUM_CPUS)
     args = ap.parse_args()
     import ray
     if args.pages_only:
         print(json.dumps(run_pages_dedup(args.cpus)))
+    elif args.hotband:
+        print(json.dumps(run_hotband(args.cpus)))
     elif args.scaling:
         print(json.dumps(run_scaling()))
     else:

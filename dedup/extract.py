@@ -35,6 +35,50 @@ _ENTITIES = (
 )
 
 
+_DROP_TAGS = ("script", "style", "nav", "footer", "header", "head")
+
+
+def extract_text_column(col) -> "pa.Array":
+    """Vectorized extract_text over a binary column (pyarrow.compute re2
+    kernels — no per-row Python; the per-row ``extract_text`` below stays
+    the reference implementation, parity-tested in test_extract).
+
+    re2 has no backreferences, so the drop-block alternation runs as one
+    pass per tag; re2's ``\\s`` is ASCII — identical to the per-row path
+    over the corpus's ASCII-whitespace html.  Returns null for null or
+    undecodable html (callers treat null as an invariant violation for
+    non-null text)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    try:
+        s = pc.cast(col, pa.string())
+    except pa.lib.ArrowInvalid:
+        # rare batch with undecodable bytes: per-row decode, bad rows null
+        out = []
+        vals = col.to_pylist() if not isinstance(col, list) else col
+        for b in vals:
+            if b is None:
+                out.append(None)
+                continue
+            try:
+                out.append(b.decode("utf-8"))
+            except UnicodeDecodeError:
+                out.append(None)
+        s = pa.array(out, pa.string())
+    s = pc.replace_substring_regex(s, pattern=r"(?s)<!--.*?-->",
+                                   replacement=" ")
+    for tag in _DROP_TAGS:
+        s = pc.replace_substring_regex(
+            s, pattern=rf"(?si)<{tag}\b[^>]*>.*?</{tag}\s*>",
+            replacement=" ")
+    s = pc.replace_substring_regex(s, pattern=r"<[^>]+>", replacement=" ")
+    for ent, ch in _ENTITIES:
+        s = pc.replace_substring(s, pattern=ent, replacement=ch)
+    s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
+    return pc.utf8_trim_whitespace(s)
+
+
 def extract_text(html: bytes | str) -> str:
     """Deterministic text extraction; returns '' for undecodable input
     (the caller routes those rows to state='error', never silently)."""

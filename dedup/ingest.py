@@ -85,15 +85,16 @@ class Preparer:
         texts = t[cfg.text_col].to_pylist()
         n = len(texts)
 
-        # --- extract-invariant check (byte comparator analogue) ----------
-        invariant_bad = [False] * n
+        # --- extract-invariant check (byte comparator analogue),
+        # vectorized: one re2-kernel extract over the column + one equal
+        invariant_bad = np.zeros(n, dtype=bool)
         if self.check_html and "html" in t.column_names:
-            htmls = t["html"].to_pylist()
-            for i, (h, txt) in enumerate(zip(htmls, texts)):
-                if txt is None:
-                    continue
-                if h is None or extract_text(h) != txt:
-                    invariant_bad[i] = True
+            from .extract import extract_text_column
+            ext = extract_text_column(t["html"])
+            eq = pc.fill_null(pc.equal(ext, t[cfg.text_col]), False) \
+                .to_numpy(zero_copy_only=False)
+            txt_null = pc.is_null(t[cfg.text_col]).to_numpy(zero_copy_only=False)
+            invariant_bad = ~eq & ~txt_null
 
         id_list = ids.to_pylist()
         node = np.empty(n, dtype=np.uint64)

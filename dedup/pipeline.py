@@ -261,26 +261,49 @@ def lsh_band_rows(sigs: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
     return sigs.map_batches(_explode, batch_format="pyarrow")
 
 
-def _salt_rep_rows(rows: ray.data.Dataset, P: int) -> ray.data.Dataset:
-    """Per salted bucket: one representative row (min node) keyed by the
-    UNSALTED band key — the second, tiny groupby that reconnects salt
-    groups of one hot band (reps per band <= S)."""
+def _salted_pairs_and_reps(rows: ray.data.Dataset, cfg: DedupConfig,
+                           P: int) -> ray.data.Dataset:
+    """ONE shuffle over the salted band rows emitting BOTH outputs:
+      * candidate pairs within each salted bucket — rows (u, v, rkey=null);
+      * one representative row per salted bucket (min node), keyed by the
+        UNSALTED band key — rows (u=node, v=null, rkey=skey0,
+        rscope=scope64).
+    The reps then meet under skey0 in a second (rep-only) shuffle to
+    restore cross-salt connectivity of hot bands.  Folding rep emission
+    into the pair shuffle saves the full extra band-table shuffle the
+    standalone rep pass cost."""
+    diff_scope = cfg.scope.startswith("diff_")
+    cap = cfg.pair_cap
 
     def _part(t: pa.Table) -> pa.Table:
         sk = t["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
         nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        sk0 = t["skey0"].to_numpy(zero_copy_only=False).astype(np.uint64)
         scopes = t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sk0 = t["skey0"].to_numpy(zero_copy_only=False).astype(np.uint64)
         order, starts, _ = segments(sk)
-        reps = []
+        sizes = np.diff(starts)
+        out_u: list = []
+        out_v: list = []
+        reps = np.empty(len(starts) - 1, dtype=np.int64)
         for gi in range(len(starts) - 1):
-            idx = order[starts[gi]:starts[gi + 1]]
-            i_min = idx[np.argmin(nodes[idx])]
-            reps.append(i_min)
-        reps = np.asarray(reps, dtype=np.int64)
-        return pa.table({"skey": sk0[reps],
-                         "node": nodes[reps],
-                         "scope64": scopes[reps]})
+            s, e = starts[gi], starts[gi + 1]
+            idx = order[s:e]
+            reps[gi] = idx[np.argmin(nodes[idx])]
+            if sizes[gi] >= 2:
+                _emit_bucket_pairs(nodes[idx], scopes[idx], diff_scope, cap,
+                                   out_u, out_v)
+        pu = np.concatenate(out_u) if out_u else np.array([], dtype=np.uint64)
+        pv = np.concatenate(out_v) if out_v else np.array([], dtype=np.uint64)
+        n_p, n_r = len(pu), len(reps)
+        return pa.table({
+            "u": pa.array(np.concatenate([pu, nodes[reps]]), pa.uint64()),
+            "v": pa.concat_arrays([pa.array(pv, pa.uint64()),
+                                   pa.nulls(n_r, pa.uint64())]),
+            "rkey": pa.concat_arrays([pa.nulls(n_p, pa.uint64()),
+                                      pa.array(sk0[reps], pa.uint64())]),
+            "rscope": pa.concat_arrays([pa.nulls(n_p, pa.uint64()),
+                                        pa.array(scopes[reps], pa.uint64())]),
+        })
 
     return groupapply(rows, "skey", _part, P)
 
@@ -731,12 +754,30 @@ def minhash_edges(active: ray.data.Dataset, cfg: DedupConfig,
         _sign, batch_format="pyarrow",
     ).select_columns(["node", "scope64", "minhash"]).materialize()
     rows = lsh_band_rows(sigs, cfg)
-    pairs = bucket_pairs(rows, cfg, P)
     if cfg.lsh_salt > 0:
+        # one shuffle produces both in-bucket pairs and per-bucket reps
+        # (materialized once — two consumers must not re-run the shuffle)
+        mixed = _salted_pairs_and_reps(rows, cfg, P).materialize()
+
+        def _only_pairs(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.invert(pc.is_null(t["v"])))
+            return pa.table({"u": t["u"].cast(pa.uint64()),
+                             "v": t["v"].cast(pa.uint64())},
+                            schema=_PAIR_SCHEMA)
+
+        def _only_reps(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.invert(pc.is_null(t["rkey"])))
+            return pa.table({"skey": t["rkey"].cast(pa.uint64()),
+                             "node": t["u"].cast(pa.uint64()),
+                             "scope64": t["rscope"].cast(pa.uint64())})
+
+        pairs = mixed.map_batches(_only_pairs, batch_format="pyarrow")
+        reps = mixed.map_batches(_only_reps, batch_format="pyarrow")
         # cross-salt pairs: reps of each salt group meet under the
         # unsalted key; their pairs are verified like any others
-        rep_pairs = bucket_pairs(_salt_rep_rows(rows, P), cfg, P)
-        pairs = pairs.union(rep_pairs)
+        pairs = pairs.union(bucket_pairs(reps, cfg, P))
+    else:
+        pairs = bucket_pairs(rows, cfg, P)
     if cfg.verify == "none":
         return pairs
     # dedupe cross-band repeats BEFORE verification (a true pair surfaces
@@ -1069,3 +1110,39 @@ def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig,
 def state_stats(assignments: ray.data.Dataset) -> ray.data.Dataset:
     """Per-state cluster/row counts (A2 analogue, MainViewModel.cs:289-316)."""
     return assignments.groupby("state").count()
+
+
+def filter_visible(assignments: ray.data.Dataset,
+                   visible_states: tuple[str, ...] = ("keep", "delete"),
+                   roots: tuple[str, ...] = (),
+                   visible_roots: tuple[int, ...] | None = None,
+                   id_col: str = "url") -> ray.data.Dataset:
+    """Visibility filter over the assignments view (M10 analogue,
+    FilterByVisibleFolders MainViewModel.cs:1819-1851): a row is visible
+    iff its state is enabled AND its root (first case-insensitive
+    url-prefix match in ``roots``, -1 = unrooted) is enabled.
+    ``visible_roots=None`` shows every root.  Fully vectorized: one
+    pc.is_in over states plus one pc.starts_with per root."""
+    sv = pa.array(list(visible_states))
+    lroots = [r.lower() for r in roots]
+    vr = None if visible_roots is None else set(visible_roots)
+
+    def _f(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["state"], value_set=sv)
+        if vr is not None and lroots:
+            ids = t[id_col]
+            low = pc.utf8_lower(ids) if pa.types.is_string(ids.type) \
+                or pa.types.is_large_string(ids.type) else None
+            if low is not None:
+                rank = np.full(t.num_rows, -1, dtype=np.int64)
+                unset = np.ones(t.num_rows, dtype=bool)
+                for ri, r in enumerate(lroots):
+                    m = pc.starts_with(low, pattern=r) \
+                        .to_numpy(zero_copy_only=False) & unset
+                    rank[m] = ri
+                    unset &= ~m
+                ok = np.isin(rank, list(vr))
+                mask = pc.and_(mask, pa.array(ok))
+        return t.filter(mask)
+
+    return assignments.map_batches(_f, batch_format="pyarrow")

@@ -270,3 +270,61 @@ def write_pages(out_dir: str, n_docs: int, seed: int = 42, num_files: int = 8,
     with open(marker, "w") as fh:
         fh.write("ok")
     return {"pages": pages_dir, "truth": truth_path}
+
+
+def generate_hotband_pages(n_docs: int, hot_frac: float = 0.05,
+                           seed: int = 42) -> pa.Table:
+    """Hot-band stress corpus (VERDICT r1 item 9): ``hot_frac`` of the
+    docs share ~90% boilerplate text (the web-template analogue), so LSH
+    band buckets hold the ENTIRE hot set and the band-key groupby is
+    maximally skewed; the remainder are unique docs.  No truth sidecar —
+    the acceptance checks are (a) all hot docs land in one cluster
+    (connectivity survives lsh_salt) and (b) salted throughput >=
+    unsalted.  Same pages schema as generate_pages."""
+    rng = random.Random(seed)
+    pool = _word_pool()
+    n_hot = int(n_docs * hot_frac)
+    boiler = " ".join(rng.choice(pool) for _ in range(270))
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    ts_base = 1_704_067_200_000_000
+    for i in range(n_docs):
+        if i < n_hot:
+            tail = " ".join(rng.choice(pool) for _ in range(20))
+            text = f"{boiler} {tail}"
+        else:
+            text = " ".join(rng.choice(pool)
+                            for _ in range(rng.randint(60, 200)))
+        host = _HOSTS[i % len(_HOSTS)]
+        urls.append(f"https://{host}/{_SEGS[i % len(_SEGS)]}/hb-{i}.html")
+        tss.append(ts_base + i * 61_000_000)
+        htmls.append(_render_html(text, i))
+        texts.append(text)
+        langs.append("en")
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    })
+
+
+def write_hotband_pages(out_dir: str, n_docs: int, hot_frac: float = 0.05,
+                        seed: int = 42, num_files: int = 32) -> dict[str, str]:
+    """Write (idempotent, _SUCCESS-marked) hotband corpus shards."""
+    marker = os.path.join(out_dir,
+                          f"_SUCCESS.{n_docs}.{hot_frac}.{seed}.{num_files}")
+    pages_dir = os.path.join(out_dir, "pages")
+    if os.path.exists(marker):
+        return {"pages": pages_dir, "n_hot": str(int(n_docs * hot_frac))}
+    pages = generate_hotband_pages(n_docs, hot_frac=hot_frac, seed=seed)
+    os.makedirs(pages_dir, exist_ok=True)
+    step = (pages.num_rows + num_files - 1) // num_files
+    for f in range(num_files):
+        chunk = pages.slice(f * step, step)
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(pages_dir,
+                                               f"part-{f:05d}.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return {"pages": pages_dir, "n_hot": str(int(n_docs * hot_frac))}

@@ -117,8 +117,13 @@ class LangIdModel:
         self.text_col = text_col
         self.min_ratio = min_ratio
         self.tables = sorted(_STOPWORDS.items())  # deterministic tie order
+        # arrow value-set per language, built once per actor
+        self._value_sets = [(lang, pa.array(sorted(words)))
+                            for lang, words in self.tables]
 
     def predict(self, text: str | None) -> str:
+        """Single-doc reference implementation (kept for tests; the batch
+        path below is the vectorized equivalent)."""
         if not text:
             return "unknown"
         toks = text.lower().split()
@@ -132,8 +137,34 @@ class LangIdModel:
         return best
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        preds = [self.predict(x) for x in t[self.text_col].to_pylist()]
-        return t.append_column("lang_pred", pa.array(preds, pa.string()))
+        """Vectorized batch scoring: one regex split + one pc.is_in per
+        language + bincount segment sums — no per-row Python.  Exactly
+        matches predict(): denominator counts non-empty tokens, ties win
+        for the alphabetically-first language, score must EXCEED
+        min_ratio."""
+        n = t.num_rows
+        if n == 0:
+            return t.append_column("lang_pred", pa.array([], pa.string()))
+        txt = pc.fill_null(t[self.text_col], "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(txt), pattern=r"\s+")
+        nper = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks).combine_chunks()
+        parent = np.repeat(np.arange(n), nper)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        denom = np.bincount(parent, weights=nonempty, minlength=n)
+        ratio = np.zeros((len(self.tables), n))
+        safe = np.maximum(denom, 1.0)
+        for li, (_, vs) in enumerate(self._value_sets):
+            hit = pc.is_in(flat, value_set=vs).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            ratio[li] = np.bincount(parent, weights=hit, minlength=n) / safe
+        best = ratio.argmax(axis=0)          # first max = alpha-first lang
+        mx = ratio.max(axis=0) if len(ratio) else np.zeros(n)
+        langs = np.array([l for l, _ in self.tables], dtype=object)
+        pred = np.where(mx > self.min_ratio, langs[best], "unknown")
+        return t.append_column("lang_pred", pa.array(pred.tolist(), pa.string()))
 
 
 def lang_id(ds: ray.data.Dataset, id_col: str = "doc_id",
@@ -158,10 +189,7 @@ def doc_fingerprints(ds: ray.data.Dataset, id_col: str = "doc_id",
                 continue
             a = winnow(txt, g, w)
             counts.append(len(a))
-            x = np.uint64(0)
-            for h in a:
-                x ^= h
-            fps.append(int(x))
+            fps.append(int(np.bitwise_xor.reduce(a)) if len(a) else 0)
         return pa.table({id_col: t[id_col],
                          "n_anchors": pa.array(counts, pa.int64()),
                          "fingerprint": pa.array(fps, pa.uint64())})

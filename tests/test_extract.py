@@ -23,3 +23,37 @@ def test_extract_edge_cases():
     assert extract_text("<header>H</header><p>body</p>") == "body"
     assert extract_text("<script>var x=1;</script>ok") == "ok"
     assert extract_text("<!-- c -->ok") == "ok"
+
+
+def test_extract_column_parity():
+    """Vectorized extract_text_column must match per-row extract_text on
+    the synth corpus and crafted edge cases (null / undecodable -> null)."""
+    import pyarrow as pa
+    from dedup.extract import extract_text, extract_text_column
+    from dedup.synth import generate_pages
+    pages, _ = generate_pages(150, seed=9)
+    crafted = [
+        b"<html><body><p>plain &amp; simple</p></body></html>",
+        b"<script>var x=1</script>text <b>bold</b>  spaced",
+        b"<nav>n</nav><style>s</style>a &lt;tag&gt; &quot;q&quot; &#39;s&#39;",
+        b"<!-- c --><header>h</header>body<footer>f</footer>",
+        b"\xff\xfe\x00broken",
+        None,
+        b"",
+    ]
+    col = pa.chunked_array([pages["html"].combine_chunks(),
+                            pa.array(crafted, pa.binary())])
+    got = extract_text_column(col).to_pylist()
+    for i, b in enumerate(col.to_pylist()):
+        if b is None:
+            assert got[i] is None
+            continue
+        exp = extract_text(b)
+        if exp == "" and got[i] is None:
+            # undecodable: per-row returns '', column path returns null —
+            # both route to error at the caller
+            try:
+                b.decode("utf-8")
+            except UnicodeDecodeError:
+                continue
+        assert got[i] == exp, (i, got[i], exp)

@@ -384,3 +384,28 @@ def test_content_hash_choice_invariant():
     assert all(o == outs[0] for o in outs[1:])
     with pytest.raises(ValueError):
         DedupConfig(content_hash="crc999")
+
+
+def test_filter_visible_states_and_roots():
+    """M10 visibility filter: per-state × per-root row filter
+    (FilterByVisibleFolders, MainViewModel.cs:1819-1851)."""
+    from dedup.pipeline import filter_visible
+    roots = ("https://h1", "https://h2")
+    rows = _pages([("https://h1/p1", LONG), ("https://h1/p2", LONG),
+                   ("https://h2/p3", LONG), ("https://h3/p4", "xx " * 8)])
+    ds = ray.data.from_arrow(_table(rows, DedupConfig(**EXACT))).repartition(2)
+    assign = run_dedup(ds, DedupConfig(**EXACT), check_html=False).materialize()
+    # states only: duplicates view
+    vis = {r["url"] for r in
+           filter_visible(assign, ("keep", "delete")).iter_rows()}
+    assert vis == {"https://h1/p1", "https://h1/p2", "https://h2/p3"}
+    # per-root: only h2's rows of the duplicates view
+    vis2 = {r["url"] for r in
+            filter_visible(assign, ("keep", "delete", "unique"), roots=roots,
+                           visible_roots=(1,)).iter_rows()}
+    assert vis2 == {"https://h2/p3"}
+    # unrooted rows (rank -1) hidden unless -1 enabled
+    vis3 = {r["url"] for r in
+            filter_visible(assign, ("unique",), roots=roots,
+                           visible_roots=(-1,)).iter_rows()}
+    assert vis3 == {"https://h3/p4"}
