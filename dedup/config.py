@@ -54,6 +54,13 @@ class DedupConfig:
     key_lang: bool = False         # CompareExtension analogue (:1081-1085)
     byte_verify: bool = False      # M9 byte comparator analogue (:1094-1146); carries
                                    # text through the exact shuffle — costly, off by default
+    stem_prefix: bool = False      # M7 literal mode (CompareFilenameSimilar,
+                                   # MainViewModel.cs:1064-1072): exact-pass pairs
+                                   # additionally require the ORDER-EARLIER record's
+                                   # stem to be a case-insensitive prefix of the
+                                   # other's (the prober's stem in the greedy scan);
+                                   # the near-dup passes are the scalable
+                                   # generalization (SURVEY.md §2.2 M7)
 
     # --- scope (comparison domain) -----------------------------------
     scope: str = "all"             # one of SCOPE_MODES

@@ -153,7 +153,7 @@ class Preparer:
             exact_full.append(d)
             exact64[i] = int.from_bytes(d[:8], "little")
 
-        return pa.table({
+        out_cols = {
             "node": pa.array(node, pa.uint64()),
             "id": ids,
             "order_key": pa.array(okeys, pa.binary()),
@@ -163,7 +163,12 @@ class Preparer:
             "text": t[cfg.text_col],
             "exact64": pa.array(exact64, pa.uint64()),
             "exact_full": pa.array(exact_full, pa.binary()),
-        })
+        }
+        if cfg.stem_prefix:
+            from .keys import url_stem
+            out_cols["stem"] = pa.array(
+                [url_stem(i).lower() for i in id_list], pa.string())
+        return pa.table(out_cols)
 
 
 def prepare(ds: ray.data.Dataset, cfg: DedupConfig,

@@ -146,6 +146,16 @@ def url_prefix(url: str) -> str:
     return url.rsplit("/", 1)[0]
 
 
+def url_stem(ident) -> str:
+    """Filename-without-extension analogue
+    (Path.GetFileNameWithoutExtension, MainViewModel.cs:1049):
+    last path segment, extension stripped, for the stem predicates."""
+    s = str(ident)
+    seg = s.rsplit("/", 1)[-1]
+    dot = seg.rfind(".")
+    return seg[:dot] if dot > 0 else seg
+
+
 @lru_cache(maxsize=64)
 def _roots_lower(roots: tuple[str, ...]) -> tuple[str, ...]:
     return tuple(r.lower() for r in roots)

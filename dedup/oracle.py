@@ -23,7 +23,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from .config import DedupConfig
-from .keys import natural_key, root_rank, url_host, url_prefix
+from .keys import natural_key, root_rank, url_host, url_prefix, url_stem
 
 
 def _scope_val(cfg: DedupConfig, row: dict, ident) -> str:
@@ -70,9 +70,14 @@ def oracle_assign(rows: list[dict], cfg: DedupConfig) -> pa.Table:
     same = cfg.scope.startswith("same_")
     diff = cfg.scope.startswith("diff_")
 
+    stems = [url_stem(i).lower() for i in ids]
+
     def match(a: int, b: int) -> bool:
+        """a = prober (earlier in global order), b = candidate."""
         if texts[a] != texts[b]:          # size+content+hash conjunction
             return False
+        if cfg.stem_prefix and not stems[b].startswith(stems[a]):
+            return False                  # CompareFilenameSimilar (:1064-1072)
         if cfg.key_ts and cfg.ts_col and rows[a].get(cfg.ts_col) != rows[b].get(cfg.ts_col):
             return False
         if cfg.key_lang and cfg.lang_col and rows[a].get(cfg.lang_col) != rows[b].get(cfg.lang_col):

@@ -158,8 +158,37 @@ def exact_edges(active: ray.data.Dataset, cfg: DedupConfig,
     cols = ["exact64", "exact_full", "node", "scope64"]
     if cfg.byte_verify:
         cols.append("text")
+    if cfg.stem_prefix:
+        cols += ["stem", "order_key"]
     sig = active.select_columns(cols)
     cap = cfg.pair_cap
+
+    def _emit_stem_pairs(g: list, nodes, scopes, stems, okeys,
+                         out_u: list, out_v: list) -> None:
+        """M7 literal mode (CompareFilenameSimilar,
+        MainViewModel.cs:1064-1072): within an exact block, pair (a, b)
+        exists iff the ORDER-EARLIER record's stem (the prober's) is a
+        case-insensitive prefix of the other's.  Over-cap blocks fall
+        back to directional stars from the 3 order-first anchors."""
+        gs = sorted(g, key=lambda i: okeys[i])
+        m = len(gs)
+        if m < 2:
+            return
+        if m <= cap:
+            it = [(x, y) for xi, x in enumerate(gs) for y in gs[xi + 1:]]
+        else:
+            it = [(a, y) for a in gs[:_STAR_ANCHORS]
+                  for y in gs if okeys[a] < okeys[y]]
+        us, vs = [], []
+        for x, y in it:
+            if diff_scope and scopes[x] == scopes[y]:
+                continue
+            if stems[y].startswith(stems[x]):
+                us.append(nodes[x])
+                vs.append(nodes[y])
+        if us:
+            out_u.append(np.array(us, dtype=np.uint64))
+            out_v.append(np.array(vs, dtype=np.uint64))
 
     def _part(t: pa.Table) -> pa.Table:
         e64 = t["exact64"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -167,6 +196,8 @@ def exact_edges(active: ray.data.Dataset, cfg: DedupConfig,
         scopes = t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
         full = t["exact_full"].to_pylist()
         texts = t["text"].to_pylist() if cfg.byte_verify else None
+        stems = t["stem"].to_pylist() if cfg.stem_prefix else None
+        okeys = t["order_key"].to_pylist() if cfg.stem_prefix else None
         order, starts, _ = segments(e64)
         sizes = np.diff(starts)
         out_u: list = []
@@ -190,8 +221,12 @@ def exact_edges(active: ray.data.Dataset, cfg: DedupConfig,
                 else:
                     groups = [rows]
                 for g in groups:
-                    _emit_bucket_pairs(nodes[g], scopes[g], diff_scope, cap,
-                                       out_u, out_v)
+                    if stems is not None:
+                        _emit_stem_pairs(g, nodes, scopes, stems, okeys,
+                                         out_u, out_v)
+                    else:
+                        _emit_bucket_pairs(nodes[g], scopes[g], diff_scope,
+                                           cap, out_u, out_v)
         return _pairs_table(out_u, out_v)
 
     return groupapply(sig, "exact64", _part, P)

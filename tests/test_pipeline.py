@@ -409,3 +409,36 @@ def test_filter_visible_states_and_roots():
             filter_visible(assign, ("unique",), roots=roots,
                            visible_roots=(-1,)).iter_rows()}
     assert vis3 == {"https://h3/p4"}
+
+
+def test_stem_prefix_literal_mode():
+    """M7 literal mode (CompareFilenameSimilar, MainViewModel.cs:1064-1072):
+    exact-content pairs additionally require the prober's stem to be a
+    case-insensitive prefix of the candidate's."""
+    rows = _pages([
+        ("https://h/a/report.html", LONG),        # stem 'report'
+        ("https://h/a/report-v2.html", LONG),     # 'report-v2' (match)
+        ("https://h/a/REPORT-final.html", LONG),  # case-insensitive match
+        ("https://h/a/summary.html", LONG),       # same text, stem differs
+        ("https://h/a/rep.html", "different content " * 4),  # prefix stem,
+                                                  # different text: no match
+    ])
+    cfg = DedupConfig(stem_prefix=True, **EXACT)
+    got = _run(rows, cfg)
+    assert got == _oracle(rows, cfg)
+    assert got["https://h/a/rep.html"][0] == "unique"
+    assert got["https://h/a/summary.html"][0] == "unique"
+    assert got["https://h/a/report.html"][0] == "keep"
+    assert got["https://h/a/report-v2.html"][0] == "delete"
+    assert got["https://h/a/REPORT-final.html"][0] == "delete"
+    # without the flag, all four same-text docs cluster
+    got2 = _run(rows, DedupConfig(**EXACT))
+    assert got2["https://h/a/summary.html"][0] == "delete"
+
+
+def test_url_stem():
+    from dedup.keys import url_stem
+    assert url_stem("https://h/a/report-v2.html") == "report-v2"
+    assert url_stem("https://h/a/noext") == "noext"
+    assert url_stem("https://h/a/.hidden") == ".hidden"
+    assert url_stem(42) == "42"
