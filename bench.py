@@ -166,25 +166,52 @@ def run_suite() -> dict:
     }
 
 
+def _cpu_probe() -> float:
+    """Single-core speed probe (seconds to sort 8M uint64).  This host's
+    effective CPU speed drifts 2-3x over tens of minutes (shared VM,
+    invisible steal); the probe is recorded next to each scaling leg so
+    a drift-skewed efficiency number is visible as such."""
+    import numpy as np
+    x = np.random.default_rng(0).integers(0, 2 ** 63, size=8_000_000,
+                                          dtype=np.uint64)
+    t0 = time.time()
+    np.sort(x)
+    return round(time.time() - t0, 3)
+
+
 def run_scaling() -> dict:
-    # pre-synthesize once so neither timed run pays generation cost
+    """N-vs-4N sandbox protocol: fresh processes at 8 and 32 CPUs over
+    the same pre-synthesized corpus.  Legs run in ALTERNATING order
+    (8, 32, 32, 8) and the best throughput per cpu count is used, so a
+    host-speed drift mid-measurement cannot silently masquerade as
+    (anti-)scaling; each leg carries a single-core probe."""
     synth_bench_corpus_sub(SCALING_DOCS)
-    results = {}
-    env = {**os.environ, "DEDUP_BENCH_DOCS": str(SCALING_DOCS)}
-    for cpus in (8, 32):
+    env = {**os.environ, "DEDUP_BENCH_DOCS": str(SCALING_DOCS),
+           "DEDUP_BENCH_REPS": "1"}
+    legs = []
+    best: dict[int, dict] = {}
+    for cpus in (8, 32, 32, 8):
+        probe = _cpu_probe()
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--pages-only",
              "--cpus", str(cpus)],
             capture_output=True, text=True, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        run = json.loads(line)
+        run["cpu_probe_sec"] = probe
+        legs.append(run)
+        if cpus not in best or run["docs_per_sec"] > best[cpus]["docs_per_sec"]:
+            best[cpus] = run
+    results = {8: best[8], 32: best[32]}
     eff = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0
     out = {
-        "metric": "scaling efficiency (8 -> 32 cpus, fresh processes)",
+        "metric": "scaling efficiency (8 -> 32 cpus, fresh processes, "
+                  "alternating legs, best-of-2 per cpu count)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "runs": results,
+        "legs": legs,
         "docs": SCALING_DOCS,
     }
     _record_baseline(results, eff)

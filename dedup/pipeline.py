@@ -467,7 +467,11 @@ def simhash_edges(active: ray.data.Dataset, cfg: DedupConfig,
             out_v.append(nd[iv][keep])
         return _pairs_table(out_u, out_v)
 
-    return groupapply(rows, "skey", _part, P)
+    # a verified pair repeats in up to hamming+1 pigeonhole blocks; dedupe
+    # here (one cheap 16-B/row shuffle, overlapped with the other edge
+    # stages) so the union-find never sees the duplicates — its local
+    # path's driver-side sort scales with TOTAL edge count
+    return dedupe_pairs(groupapply(rows, "skey", _part, P), P)
 
 
 # ---------------------------------------------------------------------------
@@ -709,12 +713,106 @@ def _paired_indices(t: pa.Table):
     return i0, i1
 
 
+#: Candidate-payload bytes under which verification broadcasts the
+#: filtered payload table once (ray.put, zero-copy plasma reads) and
+#: judges pairs in a single map pass — no payload ever enters a shuffle.
+#: Above it, the reduce-side attach_payloads path runs (scales with the
+#: corpus; payload volume through the shuffle is O(pairs)).
+VERIFY_BROADCAST_BYTES = 2 << 30
+
+
+def _filtered_payload(pairs: ray.data.Dataset, payload: ray.data.Dataset,
+                      payload_col: str) -> tuple:
+    """(cand_sorted, small_materialized): payload rows restricted to the
+    pair endpoints (map-side filter against the broadcast sorted
+    candidate array)."""
+    cand = _candidate_nodes(pairs)
+    cand_ref = ray.put(cand)
+
+    def _f(t: pa.Table) -> pa.Table:
+        arr = ray.get(cand_ref)
+        nd = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pos = np.searchsorted(arr, nd)
+        pos[pos >= len(arr)] = 0
+        m = (arr[pos] == nd) if len(arr) else np.zeros(len(nd), dtype=bool)
+        t = t.filter(pa.array(m))
+        t = t.filter(pc.invert(pc.is_null(t[payload_col])))
+        return t.select(["node", payload_col])
+
+    return cand, payload.map_batches(_f, batch_format="pyarrow").materialize()
+
+
+def _collect_payload(small: ray.data.Dataset, payload_col: str) -> tuple:
+    """Driver-assemble the (bounded) filtered payload: sorted node array
+    + payload list (arrow array for generic payloads)."""
+    nodes_l = [np.array([], dtype=np.uint64)]
+    pay_l: list = []
+    for ref in small.get_internal_block_refs():
+        b = ray.get(ref)
+        if b.num_rows == 0 or "node" not in b.column_names:
+            continue
+        nodes_l.append(b["node"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        pay_l.append(b[payload_col].combine_chunks())
+    nodes = np.concatenate(nodes_l)
+    pays = pa.concat_arrays(pay_l) if pay_l else pa.array([], pa.binary())
+    o = np.argsort(nodes)
+    return nodes[o], pays.take(pa.array(o))
+
+
+def _sig_matrix(pays: pa.Array, num_perm: int) -> np.ndarray:
+    """(n, num_perm) uint64 matrix from a binary signature column
+    (zero-copy when fixed-width)."""
+    n = len(pays)
+    if n == 0:
+        return np.zeros((0, num_perm), dtype=np.uint64)
+    offs = np.frombuffer(pays.buffers()[1], dtype=np.int32,
+                         count=n + 1, offset=pays.offset * 4)
+    widths = np.diff(offs)
+    if (widths == num_perm * 8).all():
+        vals = np.frombuffer(pays.buffers()[2], dtype="<u8")
+        return vals[offs[0] // 8: offs[-1] // 8].reshape(n, num_perm)
+    return np.frombuffer(b"".join(pays.to_pylist()),
+                         dtype="<u8").reshape(n, num_perm)
+
+
 def verify_minhash_pairs(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
                          num_perm: int, threshold: float,
                          P: int) -> ray.data.Dataset:
-    """Signature-agreement verification, distributed + vectorized: the
-    per-pair judge is one row-wise equality mean over (n_pairs, P) uint64
-    matrices."""
+    """Signature-agreement verification; the per-pair judge is one
+    row-wise equality mean over (n_pairs, P) uint64 matrices.
+
+    Strategy auto-selected by candidate volume: small candidate sets
+    broadcast the filtered signature matrix once and judge in a single
+    map pass over the pairs (no payload shuffle at all); large sets use
+    the reduce-side attach (payload volume through the shuffle stays
+    O(pairs), never the corpus)."""
+    pairs = pairs.materialize()
+    if 2 * pairs.count() <= ATTACH_BROADCAST_THRESHOLD:
+        cand, small = _filtered_payload(pairs, sigs, "minhash")
+        if len(cand) * (num_perm * 8 + 8) <= VERIFY_BROADCAST_BYTES:
+            nodes, pays = _collect_payload(small, "minhash")
+            mat = _sig_matrix(pays, num_perm)
+            ref = ray.put((nodes, mat))
+
+            def _judge_bcast(t: pa.Table) -> pa.Table:
+                nd, m = ray.get(ref)
+                u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                pu = np.searchsorted(nd, u)
+                pv = np.searchsorted(nd, v)
+                pu_c = np.clip(pu, 0, max(len(nd) - 1, 0))
+                pv_c = np.clip(pv, 0, max(len(nd) - 1, 0))
+                ok = ((nd[pu_c] == u) & (nd[pv_c] == v)) if len(nd) else \
+                    np.zeros(len(u), dtype=bool)
+                keep = np.zeros(len(u), dtype=bool)
+                if ok.any():
+                    agree = (m[pu_c[ok]] == m[pv_c[ok]]).mean(axis=1)
+                    keep[np.flatnonzero(ok)] = agree >= threshold
+                return pa.table({"u": u[keep], "v": v[keep]},
+                                schema=_PAIR_SCHEMA)
+
+            return pairs.map_batches(_judge_bcast, batch_format="pyarrow")
+        sigs = small  # pre-filtered: only candidate payload enters the shuffle
     attached = attach_payloads(pairs, sigs, "minhash", P)
 
     def _judge(t: pa.Table) -> pa.Table:
@@ -749,9 +847,41 @@ def verify_minhash_pairs(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
 def verify_pairs(pairs: ray.data.Dataset, payload: ray.data.Dataset,
                  payload_col: str, verdict, P: int) -> ray.data.Dataset:
     """Generic pairwise verification with an arbitrary ``verdict(a, b)``
-    (used by the substring pass: exact containment).  Distributed via the
-    same reduce-side attach; only the final per-pair verdict is a Python
-    call, over the (small, deduplicated) candidate pair set."""
+    (used by the substring pass: exact containment; by the n-gram
+    Jaccard mode: exact shingle Jaccard).  Only the final per-pair
+    verdict is a Python call, over the (small, deduplicated) candidate
+    pair set.
+
+    Same auto-selected strategy as verify_minhash_pairs: candidate
+    payloads that fit VERIFY_BROADCAST_BYTES are broadcast once and
+    judged in a single map pass; larger sets go through the reduce-side
+    attach shuffle."""
+    pairs = pairs.materialize()
+    if 2 * pairs.count() <= ATTACH_BROADCAST_THRESHOLD:
+        cand, small = _filtered_payload(pairs, payload, payload_col)
+        if small.size_bytes() <= VERIFY_BROADCAST_BYTES:
+            nodes, pays = _collect_payload(small, payload_col)
+            ref = ray.put((nodes, pays))
+
+            def _judge_bcast(t: pa.Table) -> pa.Table:
+                nd, pl = ray.get(ref)
+                u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                pu = np.clip(np.searchsorted(nd, u), 0, max(len(nd) - 1, 0))
+                pv = np.clip(np.searchsorted(nd, v), 0, max(len(nd) - 1, 0))
+                ok = ((nd[pu] == u) & (nd[pv] == v)) if len(nd) else \
+                    np.zeros(len(u), dtype=bool)
+                keep = np.zeros(len(u), dtype=bool)
+                for j in np.flatnonzero(ok):
+                    a = pl[int(pu[j])].as_py()
+                    b = pl[int(pv[j])].as_py()
+                    if a is not None and b is not None and verdict(a, b):
+                        keep[j] = True
+                return pa.table({"u": u[keep], "v": v[keep]},
+                                schema=_PAIR_SCHEMA)
+
+            return pairs.map_batches(_judge_bcast, batch_format="pyarrow")
+        payload = small  # pre-filtered for the shuffle path
     attached = attach_payloads(pairs, payload, payload_col, P)
 
     def _judge(t: pa.Table) -> pa.Table:
