@@ -166,6 +166,33 @@ def _q_survivors(sf_dir: str):
     return out.map_batches(_n, batch_format="pyarrow").sort("doc_id")
 
 
+def _events_cfg(**kw) -> DedupConfig:
+    base = dict(id_col="event_id", text_col="props", ts_col="ts",
+                lang_col="", near=False, simhash=False, substring=False,
+                min_doc_bytes=0)
+    base.update(kw)
+    return DedupConfig(**base)
+
+
+def _q_events_dedup_props(sf_dir: str):
+    """Exact dedup over the events table keyed on props content only —
+    baseline for the M3 pair (events carry repeated props payloads)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "props"])
+    return run_dedup(ds, _events_cfg(ts_col="")).sort("event_id")
+
+
+def _q_events_dedup_props_ts(sf_dir: str):
+    """M3 date-modified predicate (CompareDateModified,
+    MainViewModel.cs:1011-1014) driver-checked: key_ts folds the ts
+    column into the exact key, so props-duplicates at distinct
+    timestamps must NOT cluster — against events_dedup_props this pair
+    proves the ts key splits groups exactly as the SQL oracle does."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "props", "ts"])
+    return run_dedup(ds, _events_cfg(key_ts=True)).sort("event_id")
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing: actor-pool decode over a deterministic fake
     media table (decode kernel stubbed; see dedup.multimodal)."""
@@ -408,6 +435,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_stats": _q_exact_dedup_stats,
         "visible_duplicates": _q_visible_duplicates,
         "delete_manifest": _q_delete_manifest,
+        "events_dedup_props": _q_events_dedup_props,
+        "events_dedup_props_ts": _q_events_dedup_props_ts,
         "survivors": _q_survivors,
         "media_features": _q_media_features,
         "token_count": _q_token_count,
@@ -476,6 +505,24 @@ FROM base WHERE nb < {_MIN}
 """
 
 
+def _events_dedup_sql(part: str) -> str:
+    return f"""
+    WITH ok AS (SELECT event_id,
+                       MIN(event_id) OVER (PARTITION BY {part}) AS min_id,
+                       COUNT(*) OVER (PARTITION BY {part}) AS cnt
+                FROM events WHERE props IS NOT NULL)
+    SELECT event_id,
+           CASE WHEN cnt = 1 THEN 'unique' WHEN event_id = min_id THEN 'keep'
+                ELSE 'delete' END AS state,
+           CASE WHEN cnt = 1 THEN -1 ELSE min_id END AS cluster_id,
+           CASE WHEN cnt = 1 THEN 1 ELSE cnt END AS cluster_size
+    FROM ok
+    UNION ALL
+    SELECT event_id, 'error' AS state, -1 AS cluster_id, 0 AS cluster_size
+    FROM events WHERE props IS NULL
+    ORDER BY event_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     same_source_sql = _EXACT_SQL.replace(
         "SELECT doc_id, text, length(text) AS nb FROM documents",
@@ -502,6 +549,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id, d.lang FROM ({_EXACT_SQL}) a
             JOIN documents d USING (doc_id)
             WHERE a.state IN ('keep', 'unique') ORDER BY a.doc_id""",
+        "events_dedup_props": _events_dedup_sql("props"),
+        "events_dedup_props_ts": _events_dedup_sql("props, ts"),
         "exact_dedup_byteverify": f"SELECT * FROM ({_EXACT_SQL}) ORDER BY doc_id",
         "exact_dedup_blake2b": f"SELECT * FROM ({_EXACT_SQL}) ORDER BY doc_id",
         "exact_dedup_stats": f"""

@@ -149,6 +149,23 @@ def _pairs_table(out_u: list, out_v: list) -> pa.Table:
 # exact pass  (D1: group by (scope?, exact-key); SURVEY.md §2.7)
 # ---------------------------------------------------------------------------
 
+def _full_hi(col: pa.ChunkedArray) -> np.ndarray:
+    """Bytes 8..16 of a 16-byte binary column as uint64 (zero-copy when
+    the layout is uniform 16-byte values, which it always is for ok
+    rows; ragged fallback kept for safety)."""
+    arr = col.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=n + 1,
+                         offset=arr.offset * 4)
+    if (np.diff(offs) == 16).all():
+        vals = np.frombuffer(arr.buffers()[2], dtype="<u8")
+        return vals[offs[0] // 8: offs[0] // 8 + 2 * n].reshape(n, 2)[:, 1].copy()
+    return np.array([int.from_bytes((b or b"")[8:16].ljust(8, b"\0"), "little")
+                     for b in arr.to_pylist()], dtype=np.uint64)
+
+
 def exact_edges(active: ray.data.Dataset, cfg: DedupConfig,
                 P: int) -> ray.data.Dataset:
     """Edges connecting members of each exact-equality block.  The shuffle
@@ -194,39 +211,41 @@ def exact_edges(active: ray.data.Dataset, cfg: DedupConfig,
         e64 = t["exact64"].to_numpy(zero_copy_only=False).astype(np.uint64)
         nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
         scopes = t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        full = t["exact_full"].to_pylist()
+        # split rare exact64 collisions on the 16-byte key, vectorized:
+        # bytes 8..16 of exact_full as a second uint64, one lexsort over
+        # the composite (e64, ehi) — no Python-object conversion on the
+        # common (no byte-verify / no stem) path
+        ehi = _full_hi(t["exact_full"])
         texts = t["text"].to_pylist() if cfg.byte_verify else None
         stems = t["stem"].to_pylist() if cfg.stem_prefix else None
         okeys = t["order_key"].to_pylist() if cfg.stem_prefix else None
-        order, starts, _ = segments(e64)
+        order = np.lexsort((ehi, e64))
+        se, sh = e64[order], ehi[order]
+        if len(se) == 0:
+            return _EMPTY_PAIRS
+        change = (se[1:] != se[:-1]) | (sh[1:] != sh[:-1])
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1, [len(se)]])
         sizes = np.diff(starts)
         out_u: list = []
         out_v: list = []
         for gi in np.flatnonzero(sizes >= 2):
             s, e = starts[gi], starts[gi + 1]
             idx = order[s:e]
-            # split rare exact64 collisions on the full 16-byte key
-            sub: dict[bytes, list[int]] = {}
-            for i in idx:
-                sub.setdefault(full[i], []).append(i)
-            for rows in sub.values():
-                if len(rows) < 2:
-                    continue
-                if texts is not None:
-                    # byte-verify (M9): sub-split on actual text equality
-                    by_text: dict[str, list[int]] = {}
-                    for i in rows:
-                        by_text.setdefault(texts[i], []).append(i)
-                    groups = [g for g in by_text.values() if len(g) > 1]
+            if texts is not None:
+                # byte-verify (M9): sub-split on actual text equality
+                by_text: dict[str, list[int]] = {}
+                for i in idx:
+                    by_text.setdefault(texts[i], []).append(i)
+                groups = [g for g in by_text.values() if len(g) > 1]
+            else:
+                groups = [idx]
+            for g in groups:
+                if stems is not None:
+                    _emit_stem_pairs(list(g), nodes, scopes, stems, okeys,
+                                     out_u, out_v)
                 else:
-                    groups = [rows]
-                for g in groups:
-                    if stems is not None:
-                        _emit_stem_pairs(g, nodes, scopes, stems, okeys,
-                                         out_u, out_v)
-                    else:
-                        _emit_bucket_pairs(nodes[g], scopes[g], diff_scope,
-                                           cap, out_u, out_v)
+                    _emit_bucket_pairs(nodes[g], scopes[g], diff_scope,
+                                       cap, out_u, out_v)
         return _pairs_table(out_u, out_v)
 
     return groupapply(sig, "exact64", _part, P)
@@ -1163,24 +1182,32 @@ def assign_states(prep: ray.data.Dataset, labels: ray.data.Dataset,
     clustered = attached.map_batches(_clustered, batch_format="pyarrow")
 
     def _assign(t: pa.Table) -> pa.Table:
-        sk = t["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        ids = t["id"].to_pylist()
-        okeys = t["order_key"].to_pylist()
-        order, starts, _ = segments(sk)
-        o_id, o_state, o_cid, o_size = [], [], [], []
-        for s, e in zip(starts[:-1], starts[1:]):
-            idx = order[s:e]
-            rep = min(idx, key=lambda i: okeys[i])
-            size = len(idx)
-            for i in idx:
-                o_id.append(ids[i])
-                o_state.append("keep" if i == rep else "delete")
-                o_cid.append(ids[rep])
-                o_size.append(size)
-        return pa.table({"id": pa.array(o_id, id_type),
-                         "state": pa.array(o_state, pa.string()),
-                         "cluster_id": pa.array(o_cid, id_type),
-                         "cluster_size": pa.array(o_size, pa.int64())})
+        # fully vectorized keeper selection: one arrow multi-key sort by
+        # (cluster, order_key) — binary order_key compares lexicographically,
+        # identical to the min-by-bytes reduce — then segment firsts are the
+        # keepers and np.repeat broadcasts (cluster_id, size) to members
+        idx = pc.sort_indices(t, sort_keys=[("skey", "ascending"),
+                                            ("order_key", "ascending")])
+        t2 = t.take(idx)
+        sk = t2["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(sk)
+        if n == 0:
+            return pa.table({"id": pa.array([], id_type),
+                             "state": pa.array([], pa.string()),
+                             "cluster_id": pa.array([], id_type),
+                             "cluster_size": pa.array([], pa.int64())})
+        brk = np.flatnonzero(sk[1:] != sk[:-1]) + 1
+        starts = np.concatenate([[0], brk]).astype(np.int64)
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        rep_rows = np.repeat(starts, sizes)
+        state = np.full(n, "delete", dtype=object)
+        state[starts] = "keep"
+        ids2 = t2["id"].combine_chunks()
+        return pa.table({"id": ids2,
+                         "state": pa.array(state.tolist(), pa.string()),
+                         "cluster_id": ids2.take(pa.array(rep_rows)),
+                         "cluster_size": pa.array(np.repeat(sizes, sizes),
+                                                  pa.int64())})
 
     assigned = groupapply(clustered, "skey", _assign, P)
     out = nonclustered.union(assigned)
