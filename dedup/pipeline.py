@@ -127,6 +127,39 @@ def _emit_bucket_pairs(nodes: np.ndarray, scopes: np.ndarray | None,
             out_v.append(nodes[a + 1:])
 
 
+def _emit_partition_pairs(sk: np.ndarray, nodes: np.ndarray,
+                          scopes: np.ndarray | None, diff_scope: bool,
+                          cap: int, out_u: list, out_v: list) -> None:
+    """All candidate pairs of one hash partition, grouped by ``sk``.
+    Size-2 buckets — the overwhelming majority under LSH banding (a true
+    duplicate pair resurfaces as its own 2-bucket in most of the b
+    bands) — are emitted in ONE vectorized step; only buckets >= 3 rows
+    take the per-bucket path."""
+    order, starts, _ = segments(sk)
+    sizes = np.diff(starts)
+    nodes_s = nodes[order]
+    scopes_s = scopes[order] if scopes is not None else None
+    two = np.flatnonzero(sizes == 2)
+    if len(two):
+        s2 = starts[two]
+        a, b = nodes_s[s2], nodes_s[s2 + 1]
+        u2, v2 = np.minimum(a, b), np.maximum(a, b)
+        keep = u2 != v2
+        if diff_scope:
+            if scopes_s is None:
+                keep[:] = False
+            else:
+                keep &= scopes_s[s2] != scopes_s[s2 + 1]
+        out_u.append(u2[keep])
+        out_v.append(v2[keep])
+    for gi in np.flatnonzero(sizes >= 3):
+        s, e = starts[gi], starts[gi + 1]
+        idx = order[s:e]
+        _emit_bucket_pairs(nodes[idx],
+                           scopes[idx] if scopes is not None else None,
+                           diff_scope, cap, out_u, out_v)
+
+
 def _star_indices(n: int) -> tuple[np.ndarray, np.ndarray]:
     """Index pairs of a multi-anchor star over n sorted nodes (the
     over-cap replacement for triu_indices; see _STAR_ANCHORS)."""
@@ -275,14 +308,17 @@ def lsh_band_rows(sigs: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
     same_scope = cfg.scope.startswith("same_")
     consts = [_band_const(i) for i in range(b)]
 
+    scoped = cfg.scope != "all"  # scope64 rides the shuffle only when used
+
     def _explode(t: pa.Table) -> pa.Table:
         mask = pc.invert(pc.is_null(t["minhash"]))
         t = t.filter(mask)
         n = t.num_rows
         if n == 0:
             cols = {"skey": pa.array([], pa.uint64()),
-                    "node": pa.array([], pa.uint64()),
-                    "scope64": pa.array([], pa.uint64())}
+                    "node": pa.array([], pa.uint64())}
+            if scoped:
+                cols["scope64"] = pa.array([], pa.uint64())
             if S > 0:
                 cols["skey0"] = pa.array([], pa.uint64())
             return pa.table(cols)
@@ -309,7 +345,8 @@ def lsh_band_rows(sigs: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
         else:
             cols["skey"] = keys.reshape(-1)
         cols["node"] = np.tile(nodes, b)
-        cols["scope64"] = np.tile(scopes, b)
+        if scoped:
+            cols["scope64"] = np.tile(scopes, b)
         return pa.table(cols)
 
     return sigs.map_batches(_explode, batch_format="pyarrow")
@@ -332,20 +369,24 @@ def _salted_pairs_and_reps(rows: ray.data.Dataset, cfg: DedupConfig,
     def _part(t: pa.Table) -> pa.Table:
         sk = t["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
         nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        scopes = t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        scoped = "scope64" in t.column_names
+        scopes = (t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                  if scoped else np.zeros(len(sk), dtype=np.uint64))
         sk0 = t["skey0"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        order, starts, _ = segments(sk)
-        sizes = np.diff(starts)
         out_u: list = []
         out_v: list = []
-        reps = np.empty(len(starts) - 1, dtype=np.int64)
-        for gi in range(len(starts) - 1):
-            s, e = starts[gi], starts[gi + 1]
-            idx = order[s:e]
-            reps[gi] = idx[np.argmin(nodes[idx])]
-            if sizes[gi] >= 2:
-                _emit_bucket_pairs(nodes[idx], scopes[idx], diff_scope, cap,
-                                   out_u, out_v)
+        # per-bucket min-node rep, vectorized: lexsort by (skey, node),
+        # segment firsts are the argmins
+        order2 = np.lexsort((nodes, sk))
+        sks = sk[order2]
+        if len(sks) == 0:
+            reps = np.zeros(0, dtype=np.int64)
+        else:
+            starts2 = np.concatenate(
+                [[0], np.flatnonzero(sks[1:] != sks[:-1]) + 1])
+            reps = order2[starts2]
+        _emit_partition_pairs(sk, nodes, scopes if scoped else None,
+                              diff_scope, cap, out_u, out_v)
         pu = np.concatenate(out_u) if out_u else np.array([], dtype=np.uint64)
         pv = np.concatenate(out_v) if out_v else np.array([], dtype=np.uint64)
         n_p, n_r = len(pu), len(reps)
@@ -371,16 +412,11 @@ def bucket_pairs(rows: ray.data.Dataset, cfg: DedupConfig,
     def _part(t: pa.Table) -> pa.Table:
         sk = t["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
         nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        scopes = t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        order, starts, _ = segments(sk)
-        sizes = np.diff(starts)
+        scopes = (t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                  if "scope64" in t.column_names else None)
         out_u: list = []
         out_v: list = []
-        for gi in np.flatnonzero(sizes >= 2):
-            s, e = starts[gi], starts[gi + 1]
-            idx = order[s:e]
-            _emit_bucket_pairs(nodes[idx], scopes[idx], diff_scope, cap,
-                               out_u, out_v)
+        _emit_partition_pairs(sk, nodes, scopes, diff_scope, cap, out_u, out_v)
         return _pairs_table(out_u, out_v)
 
     return groupapply(rows, "skey", _part, P)
@@ -429,6 +465,8 @@ def simhash_edges(active: ray.data.Dataset, cfg: DedupConfig,
         _sign, batch_format="pyarrow",
     ).select_columns(["node", "scope64", "simhash"])
 
+    scoped = cfg.scope != "all"  # scope64 rides the shuffle only when used
+
     def _explode(t: pa.Table) -> pa.Table:
         fp = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         mask = fp != 0
@@ -444,12 +482,14 @@ def simhash_edges(active: ray.data.Dataset, cfg: DedupConfig,
                 if same_scope:
                     h = mix64(h ^ scopes)
                 keys[i] = h
-        return pa.table({
+        cols = {
             "skey": keys.reshape(-1),
             "node": np.tile(nodes, n_blocks),
-            "scope64": np.tile(scopes, n_blocks),
             "fp": np.tile(fp, n_blocks),
-        })
+        }
+        if scoped:
+            cols["scope64"] = np.tile(scopes, n_blocks)
+        return pa.table(cols)
 
     rows = sigs.map_batches(_explode, batch_format="pyarrow")
 
@@ -460,18 +500,34 @@ def simhash_edges(active: ray.data.Dataset, cfg: DedupConfig,
     def _part(t: pa.Table) -> pa.Table:
         sk = t["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
         nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        scopes = t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        scopes = (t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                  if "scope64" in t.column_names else None)
         fps = t["fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
         order, starts, _ = segments(sk)
         sizes = np.diff(starts)
         out_u: list = []
         out_v: list = []
-        for gi in np.flatnonzero(sizes >= 2):
+        # vectorized fast path for size-2 blocks (the common case): one
+        # popcount + compare over every 2-bucket at once
+        two = np.flatnonzero(sizes == 2)
+        if len(two):
+            i0, i1 = order[starts[two]], order[starts[two] + 1]
+            a, b = nodes[i0], nodes[i1]
+            keep = (_popcnt(fps[i0] ^ fps[i1]) <= maxham) & (a != b)
+            if diff_scope:
+                keep = (keep & (scopes[i0] != scopes[i1])) if scopes is not None \
+                    else np.zeros(len(a), dtype=bool)
+            out_u.append(np.minimum(a, b)[keep])
+            out_v.append(np.maximum(a, b)[keep])
+        for gi in np.flatnonzero(sizes >= 3):
             s, e = starts[gi], starts[gi + 1]
             idx = order[s:e]
-            nd, sc, f = nodes[idx], scopes[idx], fps[idx]
+            nd, f = nodes[idx], fps[idx]
+            sc = scopes[idx] if scopes is not None else None
             o = np.argsort(nd, kind="stable")
-            nd, sc, f = nd[o], sc[o], f[o]
+            nd, f = nd[o], f[o]
+            if sc is not None:
+                sc = sc[o]
             n = len(nd)
             if n <= cap:
                 iu, iv = np.triu_indices(n, k=1)
@@ -481,7 +537,8 @@ def simhash_edges(active: ray.data.Dataset, cfg: DedupConfig,
             ham = _popcnt(f[iu] ^ f[iv])
             keep = (ham <= maxham) & (nd[iu] != nd[iv])
             if diff_scope:
-                keep &= sc[iu] != sc[iv]
+                keep = keep & (sc[iu] != sc[iv]) if sc is not None \
+                    else np.zeros(len(keep), dtype=bool)
             out_u.append(nd[iu][keep])
             out_v.append(nd[iv][keep])
         return _pairs_table(out_u, out_v)
@@ -510,6 +567,8 @@ def substring_candidates(active: ray.data.Dataset, cfg: DedupConfig,
     same_scope = cfg.scope.startswith("same_")
     cap = cfg.pair_cap
 
+    scoped = cfg.scope != "all"  # scope64 rides the shuffle only when used
+
     def _anchors(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater_equal(t["n_chars"], min_sub))
         nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -524,20 +583,25 @@ def substring_candidates(active: ray.data.Dataset, cfg: DedupConfig,
                     a = mix64(a ^ scopes[i])
             ks.append(a)
             ns.append(np.full(len(a), nodes[i], dtype=np.uint64))
-            ss.append(np.full(len(a), scopes[i], dtype=np.uint64))
+            if scoped:
+                ss.append(np.full(len(a), scopes[i], dtype=np.uint64))
             ls.append(np.full(len(a), ncs[i], dtype=np.int64))
             cs.append(np.full(len(a), len(a), dtype=np.int64))
         if not ks:
-            return pa.table({"skey": pa.array([], pa.uint64()),
-                             "node": pa.array([], pa.uint64()),
-                             "scope64": pa.array([], pa.uint64()),
-                             "n_chars": pa.array([], pa.int64()),
-                             "n_anchors": pa.array([], pa.int64())})
-        return pa.table({"skey": np.concatenate(ks),
-                         "node": np.concatenate(ns),
-                         "scope64": np.concatenate(ss),
-                         "n_chars": np.concatenate(ls),
-                         "n_anchors": np.concatenate(cs)})
+            cols = {"skey": pa.array([], pa.uint64()),
+                    "node": pa.array([], pa.uint64()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "n_anchors": pa.array([], pa.int64())}
+            if scoped:
+                cols["scope64"] = pa.array([], pa.uint64())
+            return pa.table(cols)
+        cols = {"skey": np.concatenate(ks),
+                "node": np.concatenate(ns),
+                "n_chars": np.concatenate(ls),
+                "n_anchors": np.concatenate(cs)}
+        if scoped:
+            cols["scope64"] = np.concatenate(ss)
+        return pa.table(cols)
 
     rows = active.select_columns(["node", "scope64", "n_chars", "text"]) \
                  .map_batches(_anchors, batch_format="pyarrow")
@@ -545,7 +609,8 @@ def substring_candidates(active: ray.data.Dataset, cfg: DedupConfig,
     def _part(t: pa.Table) -> pa.Table:
         sk = t["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
         nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        scopes = t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        scopes = (t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                  if "scope64" in t.column_names else None)
         ncs = t["n_chars"].to_numpy(zero_copy_only=False)
         nas = t["n_anchors"].to_numpy(zero_copy_only=False)
         order, starts, _ = segments(sk)
@@ -553,7 +618,22 @@ def substring_candidates(active: ray.data.Dataset, cfg: DedupConfig,
         out_u: list = []
         out_v: list = []
         out_na: list = []
-        for gi in np.flatnonzero(sizes >= 2):
+        # size-2 fast path (winnow() emits UNIQUE anchors per doc, so a
+        # node appears at most once per anchor bucket): one vectorized
+        # pass over all 2-buckets
+        two = np.flatnonzero(sizes == 2)
+        if len(two):
+            i0, i1 = order[starts[two]], order[starts[two] + 1]
+            a, b = nodes[i0], nodes[i1]
+            keep = (a != b) & (ncs[i0] != ncs[i1])
+            if diff_scope:
+                keep = keep & (scopes[i0] != scopes[i1]) \
+                    if scopes is not None else np.zeros(len(a), dtype=bool)
+            out_u.append(np.minimum(a, b)[keep])
+            out_v.append(np.maximum(a, b)[keep])
+            out_na.append(np.where(ncs[i0] <= ncs[i1],
+                                   nas[i0], nas[i1])[keep])
+        for gi in np.flatnonzero(sizes >= 3):
             s, e = starts[gi], starts[gi + 1]
             idx = order[s:e]
             nd = nodes[idx]
@@ -561,10 +641,12 @@ def substring_candidates(active: ray.data.Dataset, cfg: DedupConfig,
             if len(uniq_i) < 2:
                 continue
             nd = nd[uniq_i]
-            sc, ln, na = (scopes[idx][uniq_i], ncs[idx][uniq_i],
-                          nas[idx][uniq_i])
+            sc = scopes[idx][uniq_i] if scopes is not None else None
+            ln, na = ncs[idx][uniq_i], nas[idx][uniq_i]
             o = np.argsort(nd, kind="stable")
-            nd, sc, ln, na = nd[o], sc[o], ln[o], na[o]
+            nd, ln, na = nd[o], ln[o], na[o]
+            if sc is not None:
+                sc = sc[o]
             n = len(nd)
             if n <= cap:
                 iu, iv = np.triu_indices(n, k=1)
