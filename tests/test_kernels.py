@@ -154,3 +154,59 @@ def test_star_cap_recall_under_verification():
                     found += 1
     assert total > 20
     assert found / total >= 0.99, found / total
+
+
+def test_emit_partition_pairs_matches_per_bucket_reference():
+    """The vectorized size-2 fast path + >=3 loop must emit exactly the
+    pairs of the per-bucket reference (_emit_bucket_pairs over every
+    bucket), for plain / diff-scope modes and over-cap buckets."""
+    from dedup.pipeline import _emit_bucket_pairs, _emit_partition_pairs
+    from dedup.dist import segments
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    sk = rng.integers(0, 1800, n).astype(np.uint64)  # many size-2 buckets
+    nodes = rng.permutation(n).astype(np.uint64)
+    scopes = rng.integers(0, 3, n).astype(np.uint64)
+    cap = 8
+
+    def canon(out_u, out_v):
+        if not out_u:
+            return set()
+        u = np.concatenate(out_u)
+        v = np.concatenate(out_v)
+        return set(zip(u.tolist(), v.tolist()))
+
+    for diff_scope, sc in ((False, scopes), (True, scopes), (False, None)):
+        ref_u, ref_v = [], []
+        order, starts, _ = segments(sk)
+        for gi in range(len(starts) - 1):
+            s, e = starts[gi], starts[gi + 1]
+            if e - s < 2:
+                continue
+            idx = order[s:e]
+            _emit_bucket_pairs(nodes[idx],
+                               sc[idx] if sc is not None else None,
+                               diff_scope, cap, ref_u, ref_v)
+        got_u, got_v = [], []
+        _emit_partition_pairs(sk, nodes, sc, diff_scope, cap, got_u, got_v)
+        assert canon(got_u, got_v) == canon(ref_u, ref_v), \
+            f"mismatch diff_scope={diff_scope} scoped={sc is not None}"
+
+
+def test_full_hi_views_second_word():
+    """_full_hi must return bytes 8..16 of each 16-byte key, for chunked
+    and sliced layouts."""
+    import hashlib
+    import pyarrow as pa
+    from dedup.pipeline import _full_hi
+
+    vals = [hashlib.blake2b(str(i).encode(), digest_size=16).digest()
+            for i in range(300)]
+    exp = np.array([int.from_bytes(v[8:16], "little") for v in vals],
+                   dtype=np.uint64)
+    col = pa.chunked_array([pa.array(vals[:100], pa.binary()),
+                            pa.array(vals[100:], pa.binary())])
+    assert (_full_hi(col) == exp).all()
+    sl = pa.table({"x": pa.array(vals, pa.binary())}).slice(37, 200)
+    assert (_full_hi(sl["x"]) == exp[37:237]).all()
