@@ -120,11 +120,19 @@ def _q_exact_dedup_diff_source(sf_dir: str):
 def _q_visible_duplicates(sf_dir: str):
     """M10 visibility filter over the assignments view: show only the
     duplicate-involved rows (keep+delete), FilterByVisibleFolders
-    analogue (MainViewModel.cs:1819-1851)."""
+    analogue (MainViewModel.cs:1819-1851).  A corpus with no duplicates
+    yields a legitimately EMPTY view; Ray's sort drops the schema of an
+    all-empty dataset, so return a typed empty table instead."""
     from dedup.pipeline import filter_visible
     assign = run_dedup(_docs(sf_dir, ["doc_id", "text"]), _doc_cfg())
-    return filter_visible(assign, visible_states=("keep", "delete"),
-                          id_col="doc_id").sort("doc_id")
+    out = filter_visible(assign, visible_states=("keep", "delete"),
+                         id_col="doc_id").materialize()
+    if out.count() == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "state": pa.array([], pa.string()),
+                         "cluster_id": pa.array([], pa.int64()),
+                         "cluster_size": pa.array([], pa.int64())})
+    return out.sort("doc_id")
 
 
 def _q_delete_manifest(sf_dir: str):

@@ -179,39 +179,69 @@ def _cpu_probe() -> float:
     return round(time.time() - t0, 3)
 
 
+SCALING_PAIRS = int(os.environ.get("DEDUP_SCALING_PAIRS", "3"))
+
+
 def run_scaling() -> dict:
-    """N-vs-4N sandbox protocol: fresh processes at 8 and 32 CPUs over
-    the same pre-synthesized corpus.  Legs run in ALTERNATING order
-    (8, 32, 32, 8) and the best throughput per cpu count is used, so a
-    host-speed drift mid-measurement cannot silently masquerade as
-    (anti-)scaling; each leg carries a single-core probe."""
+    """N-vs-4N sandbox protocol, drift-robust: this host's effective CPU
+    speed swings 2-3x on a minutes timescale (shared VM, invisible
+    steal), so any single 8-vs-32 comparison is hostage to which phase
+    each leg landed in.  Protocol: SCALING_PAIRS adjacent (8-cpu,
+    32-cpu) fresh-process leg PAIRS over the same pre-synthesized
+    corpus; each pair yields its own efficiency ((dps32/dps8)/4) from
+    two legs as close in time as possible; the reported value is the
+    MEDIAN pair efficiency.  Each leg records a single-core probe so
+    residual drift is visible in the artifact."""
     synth_bench_corpus_sub(SCALING_DOCS)
     env = {**os.environ, "DEDUP_BENCH_DOCS": str(SCALING_DOCS),
            "DEDUP_BENCH_REPS": "1"}
-    legs = []
-    best: dict[int, dict] = {}
-    for cpus in (8, 32, 32, 8):
-        probe = _cpu_probe()
+
+    def _leg(cpus: int) -> dict:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--pages-only",
              "--cpus", str(cpus)],
             capture_output=True, text=True, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
-        run = json.loads(line)
-        run["cpu_probe_sec"] = probe
-        legs.append(run)
-        if cpus not in best or run["docs_per_sec"] > best[cpus]["docs_per_sec"]:
-            best[cpus] = run
-    results = {8: best[8], 32: best[32]}
-    eff = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0
+        return json.loads(line)
+
+    # a pair QUALIFIES when the three probes bracketing its two legs
+    # (before 8, between, after 32) agree within PROBE_BAND: both legs
+    # then ran in one host-speed phase and the ratio is trustworthy
+    PROBE_BAND = 1.5
+    pairs = []
+    max_pairs = 2 * SCALING_PAIRS
+    while len(pairs) < max_pairs:
+        p0 = _cpu_probe()
+        l8 = _leg(8)
+        p1 = _cpu_probe()
+        l32 = _leg(32)
+        p2 = _cpu_probe()
+        probes = [p0, p1, p2]
+        l8["cpu_probe_sec"], l32["cpu_probe_sec"] = p0, p1
+        qual = max(probes) / min(probes) <= PROBE_BAND
+        pairs.append({
+            "eff": round((l32["docs_per_sec"] / l8["docs_per_sec"]) / 4.0, 3),
+            "probes": probes,
+            "qualified": qual,
+            "legs": [l8, l32],
+        })
+        if sum(p["qualified"] for p in pairs) >= SCALING_PAIRS:
+            break
+    use = [p for p in pairs if p["qualified"]] or pairs
+    effs = sorted(p["eff"] for p in use)
+    eff = effs[len(effs) // 2] if len(effs) % 2 else \
+        round((effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
+    mid = sorted(use, key=lambda p: p["eff"])[len(use) // 2]
+    results = {8: mid["legs"][0], 32: mid["legs"][1]}
     out = {
         "metric": "scaling efficiency (8 -> 32 cpus, fresh processes, "
-                  "alternating legs, best-of-2 per cpu count)",
-        "value": round(eff, 3),
+                  "median of probe-qualified adjacent leg pairs)",
+        "value": eff,
         "unit": "efficiency",
         "runs": results,
-        "legs": legs,
+        "pairs": pairs,
+        "n_qualified": sum(p["qualified"] for p in pairs),
         "docs": SCALING_DOCS,
     }
     _record_baseline(results, eff)
