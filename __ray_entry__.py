@@ -228,6 +228,21 @@ def _q_top_tokens(sf_dir: str):
     return textstats.top_tokens(_docs(sf_dir, ["text"]), k=50)
 
 
+def _q_quality_score(sf_dir: str):
+    """Per-doc quality features (alpha/digit/stopword ratios, mean token
+    length) — the Gopher/C4-style filtering inputs, floor-e6 scaled."""
+    return textstats.quality_score(_docs(sf_dir, ["doc_id", "text"])) \
+        .sort("doc_id")
+
+
+def _q_top_docs_per_lang(sf_dir: str):
+    """Top-5 longest docs per language (per-group top-k with a per-batch
+    partial prune before the shuffle)."""
+    return textstats.top_docs_per_group(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]), group_col="lang",
+        id_col="doc_id", rank_col="n_chars", k=5)
+
+
 def _q_lang_group_stats(sf_dir: str):
     return textstats.lang_group_stats(_docs(sf_dir, ["lang", "n_chars"]))
 
@@ -450,6 +465,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "doc_stats": _q_doc_stats,
         "top_tokens": _q_top_tokens,
+        "quality_score": _q_quality_score,
+        "top_docs_per_lang": _q_top_docs_per_lang,
         "lang_group_stats": _q_lang_group_stats,
         "lang_sources": _q_lang_sources,
         "pricing_summary": _q_pricing_summary,
@@ -582,6 +599,41 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token
                   FROM documents)
             GROUP BY token ORDER BY cnt DESC, token LIMIT 50""",
+        "quality_score": """
+            WITH f AS (
+              SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            c AS (
+              SELECT doc_id,
+                     CAST(length(t) AS DOUBLE) AS n_chars,
+                     CAST(length(regexp_extract_all(t, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+                     CAST(length(regexp_extract_all(t, '[0-9]')) AS DOUBLE) AS n_digit,
+                     list_filter(regexp_extract_all(lower(t), '\\S+'),
+                                 x -> x <> '') AS toks
+              FROM f),
+            d AS (
+              SELECT doc_id, n_chars, n_alpha, n_digit,
+                     CAST(length(toks) AS DOUBLE) AS n_tokens,
+                     CAST(coalesce(list_aggregate(
+                          list_transform(toks, x -> length(x)), 'sum'), 0)
+                          AS DOUBLE) AS tok_chars,
+                     CAST(length(list_filter(toks, x -> x IN
+                          ('and','are','as','at','be','by','for','in','is',
+                           'it','of','on','or','that','the','this','to',
+                           'was','with','an'))) AS DOUBLE) AS n_stop
+              FROM c)
+            SELECT doc_id,
+                   CAST(floor(n_alpha / greatest(n_chars, 1) * 1e6) AS BIGINT) AS alpha_ratio_e6,
+                   CAST(floor(n_digit / greatest(n_chars, 1) * 1e6) AS BIGINT) AS digit_ratio_e6,
+                   CAST(floor(n_stop / greatest(n_tokens, 1) * 1e6) AS BIGINT) AS stopword_ratio_e6,
+                   CAST(floor(tok_chars / greatest(n_tokens, 1) * 1e6) AS BIGINT) AS mean_token_len_e6
+            FROM d ORDER BY doc_id""",
+        "top_docs_per_lang": """
+            SELECT lang, doc_id, n_chars FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 5 ORDER BY lang, n_chars DESC, doc_id""",
         "lang_group_stats": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -174,6 +174,99 @@ def lang_id(ds: ray.data.Dataset, id_col: str = "doc_id",
     return out.select_columns([id_col, "lang_pred"])
 
 
+#: Stopword list for the quality heuristic (EN head — the scoring is a
+#: ratio feature, not language detection; see _STOPWORDS for lang-ID).
+_QUALITY_STOPWORDS = sorted(_STOPWORDS["en"])
+
+
+def quality_score(ds: ray.data.Dataset, id_col: str = "doc_id",
+                  text_col: str = "text") -> ray.data.Dataset:
+    """Per-document quality features for training-data filtering
+    (Gopher/C4-style heuristics over counts): alpha ratio, digit ratio,
+    stopword ratio, mean token length — all fully vectorized (arrow
+    regex-count kernels + one pc.is_in) and emitted as floor-scaled e6
+    integers so the SQL oracle hashes bit-identically.
+
+    A doc with zero chars/tokens scores 0 in the affected ratios (not
+    null) — degenerate docs should rank as lowest quality, not drop out
+    of the filter."""
+    sw = pa.array(_QUALITY_STOPWORDS)
+
+    def _f(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t[text_col], "")
+        n = t.num_rows
+        n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n_alpha = pc.count_substring_regex(txt, pattern=r"[A-Za-z]") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        n_digit = pc.count_substring_regex(txt, pattern=r"[0-9]") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        toks = pc.split_pattern_regex(pc.utf8_lower(txt), pattern=r"\s+")
+        nper = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks).combine_chunks()
+        parent = np.repeat(np.arange(n), nper)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n_tokens = np.bincount(parent, weights=nonempty.astype(np.float64),
+                               minlength=n)
+        tok_chars = np.bincount(parent, weights=tok_len * nonempty,
+                                minlength=n)
+        is_sw = pc.is_in(flat, value_set=sw).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(parent, weights=(is_sw & nonempty)
+                             .astype(np.float64), minlength=n)
+        safe_c = np.maximum(n_chars, 1.0)
+        safe_t = np.maximum(n_tokens, 1.0)
+
+        def e6(x: np.ndarray) -> pa.Array:
+            return pa.array(np.floor(x * 1e6).astype(np.int64), pa.int64())
+
+        return pa.table({
+            id_col: t[id_col],
+            "alpha_ratio_e6": e6(n_alpha / safe_c),
+            "digit_ratio_e6": e6(n_digit / safe_c),
+            "stopword_ratio_e6": e6(n_stop / safe_t),
+            "mean_token_len_e6": e6(tok_chars / safe_t),
+        })
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def top_docs_per_group(ds: ray.data.Dataset, group_col: str = "lang",
+                       id_col: str = "doc_id", rank_col: str = "n_chars",
+                       k: int = 5) -> ray.data.Dataset:
+    """Top-k rows per group by (rank_col desc, id asc) — the per-group
+    selection every curation pipeline needs (longest docs per language
+    here).  Per-batch partial top-k prune BEFORE the groupby shuffle:
+    only k rows per (batch, group) ever enter the exchange, so the
+    shuffle is O(batches * groups * k), never the corpus."""
+
+    def _prune(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(group_col, "ascending"),
+                                            (rank_col, "descending"),
+                                            (id_col, "ascending")])
+        t2 = t.take(idx).select([group_col, id_col, rank_col])
+        g = t2[group_col].to_numpy(zero_copy_only=False)
+        # first k of each group run
+        brk = np.concatenate([[0], np.flatnonzero(g[1:] != g[:-1]) + 1,
+                              [len(g)]])
+        keep = np.concatenate([np.arange(s, min(s + k, e))
+                               for s, e in zip(brk[:-1], brk[1:])]) \
+            if len(g) else np.zeros(0, dtype=np.int64)
+        return t2.take(pa.array(keep))
+
+    def _final(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(rank_col, "descending"),
+                                            (id_col, "ascending")])
+        return t.take(idx[:k])
+
+    return ds.map_batches(_prune, batch_format="pyarrow") \
+             .groupby(group_col).map_groups(_final, batch_format="pyarrow") \
+             .sort([group_col, rank_col, id_col],
+                   descending=[False, True, False])
+
+
 def doc_fingerprints(ds: ray.data.Dataset, id_col: str = "doc_id",
                      text_col: str = "text", g: int = 50,
                      w: int = 100) -> ray.data.Dataset:
