@@ -312,6 +312,17 @@ def _q_embedding_dup_pairs(sf_dir: str):
     return ann.dup_pairs_brute(_embs(sf_dir), threshold=0.45)
 
 
+def _q_embedding_dedup(sf_dir: str):
+    """Embedding-cosine near-dup DEDUP: pairs → union-find → states.
+    The oracle is a recursive-CTE transitive closure in DuckDB — the one
+    clustering semantics (multi-hop merges) a window function can't
+    express, so this query SQL-checks the union-find path itself.
+    Threshold 0.40: at sf0.01 that yields 42 clusters of which 7 are
+    NON-clique (pairs a-b, b-c without a-c), so the multi-hop merges
+    are genuinely exercised, not just 2-cliques."""
+    return ann.embedding_dedup(_embs(sf_dir), threshold=0.40)
+
+
 # --- rows-only (non-SQL-expressible) pipelines -----------------------------
 
 def _q_minhash_dedup(sf_dir: str):
@@ -477,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": _q_embedding_norms,
         "knn_brute": _q_knn,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "embedding_dedup": _q_embedding_dedup,
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "knn_ivf": _q_knn_ivf,
@@ -711,6 +723,34 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a, embeddings b
               WHERE a.vec_id IN (0, 1, 2, 3, 4) AND b.vec_id != a.vec_id)
             WHERE rn <= 10 ORDER BY q, score_e6 DESC, vec_id""",
+        "embedding_dedup": """
+            WITH RECURSIVE e AS (
+              SELECT a.vec_id AS u, b.vec_id AS v
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < b.vec_id
+                AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) >= 0.40),
+            sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+            reach(n, m) AS (
+              SELECT u, v FROM sym
+              UNION
+              SELECT r.n, s.v FROM reach r JOIN sym s ON r.m = s.u),
+            comp AS (
+              SELECT n AS vec_id, least(n, min(m)) AS cluster_id
+              FROM reach GROUP BY n),
+            sized AS (
+              SELECT c.vec_id, c.cluster_id,
+                     count(*) OVER (PARTITION BY c.cluster_id) AS csize
+              FROM comp c)
+            SELECT v.vec_id,
+                   CASE WHEN s.vec_id IS NULL THEN 'unique'
+                        WHEN v.vec_id = s.cluster_id THEN 'keep'
+                        ELSE 'delete' END AS state,
+                   coalesce(s.cluster_id, -1) AS cluster_id,
+                   CASE WHEN s.vec_id IS NULL THEN 1 ELSE s.csize END
+                       AS cluster_size
+            FROM embeddings v LEFT JOIN sized s USING (vec_id)
+            ORDER BY v.vec_id""",
         "embedding_dup_pairs": """
             SELECT a.vec_id AS a, b.vec_id AS b,
                    CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

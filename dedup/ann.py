@@ -259,6 +259,70 @@ def dup_pairs_lsh(ds: ray.data.Dataset, threshold: float = 0.9,
                       "skey", _uniq, num_partitions).sort(["a", "b"])
 
 
+def embedding_dedup(ds: ray.data.Dataset, threshold: float = 0.9,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    num_partitions: int = 32,
+                    use_lsh: bool = False) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate DEDUP: cosine>=threshold pairs →
+    connected components (distributed union-find) → keep/delete/unique
+    states with cluster_id = the minimum member id — the same
+    assignment contract as the text pipelines, over the embedding
+    modality.  ``use_lsh=True`` swaps the exact pair source for the
+    bucketed LSH path (the 100-TB shape); the default brute source keeps
+    the result exact and oracle-checkable (multi-hop closure verified
+    against a recursive-CTE SQL oracle — the one clustering semantics a
+    window function can't express)."""
+    from .dist import union_find
+
+    pair_src = dup_pairs_lsh if use_lsh else dup_pairs_brute
+    pairs = pair_src(ds, threshold=threshold, id_col=id_col, vec_col=vec_col)
+
+    def _edges(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t["a"].cast(pa.uint64()),
+                         "v": t["b"].cast(pa.uint64())})
+
+    labels = union_find(pairs.map_batches(_edges, batch_format="pyarrow"),
+                        num_partitions).materialize()
+    # labels are O(duplicated vectors) — bounded — so one broadcast join
+    # assigns states (the assign_states reduce-side shape would apply
+    # above ~20M labels, as in dedup.pipeline)
+    ln_l, lc_l = [np.array([], dtype=np.uint64)], [np.array([], dtype=np.uint64)]
+    for b in labels.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0 or "node" not in b.column_names:
+            continue
+        ln_l.append(b["node"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        lc_l.append(b["comp"].to_numpy(zero_copy_only=False).astype(np.uint64))
+    ln = np.concatenate(ln_l)
+    lc = np.concatenate(lc_l)
+    o = np.argsort(ln)
+    ln, lc = ln[o], lc[o]
+    # per-row cluster size, aligned with ln (vectorized member counts)
+    _, inv_c, cnt_c = np.unique(lc, return_inverse=True, return_counts=True)
+    lsz = cnt_c[inv_c] if len(lc) else np.zeros(0, dtype=np.int64)
+    ref = ray.put((ln, lc, lsz))
+
+    def _assign(t: pa.Table) -> pa.Table:
+        la, co, sz = ray.get(ref)
+        vids = _ids_np(t, id_col)
+        pos = np.clip(np.searchsorted(la, vids.astype(np.uint64)), 0,
+                      max(len(la) - 1, 0))
+        hit = (la[pos] == vids.astype(np.uint64)) if len(la) else \
+            np.zeros(len(vids), dtype=bool)
+        comp = np.where(hit, co[pos] if len(co) else 0, 0).astype(np.int64)
+        state = np.where(~hit, "unique",
+                         np.where(vids == comp, "keep", "delete"))
+        csize = np.where(hit, sz[pos] if len(sz) else 0, 1)
+        return pa.table({
+            id_col: pa.array(vids, pa.int64()),
+            "state": pa.array(state.tolist(), pa.string()),
+            "cluster_id": pa.array(np.where(hit, comp, -1), pa.int64()),
+            "cluster_size": pa.array(csize.astype(np.int64), pa.int64()),
+        })
+
+    return ds.select_columns([id_col]).map_batches(
+        _assign, batch_format="pyarrow").sort(id_col)
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) approximate nearest neighbours — the scale path for
 # top-k search: coarse k-means centroids partition the corpus; queries probe

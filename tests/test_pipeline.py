@@ -442,3 +442,34 @@ def test_url_stem():
     assert url_stem("https://h/a/noext") == "noext"
     assert url_stem("https://h/a/.hidden") == ".hidden"
     assert url_stem(42) == "42"
+
+
+def test_embedding_dedup_transitive_chain():
+    """a~b and b~c above threshold but a!~c: transitive closure must put
+    all three in ONE cluster with keeper = min id; an isolated vector
+    stays unique (dedup.ann.embedding_dedup)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from dedup.ann import embedding_dedup
+
+    a = np.array([1.0, 0.0])
+    b = np.array([np.cos(np.pi / 5), np.sin(np.pi / 5)])   # 36deg to a
+    c = np.array([np.cos(2 * np.pi / 5), np.sin(2 * np.pi / 5)])  # 72deg to a
+    d = np.array([-1.0, 0.0])
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array([a.tolist(), b.tolist(), c.tolist(),
+                               d.tolist()],
+                              pa.list_(pa.float32())),
+    })
+    # cos(a,b)=cos(b,c)=cos36 ~ 0.809 >= 0.7; cos(a,c)=cos72 ~ 0.309 < 0.7
+    out = embedding_dedup(ray.data.from_arrow(t), threshold=0.7,
+                          num_partitions=4).take_all()
+    by_id = {r["vec_id"]: r for r in out}
+    assert by_id[0]["state"] == "keep" and by_id[0]["cluster_id"] == 0
+    assert by_id[1]["state"] == "delete" and by_id[1]["cluster_id"] == 0
+    assert by_id[2]["state"] == "delete" and by_id[2]["cluster_id"] == 0
+    assert by_id[2]["cluster_size"] == 3
+    assert by_id[3]["state"] == "unique" and by_id[3]["cluster_id"] == -1
+    assert by_id[3]["cluster_size"] == 1
