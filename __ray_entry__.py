@@ -228,6 +228,14 @@ def _q_top_tokens(sf_dir: str):
     return textstats.top_tokens(_docs(sf_dir, ["text"]), k=50)
 
 
+def _q_hash_split(sf_dir: str):
+    """Deterministic 90/10 train/val split by id-hash (md5 prefix), the
+    standard engine-independent split — DuckDB's md5() reproduces it
+    exactly."""
+    return textstats.hash_split(_docs(sf_dir, ["doc_id"]), train_pct=90) \
+        .sort("doc_id")
+
+
 def _q_quality_score(sf_dir: str):
     """Per-doc quality features (alpha/digit/stopword ratios, mean token
     length) — the Gopher/C4-style filtering inputs, floor-e6 scaled."""
@@ -477,6 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": _q_doc_stats,
         "top_tokens": _q_top_tokens,
         "quality_score": _q_quality_score,
+        "hash_split": _q_hash_split,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "lang_group_stats": _q_lang_group_stats,
         "lang_sources": _q_lang_sources,
@@ -611,6 +620,11 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token
                   FROM documents)
             GROUP BY token ORDER BY cnt DESC, token LIMIT 50""",
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < 'e6' THEN 'train' ELSE 'val' END AS split
+            FROM documents ORDER BY doc_id""",
         "quality_score": """
             WITH f AS (
               SELECT doc_id, coalesce(text, '') AS t FROM documents),

@@ -267,6 +267,28 @@ def top_docs_per_group(ds: ray.data.Dataset, group_col: str = "lang",
                    descending=[False, True, False])
 
 
+def hash_split(ds: ray.data.Dataset, id_col: str = "doc_id",
+               train_pct: int = 90) -> ray.data.Dataset:
+    """Deterministic train/val assignment by content-independent id hash
+    (the split every training pipeline needs): md5 of the decimal id
+    string, first two hex chars compared against the percentile
+    boundary — stable across runs, partitionings and engines (DuckDB's
+    md5() produces the identical hex, so the split is oracle-checkable).
+    train_pct must be a multiple of 100/256 granularity; the boundary is
+    floor(256 * train_pct / 100) in byte space."""
+    import hashlib
+    bound = format(256 * train_pct // 100, "02x")
+
+    def _f(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        split = ["train" if hashlib.md5(str(i).encode()).hexdigest()[:2] < bound
+                 else "val" for i in ids]
+        return pa.table({id_col: t[id_col],
+                         "split": pa.array(split, pa.string())})
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
 def doc_fingerprints(ds: ray.data.Dataset, id_col: str = "doc_id",
                      text_col: str = "text", g: int = 50,
                      w: int = 100) -> ray.data.Dataset:
