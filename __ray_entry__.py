@@ -374,13 +374,66 @@ def _q_ngram_jaccard_dedup(sf_dir: str):
 
 
 def _q_knn_ivf(sf_dir: str):
-    """IVF approximate top-k (coarse k-means cells, n_probe probing)."""
+    """IVF top-k with n_probe = n_centroids (probe-all): the cell
+    routing (assignment + probe masking + per-cell pruning) must then
+    reproduce the brute-force answer EXACTLY, so this entry shares
+    knn_brute's SQL oracle — it hash-checks the IVF machinery itself.
+    The genuinely-approximate path is measured by knn_ivf_recall."""
     return ann.knn_ivf(_embs(sf_dir), query_ids=[0, 1, 2, 3, 4], k=10,
                        n_centroids=8, n_probe=8)
 
 
+def _q_knn_ivf_recall(sf_dir: str):
+    """Recall@10 of the approximate IVF (n_probe=4 of 8 cells) against
+    the brute-force exact top-k — one driver-recorded metric row.  The
+    fixture's vectors are largely unstructured, the hardest case for
+    coarse quantization, so half-probing recall (~0.7 here) is the
+    honest floor, not a tuned showcase; the probe-all configuration is
+    hash-checked exactly by the knn_ivf oracle."""
+    exact = ann.knn_brute(_embs(sf_dir), query_ids=[0, 1, 2, 3, 4],
+                          k=10).to_pandas()
+    approx = ann.knn_ivf(_embs(sf_dir), query_ids=[0, 1, 2, 3, 4], k=10,
+                         n_centroids=8, n_probe=4).to_pandas()
+    ek = set(zip(exact["q"], exact["vec_id"]))
+    ak = set(zip(approx["q"], approx["vec_id"]))
+    hit = len(ek & ak)
+    return pa.table({
+        "exact_rows": pa.array([len(ek)], pa.int64()),
+        "hit_rows": pa.array([hit], pa.int64()),
+        "recall_e6": pa.array(
+            [int(round(hit / len(ek) * 1e6)) if ek else -1], pa.int64()),
+    })
+
+
+def _q_embedding_dup_pairs_lsh_recall(sf_dir: str):
+    """Pair recall AND precision of the bucketed LSH path against the
+    exact cosine pair set at the same threshold.  Precision must be 1.0
+    by construction (LSH verifies exact cosine inside buckets, so its
+    pairs are a subset); recall is the bucketing quality."""
+    exact = ann.dup_pairs_brute(_embs(sf_dir), threshold=0.45).to_pandas()
+    lsh = ann.dup_pairs_lsh(_embs(sf_dir), threshold=0.45, n_planes=4,
+                            n_tables=16).to_pandas()
+    ek = set(zip(exact["a"], exact["b"]))
+    lk = set(zip(lsh["a"], lsh["b"]))
+    hit = len(ek & lk)
+    return pa.table({
+        "exact_pairs": pa.array([len(ek)], pa.int64()),
+        "lsh_pairs": pa.array([len(lk)], pa.int64()),
+        "recall_e6": pa.array(
+            [int(round(hit / len(ek) * 1e6)) if ek else -1], pa.int64()),
+        "precision_e6": pa.array(
+            [int(round(hit / len(lk) * 1e6)) if lk else -1], pa.int64()),
+    })
+
+
 def _q_embedding_dup_pairs_lsh(sf_dir: str):
-    return ann.dup_pairs_lsh(_embs(sf_dir), threshold=0.45, n_planes=6, n_tables=12)
+    """Bucketed LSH pair mining.  The plane/table config is tuned to the
+    threshold: 0.45 cosine is a WIDE net (collision prob ~0.65/plane),
+    so short 4-bit keys x 16 tables hold pair recall at 1.0 on this
+    fixture (measured by embedding_dup_pairs_lsh_recall); tighter
+    thresholds (0.9+) would take longer keys and fewer tables."""
+    return ann.dup_pairs_lsh(_embs(sf_dir), threshold=0.45, n_planes=4,
+                             n_tables=16)
 
 
 def _q_pages_dedup_same_host(sf_dir: str):
@@ -394,31 +447,46 @@ def _q_pages_dedup_same_host(sf_dir: str):
 
 
 def _recall_table(out, truth_path: str, classes: tuple[str, ...] | None = None):
-    """Vectorized planted dup-pair recall: one summary row
-    (truth_pairs, found_pairs, recall_e6).  Runs on bounded planted
-    corpora (<= a few thousand docs), so the pandas merge is driver-side
-    by design; the expensive part (the dedup run) stays distributed."""
-    import numpy as np
+    """Vectorized planted dup-pair recall AND precision: one summary row
+    (truth_pairs, found_pairs, recall_e6, out_pairs, tp_pairs,
+    precision_e6).  Recall is restricted to the fixture classes the pass
+    under test is responsible for; precision is judged against the FULL
+    truth (a pair any pass could legitimately find is not a false
+    positive).  Runs on bounded planted corpora (<= a few thousand
+    docs), so the pandas merge is driver-side by design; the expensive
+    part (the dedup run) stays distributed."""
     import pyarrow.parquet as pq
-    truth = pq.read_table(truth_path).to_pandas()
-    truth = truth[truth["cluster_id"] >= 0]
-    if classes is not None:
-        truth = truth[truth["cluster_class"].isin(classes)]
+    truth_all = pq.read_table(truth_path).to_pandas()
+    truth_all = truth_all[truth_all["cluster_id"] >= 0]
+    truth = truth_all if classes is None else \
+        truth_all[truth_all["cluster_class"].isin(classes)]
     out_df = out.to_pandas()[["url", "cluster_id"]].rename(
         columns={"cluster_id": "oc"})
+
+    def _pairs(sizes) -> int:
+        return int((sizes * (sizes - 1) // 2).sum())
+
+    # recall: C(k,2) truth pairs vs C(m,2) per (truth cluster, out cluster)
     df = truth.merge(out_df, on="url", how="left")
-    # total pairs: C(k, 2) per truth cluster
-    tc = df.groupby("cluster_id").size().to_numpy()
-    total = int((tc * (tc - 1) // 2).sum())
-    # found pairs: C(m, 2) per (truth cluster, non-sentinel output cluster)
+    total = _pairs(df.groupby("cluster_id").size().to_numpy())
     hit = df[(df["oc"].notna()) & (df["oc"] != "")]
-    fc = hit.groupby(["cluster_id", "oc"]).size().to_numpy()
-    found = int((fc * (fc - 1) // 2).sum())
+    found = _pairs(hit.groupby(["cluster_id", "oc"]).size().to_numpy())
+    # precision: of ALL emitted pairs, how many lie inside some truth
+    # cluster (any class)
+    outc = out_df[(out_df["oc"].notna()) & (out_df["oc"] != "")]
+    out_pairs = _pairs(outc.groupby("oc").size().to_numpy())
+    hita = truth_all.merge(out_df, on="url", how="left")
+    hita = hita[(hita["oc"].notna()) & (hita["oc"] != "")]
+    tp = _pairs(hita.groupby(["cluster_id", "oc"]).size().to_numpy())
     return pa.table({
         "truth_pairs": pa.array([total], pa.int64()),
         "found_pairs": pa.array([found], pa.int64()),
         "recall_e6": pa.array([int(round(found / total * 1e6)) if total else -1],
                               pa.int64()),
+        "out_pairs": pa.array([out_pairs], pa.int64()),
+        "tp_pairs": pa.array([tp], pa.int64()),
+        "precision_e6": pa.array(
+            [int(round(tp / out_pairs * 1e6)) if out_pairs else -1], pa.int64()),
     })
 
 
@@ -448,6 +516,20 @@ def _method_recall(method: str, classes: tuple[str, ...]):
         return _recall_table(out, paths["truth"], classes)
 
     return _q
+
+
+def _q_ngram_jaccard_recall(sf_dir: str):
+    """Planted recall/precision for the exact-shingle-Jaccard verify mode
+    (the ngram_jaccard_dedup configuration): MinHash/LSH candidates kept
+    only when TRUE n-gram Jaccard >= 0.7, over the fixture classes whose
+    pairwise Jaccard the generator tunes into [0.7, 0.95]."""
+    from dedup.synth import write_pages
+    paths = write_pages("/tmp/dedup_pages_recall", n_docs=4000, seed=42)
+    ds = ray.data.read_parquet(paths["pages"])
+    out = run_dedup(ds, DedupConfig(exact=False, simhash=False,
+                                    substring=False, verify="jaccard",
+                                    verify_threshold=0.7), check_html=False)
+    return _recall_table(out, paths["truth"], ("exact", "near"))
 
 
 def _q_pages_dedup(sf_dir: str):
@@ -513,6 +595,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_recall": _method_recall("near", ("exact", "near")),
         "simhash_dedup_recall": _method_recall("simhash", ("exact", "simhash")),
         "substring_dedup_recall": _method_recall("substring", ("substring",)),
+        "ngram_jaccard_recall": _q_ngram_jaccard_recall,
+        "knn_ivf_recall": _q_knn_ivf_recall,
+        "embedding_dup_pairs_lsh_recall": _q_embedding_dup_pairs_lsh_recall,
     }
 
 
@@ -567,6 +652,56 @@ def _events_dedup_sql(part: str) -> str:
     SELECT event_id, 'error' AS state, -1 AS cluster_id, 0 AS cluster_size
     FROM events WHERE props IS NULL
     ORDER BY event_id"""
+
+
+_KNN_SQL = """
+    SELECT q, vec_id, score_e6 FROM (
+      SELECT a.vec_id AS q, b.vec_id AS vec_id,
+             CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS score_e6,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT) DESC,
+                        b.vec_id) AS rn
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id IN (0, 1, 2, 3, 4) AND b.vec_id != a.vec_id)
+    WHERE rn <= 10 ORDER BY q, score_e6 DESC, vec_id"""
+
+
+def _lang_id_sql() -> str:
+    """DuckDB replica of LangIdModel: per-language stopword hit counts
+    over non-empty lowercased \\s+ tokens, argmax with alpha-first
+    tie-break, winner only when score strictly exceeds min_ratio = 0.05.
+    All comparisons stay in INTEGER space: with a shared denominator n,
+    argmax over h/n == argmax over h, and h/n > 1/20 == 20*h > n — no
+    float divergence between numpy and DuckDB is possible."""
+    vals = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang, words in sorted(textstats._STOPWORDS.items())
+        for w in sorted(words))
+    return rf"""
+    WITH sw(lang, w) AS (VALUES {vals}),
+    tok AS (
+      SELECT doc_id, unnest(list_filter(
+          regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+          x -> x <> '')) AS tok
+      FROM documents),
+    denom AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    hits AS (SELECT t.doc_id, s.lang, count(*) AS h
+             FROM tok t JOIN sw s ON t.tok = s.w
+             GROUP BY t.doc_id, s.lang),
+    win AS (SELECT * FROM (
+              SELECT h.doc_id, h.lang, h.h, d.n,
+                     row_number() OVER (PARTITION BY h.doc_id
+                                        ORDER BY h.h DESC, h.lang) AS rn
+              FROM hits h JOIN denom d USING (doc_id))
+            WHERE rn = 1)
+    SELECT d.doc_id,
+           CASE WHEN w.h * 20 > w.n THEN w.lang
+                ELSE 'unknown' END AS lang_pred
+    FROM documents d LEFT JOIN win w USING (doc_id)
+    ORDER BY d.doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -724,19 +859,9 @@ def oracle_sql() -> dict[str, str]:
                         x -> CAST(x AS DOUBLE) * x), 'sum')) * 1000000)
                         AS BIGINT) AS l2_norm_e6
             FROM embeddings ORDER BY vec_id""",
-        "knn_brute": """
-            SELECT q, vec_id, score_e6 FROM (
-              SELECT a.vec_id AS q, b.vec_id AS vec_id,
-                     CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                          CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS score_e6,
-                     row_number() OVER (
-                       PARTITION BY a.vec_id
-                       ORDER BY CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT) DESC,
-                                b.vec_id) AS rn
-              FROM embeddings a, embeddings b
-              WHERE a.vec_id IN (0, 1, 2, 3, 4) AND b.vec_id != a.vec_id)
-            WHERE rn <= 10 ORDER BY q, score_e6 DESC, vec_id""",
+        "knn_brute": _KNN_SQL,
+        "knn_ivf": _KNN_SQL,
+        "lang_id": _lang_id_sql(),
         "embedding_dedup": """
             WITH RECURSIVE e AS (
               SELECT a.vec_id AS u, b.vec_id AS v
