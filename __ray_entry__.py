@@ -518,6 +518,29 @@ def _method_recall(method: str, classes: tuple[str, ...]):
     return _q
 
 
+def _q_substring_sa_dedup(sf_dir: str):
+    """Suffix-array substring dedup over documents (shared->=256-byte-run
+    semantics; per-partition sorted suffix tables, dedup.suffix)."""
+    cfg = DOCUMENTS_CONFIG.with_(exact=False, near=False, simhash=False,
+                                 min_doc_bytes=_MIN,
+                                 substring_mode="suffix_array")
+    return run_dedup(_docs(sf_dir, ["doc_id", "text"]), cfg).sort("doc_id")
+
+
+def _q_substring_sa_recall(sf_dir: str):
+    """Planted recall/precision of the suffix-array substring stage.
+    The stage's in-partition decision is exact, so recall on the
+    'substring' fixture class must be 1.0 (co-partitioning is
+    guaranteed by the winnow-anchor bound g + w - 1 <= min_substring)."""
+    from dedup.synth import write_pages
+    paths = write_pages("/tmp/dedup_pages_recall", n_docs=4000, seed=42)
+    ds = ray.data.read_parquet(paths["pages"])
+    out = run_dedup(ds, DedupConfig(exact=False, near=False, simhash=False,
+                                    substring_mode="suffix_array"),
+                    check_html=False)
+    return _recall_table(out, paths["truth"], ("substring",))
+
+
 def _q_ngram_jaccard_recall(sf_dir: str):
     """Planted recall/precision for the exact-shingle-Jaccard verify mode
     (the ngram_jaccard_dedup configuration): MinHash/LSH candidates kept
@@ -595,6 +618,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_recall": _method_recall("near", ("exact", "near")),
         "simhash_dedup_recall": _method_recall("simhash", ("exact", "simhash")),
         "substring_dedup_recall": _method_recall("substring", ("substring",)),
+        "substring_sa_dedup": _q_substring_sa_dedup,
+        "substring_sa_recall": _q_substring_sa_recall,
         "ngram_jaccard_recall": _q_ngram_jaccard_recall,
         "knn_ivf_recall": _q_knn_ivf_recall,
         "embedding_dup_pairs_lsh_recall": _q_embedding_dup_pairs_lsh_recall,

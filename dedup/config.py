@@ -103,6 +103,13 @@ class DedupConfig:
     winnow_window: int = 192       # winnowing window w; guarantees detection of any
                                    # shared substring of length >= g + w - 1 = 255 chars
     min_substring: int = 256       # containment verified only at/above this length
+    substring_mode: str = "winnow"  # 'winnow': containment semantics (shorter doc
+                                    # appears verbatim in longer; ratio prefilter +
+                                    # `small in big` verify) | 'suffix_array':
+                                    # shared-run semantics (ANY verbatim byte run >=
+                                    # min_substring shared between two docs; anchors
+                                    # co-partition, per-partition sorted suffix
+                                    # tables decide exactly — see dedup.suffix)
 
     # --- misc --------------------------------------------------------
     seed: int = 42
@@ -123,6 +130,10 @@ class DedupConfig:
             raise ValueError(
                 "content_hash must be sha256|blake2b|sha1|md5, "
                 f"got {self.content_hash!r}")
+        if self.substring_mode not in ("winnow", "suffix_array"):
+            raise ValueError(
+                "substring_mode must be 'winnow'|'suffix_array', "
+                f"got {self.substring_mode!r}")
 
     # -----------------------------------------------------------------
     def to_json(self) -> str:

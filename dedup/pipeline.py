@@ -555,10 +555,14 @@ def simhash_edges(active: ray.data.Dataset, cfg: DedupConfig,
 # ---------------------------------------------------------------------------
 
 def substring_candidates(active: ray.data.Dataset, cfg: DedupConfig,
-                         P: int) -> ray.data.Dataset:
+                         P: int, require_len_diff: bool = True) -> ray.data.Dataset:
     """Anchor rows → candidate containment pairs (shorter doc contained in
     longer).  Both docs must be >= min_substring chars (the contained text
-    is the whole shorter doc; FIXTURES.md F1.1 'substring')."""
+    is the whole shorter doc; FIXTURES.md F1.1 'substring').
+
+    ``require_len_diff=False`` (suffix-array shared-run mode): equal-length
+    distinct docs CAN share a >= min_substring run, so the length filter
+    is dropped and any shared anchor makes a candidate."""
     from .winnow import winnow  # local import keeps module load cheap
 
     g, w = cfg.winnow_gram, cfg.winnow_window
@@ -625,7 +629,8 @@ def substring_candidates(active: ray.data.Dataset, cfg: DedupConfig,
         if len(two):
             i0, i1 = order[starts[two]], order[starts[two] + 1]
             a, b = nodes[i0], nodes[i1]
-            keep = (a != b) & (ncs[i0] != ncs[i1])
+            keep = (a != b) & (ncs[i0] != ncs[i1]) if require_len_diff \
+                else (a != b)
             if diff_scope:
                 keep = keep & (scopes[i0] != scopes[i1]) \
                     if scopes is not None else np.zeros(len(a), dtype=bool)
@@ -655,7 +660,8 @@ def substring_candidates(active: ray.data.Dataset, cfg: DedupConfig,
                 iu, iv = _star_indices(n)
             # containment needs strictly different lengths: equal texts are
             # the exact pass's finding, equal-length unequal texts can't nest
-            keep = ln[iu] != ln[iv]
+            keep = ln[iu] != ln[iv] if require_len_diff \
+                else np.ones(len(iu), dtype=bool)
             if diff_scope:
                 keep &= sc[iu] != sc[iv]
             out_u.append(nd[iu][keep])
@@ -1004,6 +1010,82 @@ def verify_pairs(pairs: ray.data.Dataset, payload: ray.data.Dataset,
     return groupapply(attached, "skey", _judge, P)
 
 
+def verify_pairs_shared_run(pairs: ray.data.Dataset, payload: ray.data.Dataset,
+                            payload_col: str, min_len: int,
+                            P: int) -> ray.data.Dataset:
+    """Suffix-table verification of shared-run candidates: per
+    partition/batch, ONE prefix-doubling rank table is built over the
+    distinct endpoint texts and every candidate pair is judged against
+    its exact shared->=min_len-byte-run pair set (dedup.suffix) — the
+    north-star's per-partition sorted suffix tables.  Unlike the
+    per-pair verdict of verify_pairs, the table amortizes over all
+    pairs touching the partition's docs, and the decision is exact (no
+    probabilistic step survives into the output).
+
+    Same auto-selected payload strategy as verify_pairs: broadcast the
+    filtered candidate texts when they fit; reduce-side attach above."""
+    from .suffix import shared_run_pairs
+
+    def _sa_keep(nodes: np.ndarray, texts: list, u: np.ndarray,
+                 v: np.ndarray, sel: np.ndarray) -> np.ndarray:
+        """keep mask over the candidate arrays: pair in the exact
+        shared-run set of this doc group (sel = judgeable rows)."""
+        bts = [(s or "").encode("utf-8") for s in texts]
+        su, sv = shared_run_pairs(nodes, bts, min_len)
+        keep = np.zeros(len(u), dtype=bool)
+        if len(su):
+            pairset = set(zip(su.tolist(), sv.tolist()))
+            for j in np.flatnonzero(sel):
+                if (int(u[j]), int(v[j])) in pairset:
+                    keep[j] = True
+        return keep
+
+    pairs = pairs.materialize()
+    if 2 * pairs.count() <= ATTACH_BROADCAST_THRESHOLD:
+        cand, small = _filtered_payload(pairs, payload, payload_col)
+        if small.size_bytes() <= VERIFY_BROADCAST_BYTES:
+            nodes, pays = _collect_payload(small, payload_col)
+            ref = ray.put((nodes, pays))
+
+            def _judge_bcast(t: pa.Table) -> pa.Table:
+                nd, pl = ray.get(ref)
+                u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                pu = np.clip(np.searchsorted(nd, u), 0, max(len(nd) - 1, 0))
+                pv = np.clip(np.searchsorted(nd, v), 0, max(len(nd) - 1, 0))
+                ok = ((nd[pu] == u) & (nd[pv] == v)) if len(nd) else \
+                    np.zeros(len(u), dtype=bool)
+                if not ok.any():
+                    return _EMPTY_PAIRS
+                idx = np.unique(np.concatenate([pu[ok], pv[ok]]))
+                texts = [pl[int(i)].as_py() for i in idx]
+                keep = _sa_keep(nd[idx], texts, u, v, ok)
+                return pa.table({"u": u[keep], "v": v[keep]},
+                                schema=_PAIR_SCHEMA)
+
+            return pairs.map_batches(_judge_bcast, batch_format="pyarrow")
+        payload = small  # pre-filtered for the shuffle path
+    attached = attach_payloads(pairs, payload, payload_col, P)
+
+    def _judge(t: pa.Table) -> pa.Table:
+        i0, i1 = _paired_indices(t)
+        if len(i0) == 0:
+            return _EMPTY_PAIRS
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pays = t["pay"]
+        nds = np.concatenate([u[i0], v[i0]])
+        rows = np.concatenate([i0, i1])
+        uniq, first = np.unique(nds, return_index=True)
+        texts = [pays[int(rows[f])].as_py() for f in first]
+        keep = _sa_keep(uniq, texts, u[i0], v[i0],
+                        np.ones(len(i0), dtype=bool))
+        return pa.table({"u": u[i0][keep], "v": v[i0][keep]},
+                        schema=_PAIR_SCHEMA)
+
+    return groupapply(attached, "skey", _judge, P)
+
+
 # ---------------------------------------------------------------------------
 # edge stages assembled
 # ---------------------------------------------------------------------------
@@ -1065,10 +1147,30 @@ def minhash_edges(active: ray.data.Dataset, cfg: DedupConfig,
                                 cfg.verify_threshold, P)
 
 
+def substring_edges_sa(active: ray.data.Dataset, cfg: DedupConfig,
+                       P: int) -> ray.data.Dataset:
+    """North-star suffix-array substring stage: winnow anchors
+    co-partition every pair sharing a >= min_substring run (guaranteed
+    at g + w - 1 <= min_substring), ANY shared anchor makes a candidate
+    (no containment ratio prefilter — a single shared run shares only
+    the few anchors inside it), and per-partition sorted suffix tables
+    decide membership exactly (verify_pairs_shared_run).  Semantics:
+    docs sharing ANY verbatim >= min_substring-byte run — a superset of
+    the winnow mode's shorter-in-longer containment."""
+    cands = substring_candidates(active, cfg, P, require_len_diff=False)
+    pairs = dedupe_pairs(cands, P)
+    payload = active.select_columns(["node", "text"])
+    return verify_pairs_shared_run(pairs, payload, "text",
+                                   cfg.min_substring, P)
+
+
 def substring_edges(active: ray.data.Dataset, cfg: DedupConfig,
                     P: int) -> ray.data.Dataset:
     """winnow anchors → candidates → exact containment verify
-    (`shorter in longer`, both >= min_substring chars)."""
+    (`shorter in longer`, both >= min_substring chars); or the
+    suffix-array shared-run stage under substring_mode='suffix_array'."""
+    if cfg.substring_mode == "suffix_array":
+        return substring_edges_sa(active, cfg, P)
     # count-aware dedupe: a candidate pair appears once per shared anchor,
     # so the duplicate count IS the shared-anchor count.  True containment
     # shares ~all of the shorter doc's anchors (winnowing is content-

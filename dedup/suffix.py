@@ -1,0 +1,163 @@
+"""Per-partition sorted suffix tables for exact substring dedup.
+
+The north-star names this stage directly: an actor-pool stage holding
+per-partition sorted suffix tables.  The reference's semantic analogue
+is the prefix-stem near-match conjunct (MainViewModel.cs:1064-1072)
+generalized to "two documents share a verbatim byte run of length >=
+min_substring" — the classic exact-substring dedup contract (Lee et al.
+2022, "Deduplicating Training Data Makes Language Models Better").
+
+Design (vectorized, partition-local — never a global suffix array):
+
+* ``prefix_ranks`` builds Manber–Myers prefix-doubling ranks over a
+  byte buffer: after round k every position carries the rank of its
+  first 2^k bytes.  Each round is one ``np.lexsort`` — O(n log n log L)
+  total and fully vectorized (no per-suffix Python).
+* "suffix i and j share a prefix of length >= L" is decided WITHOUT an
+  LCP array via the standard two-overlapping-blocks trick: with
+  h = 2^floor(log2 L) <= L, the L-prefixes are equal iff
+  rank_h[i] == rank_h[j] AND rank_h[i+L-h] == rank_h[j+L-h].
+  Sorting positions by that composite key IS the sorted suffix table
+  restricted to the equivalence classes we need; adjacent equal keys
+  give the candidate runs.
+* ``shared_run_pairs`` concatenates one partition's documents (with a
+  separator byte), keeps only positions whose L-window lies inside a
+  single document, groups positions by the composite key, and emits
+  the distinct document pairs of each group (star-capped for hot
+  boilerplate runs).  Key equality implies EXACT byte equality of the
+  two L-windows, so the emitted pairs are verified by construction —
+  there is no post-hoc probabilistic step.
+
+Partitioning assumption (documented per the build contract): a pair
+sharing a >= min_substring run must be co-partitioned.  The pipeline
+guarantees it with winnowing anchors (dedup.winnow): any shared run of
+length >= w + g - 1 (149 < 256 at the defaults) yields a common
+content-defined anchor, and candidates meet in that anchor's bucket.
+Lengths here are BYTES of the utf-8 encoding (the winnow pass hashes
+the same bytes); the containment mode in dedup.pipeline measures
+Python chars — identical for ASCII corpora, documented divergence
+otherwise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_SEP = 0xFF  # separator byte between concatenated docs
+
+
+def prefix_ranks(arr: np.ndarray, h_target: int) -> np.ndarray:
+    """Prefix-doubling ranks: int64 array where equal values mean the
+    first ``h_target`` bytes (a power of two) are equal.  Positions past
+    the end compare as rank -1 (shorter suffixes sort first, the usual
+    suffix-array convention)."""
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    r = arr.astype(np.int64)
+    h = 1
+    while h < h_target:
+        nxt = np.full(n, -1, dtype=np.int64)
+        nxt[: n - h] = r[h:]
+        order = np.lexsort((nxt, r))
+        rs, ns = r[order], nxt[order]
+        bump = np.empty(n, dtype=np.int64)
+        bump[0] = 0
+        bump[1:] = ((rs[1:] != rs[:-1]) | (ns[1:] != ns[:-1]))
+        ranks = np.cumsum(bump)
+        r = np.empty(n, dtype=np.int64)
+        r[order] = ranks
+        h *= 2
+    return r
+
+
+def _l_prefix_keys(arr: np.ndarray, L: int) -> tuple[np.ndarray, np.ndarray]:
+    """(key1, key2) composite key arrays over positions 0..n-L: equal
+    composite keys iff the L-byte windows are byte-identical."""
+    n = len(arr)
+    m = n - L + 1
+    if m <= 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    h = 1 << (L.bit_length() - 1)  # largest power of two <= L
+    if h == L:  # exact power of two: one rank suffices
+        r = prefix_ranks(arr, L)
+        return r[:m], np.zeros(m, dtype=np.int64)
+    r = prefix_ranks(arr, h)
+    return r[:m], r[L - h : L - h + m]
+
+
+def shared_run_pairs(node_ids: np.ndarray, texts: list[bytes], L: int,
+                     pair_cap: int = 1 << 16,
+                     star_anchors: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """All distinct (u, v) document-id pairs, u < v, whose texts share a
+    verbatim byte run of length >= L — exact within this partition.
+
+    Returns sorted-unique (u, v) uint64 arrays.  Groups whose pair count
+    would exceed ``pair_cap`` emit a multi-anchor star instead (the
+    edges are exact here, so connectivity — not the full clique — is
+    what union-find needs)."""
+    node_ids = np.asarray(node_ids, dtype=np.uint64)
+    total = sum(len(t) for t in texts) + len(texts)
+    buf = np.empty(total, dtype=np.uint8)
+    doc_of = np.empty(total, dtype=np.int64)
+    ends = np.empty(len(texts), dtype=np.int64)
+    pos = 0
+    for i, t in enumerate(texts):
+        b = np.frombuffer(t, dtype=np.uint8)
+        buf[pos : pos + len(b)] = b
+        doc_of[pos : pos + len(b) + 1] = i
+        pos += len(b)
+        ends[i] = pos
+        buf[pos] = _SEP
+        pos += 1
+    k1, k2 = _l_prefix_keys(buf, L)
+    m = len(k1)
+    if m == 0:
+        e = np.zeros(0, dtype=np.uint64)
+        return e, e
+    # a position is valid when its whole L-window lies inside its doc
+    p = np.arange(m, dtype=np.int64)
+    d = doc_of[:m]
+    valid = p + L <= ends[d]
+    k1, k2, d = k1[valid], k2[valid], d[valid]
+    if len(d) == 0:
+        e = np.zeros(0, dtype=np.uint64)
+        return e, e
+    # dedupe (key, doc) — one vote per doc per distinct L-run class
+    trip = np.stack([k1, k2, d], axis=1)
+    trip = np.unique(trip, axis=0)
+    k1, k2, d = trip[:, 0], trip[:, 1], trip[:, 2]
+    # segment boundaries of equal (k1, k2) runs (already sorted by unique)
+    brk = np.concatenate(
+        [[0], np.flatnonzero((k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])) + 1,
+         [len(k1)]])
+    us, vs = [], []
+    for s, e in zip(brk[:-1], brk[1:]):
+        if e - s < 2:
+            continue
+        nd = node_ids[d[s:e]]
+        nd.sort()
+        n = len(nd)
+        if n * (n - 1) // 2 <= pair_cap:
+            iu, iv = np.triu_indices(n, k=1)
+        else:  # multi-anchor star over the order-first anchors
+            a = min(star_anchors, n - 1)
+            iu = np.concatenate([np.full(n - 1 - i, i, dtype=np.int64)
+                                 for i in range(a)])
+            iv = np.concatenate([np.arange(i + 1, n, dtype=np.int64)
+                                 for i in range(a)])
+        us.append(nd[iu])
+        vs.append(nd[iv])
+    if not us:
+        e = np.zeros(0, dtype=np.uint64)
+        return e, e
+    uv = np.stack([np.concatenate(us), np.concatenate(vs)], axis=1)
+    uv = np.unique(uv, axis=0)
+    return uv[:, 0], uv[:, 1]
+
+
+def shared_run(a: bytes, b: bytes, L: int) -> bool:
+    """Reference two-document check (tests / spot verification)."""
+    u, v = shared_run_pairs(np.array([1, 2], dtype=np.uint64), [a, b], L)
+    return len(u) > 0
