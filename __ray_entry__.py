@@ -518,6 +518,54 @@ def _method_recall(method: str, classes: tuple[str, ...]):
     return _q
 
 
+def _q_fingerprint_agreement(sf_dir: str):
+    """Driver-recorded signal for the winnowed doc fingerprint:
+    byte-identical texts (the planted exact clusters) must agree on
+    (n_anchors, fingerprint) exactly — agreement_e6 == 1e6 — and the
+    64-bit fingerprint must never collide for DISTINCT texts across
+    planted-cluster boundaries (cross_collisions, expected 0 at 4k
+    docs; identical texts sharing a fingerprint is correct regardless
+    of cluster labels).  Distinct texts WITHIN one near/simhash cluster
+    may legitimately share all winnowed anchors (the edit falls between
+    anchors) — reported separately as within_cluster_shared."""
+    from dedup.synth import write_pages
+    paths = write_pages("/tmp/dedup_pages_recall", n_docs=4000, seed=42)
+    pages = ray.data.read_parquet(paths["pages"], columns=["url", "text"])
+    fp = textstats.doc_fingerprints(pages, id_col="url", text_col="text") \
+        .to_pandas()
+    import pyarrow.parquet as pq
+    truth = pq.read_table(paths["truth"]).to_pandas()
+    exact = truth[(truth["cluster_id"] >= 0)
+                  & (truth["cluster_class"] == "exact")]
+    df = exact.merge(fp, on="url")
+    per = df.groupby("cluster_id")[["n_anchors", "fingerprint"]].nunique()
+    groups = len(per)
+    consistent = int(((per["n_anchors"] == 1)
+                      & (per["fingerprint"] == 1)).sum())
+    # collision check: distinct texts sharing a (nonzero) fingerprint.
+    # Docs outside any planted cluster get a unique pseudo-cluster so a
+    # fingerprint shared with ANY other doc counts as cross-cluster.
+    pg = pages.to_pandas().merge(fp, on="url") \
+        .merge(truth[["url", "cluster_id"]], on="url")
+    import numpy as np
+    solo = pg["cluster_id"] < 0
+    pg.loc[solo, "cluster_id"] = -2 - np.arange(int(solo.sum()))
+    nz = pg[pg["fingerprint"] != 0]
+    shared = nz.groupby("fingerprint").agg(
+        ntext=("text", "nunique"), ncid=("cluster_id", "nunique"))
+    cross = int(((shared["ntext"] > 1) & (shared["ncid"] > 1)).sum())
+    within = int(((shared["ntext"] > 1) & (shared["ncid"] == 1)).sum())
+    return pa.table({
+        "exact_groups": pa.array([groups], pa.int64()),
+        "consistent_groups": pa.array([consistent], pa.int64()),
+        "agreement_e6": pa.array(
+            [int(round(consistent / groups * 1e6)) if groups else -1],
+            pa.int64()),
+        "cross_collisions": pa.array([cross], pa.int64()),
+        "within_cluster_shared": pa.array([within], pa.int64()),
+    })
+
+
 def _q_substring_sa_dedup(sf_dir: str):
     """Suffix-array substring dedup over documents (shared->=256-byte-run
     semantics; per-partition sorted suffix tables, dedup.suffix)."""
@@ -618,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_recall": _method_recall("near", ("exact", "near")),
         "simhash_dedup_recall": _method_recall("simhash", ("exact", "simhash")),
         "substring_dedup_recall": _method_recall("substring", ("substring",)),
+        "fingerprint_agreement": _q_fingerprint_agreement,
         "substring_sa_dedup": _q_substring_sa_dedup,
         "substring_sa_recall": _q_substring_sa_recall,
         "ngram_jaccard_recall": _q_ngram_jaccard_recall,
