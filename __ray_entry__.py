@@ -117,6 +117,108 @@ def _q_exact_dedup_diff_source(sf_dir: str):
         .sort("doc_id")
 
 
+def _split_docs(sf_dir: str, bound: str = "e6"):
+    """documents split into (ref, new) by the hash_split md5-prefix rule:
+    the 'train' shard plays the previously-kept reference corpus, the
+    'val' shard the fresh snapshot."""
+    import hashlib
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _side(keep_ref: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_pylist()
+            m = pa.array([hashlib.md5(str(i).encode()).hexdigest()[:2]
+                          < bound for i in ids], pa.bool_())
+            return t.filter(m if keep_ref else pc.invert(m))
+        return _f
+
+    ref = docs.map_batches(_side(True), batch_format="pyarrow")
+    new = docs.map_batches(_side(False), batch_format="pyarrow")
+    return ref, new
+
+
+def _q_incremental_dedup(sf_dir: str):
+    """Cross-snapshot exact dedup (dedup.incremental): the new shard is
+    deduped against the reference shard AND within itself in one exact64
+    shuffle; ref-matched docs become 'ref_dup' with the matching ref
+    count, unmatched groups follow the exact_dedup conventions."""
+    from dedup.incremental import incremental_exact_dedup
+    ref, new = _split_docs(sf_dir)
+    return incremental_exact_dedup(new, ref, _doc_cfg()).sort("doc_id")
+
+
+def _q_incremental_dedup_planted(sf_dir: str):
+    """Planted-truth check for incremental dedup over the synthetic pages
+    corpus (exact clusters straddle a 50/50 url-hash split, so the
+    ref_dup / keep / delete / unique / ignored / error paths are all
+    exercised): Ray states are
+    compared row-for-row against a pandas recomputation of the exact
+    semantics; mismatches expected 0."""
+    import hashlib
+    from dedup.config import DedupConfig
+    from dedup.incremental import incremental_exact_dedup
+    from dedup.synth import write_pages
+    paths = write_pages("/tmp/dedup_pages_recall", n_docs=4000, seed=42)
+    pages = ray.data.read_parquet(paths["pages"], columns=["url", "text"])
+
+    def _side(keep_ref: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            us = t["url"].to_pylist()
+            m = pa.array([hashlib.md5(u.encode()).hexdigest()[:2] < "80"
+                          for u in us], pa.bool_())
+            return t.filter(m if keep_ref else pc.invert(m))
+        return _f
+
+    ref = pages.map_batches(_side(True), batch_format="pyarrow")
+    new = pages.map_batches(_side(False), batch_format="pyarrow")
+    cfg = DedupConfig(near=False, simhash=False, substring=False)
+    out = incremental_exact_dedup(new, ref, cfg).to_pandas()
+
+    # independent expected-state recomputation (4k docs, driver-side)
+    pdf = pages.to_pandas()
+    is_ref = pdf["url"].map(
+        lambda u: hashlib.md5(u.encode()).hexdigest()[:2] < "80")
+    is_err = pdf["text"].isna()
+    ok = pdf["text"].str.len().fillna(-1) >= cfg.min_doc_bytes
+    ref_counts = pdf[is_ref & ok].groupby("text").size()
+    nd = pdf[~is_ref].copy()
+    nd["ok"] = ok[~is_ref]
+    nd["err"] = is_err[~is_ref]
+    okd = nd[nd["ok"]].copy()
+    okd["nref"] = okd["text"].map(ref_counts).fillna(0).astype(int)
+    from dedup.keys import order_key_bytes
+    okd["okey"] = okd["url"].map(lambda u: order_key_bytes(u, 0))
+    grp = okd.groupby("text")
+    okd["cnt"] = grp["url"].transform("size")
+    okd["min_okey"] = grp["okey"].transform("min")
+    exp = {}
+    for r in okd.itertuples():
+        if r.nref > 0:
+            exp[r.url] = "ref_dup"
+        elif r.cnt == 1:
+            exp[r.url] = "unique"
+        else:
+            exp[r.url] = "keep" if r.okey == r.min_okey else "delete"
+    for r in nd[~nd["ok"]].itertuples():
+        exp[r.url] = "error" if r.err else "ignored"
+    out["expected"] = out["url"].map(exp)
+    mism = int((out["state"] != out["expected"]).sum())
+    counts = out["state"].value_counts()
+    n = len(out)
+    return pa.table({
+        "n_new": pa.array([n], pa.int64()),
+        "n_ref_dup": pa.array([int(counts.get("ref_dup", 0))], pa.int64()),
+        "n_keep": pa.array([int(counts.get("keep", 0))], pa.int64()),
+        "n_delete": pa.array([int(counts.get("delete", 0))], pa.int64()),
+        "n_unique": pa.array([int(counts.get("unique", 0))], pa.int64()),
+        "n_ignored": pa.array([int(counts.get("ignored", 0))], pa.int64()),
+        "n_error": pa.array([int(counts.get("error", 0))], pa.int64()),
+        "mismatches": pa.array([mism], pa.int64()),
+        "match_e6": pa.array(
+            [int(round((n - mism) / n * 1e6)) if n else -1], pa.int64()),
+    })
+
+
 def _q_visible_duplicates(sf_dir: str):
     """M10 visibility filter over the assignments view: show only the
     duplicate-involved rows (keep+delete), FilterByVisibleFolders
@@ -667,6 +769,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_recall": _method_recall("simhash", ("exact", "simhash")),
         "substring_dedup_recall": _method_recall("substring", ("substring",)),
         "fingerprint_agreement": _q_fingerprint_agreement,
+        "incremental_dedup": _q_incremental_dedup,
+        "incremental_dedup_planted": _q_incremental_dedup_planted,
         "substring_sa_dedup": _q_substring_sa_dedup,
         "substring_sa_recall": _q_substring_sa_recall,
         "ngram_jaccard_recall": _q_ngram_jaccard_recall,
@@ -790,6 +894,39 @@ def oracle_sql() -> dict[str, str]:
     return {
         "exact_dedup": f"SELECT * FROM ({_EXACT_SQL}) ORDER BY doc_id",
         "exact_dedup_lang": f"SELECT * FROM ({lang_sql}) ORDER BY doc_id",
+        "incremental_dedup": f"""
+            WITH base AS (
+              SELECT doc_id, text, length(text) AS nb,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e6'
+                       AS is_new
+              FROM documents),
+            refok AS (
+              SELECT text, count(*) AS nref FROM base
+              WHERE NOT is_new AND nb >= {_MIN} GROUP BY text),
+            newok AS (
+              SELECT doc_id, text FROM base WHERE is_new AND nb >= {_MIN}),
+            ok AS (
+              SELECT n.doc_id,
+                     CAST(coalesce(r.nref, 0) AS BIGINT) AS nref,
+                     MIN(n.doc_id) OVER (PARTITION BY n.text) AS min_id,
+                     COUNT(*) OVER (PARTITION BY n.text) AS cnt
+              FROM newok n LEFT JOIN refok r USING (text))
+            SELECT doc_id,
+                   CASE WHEN nref > 0 THEN 'ref_dup'
+                        WHEN cnt = 1 THEN 'unique'
+                        WHEN doc_id = min_id THEN 'keep'
+                        ELSE 'delete' END AS state,
+                   CAST(CASE WHEN nref > 0 OR cnt = 1 THEN -1
+                             ELSE min_id END AS BIGINT) AS cluster_id,
+                   CAST(CASE WHEN nref > 0 THEN 0 WHEN cnt = 1 THEN 1
+                             ELSE cnt END AS BIGINT) AS cluster_size,
+                   nref AS n_ref
+            FROM ok
+            UNION ALL
+            SELECT doc_id, 'ignored' AS state, CAST(-1 AS BIGINT),
+                   CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+            FROM base WHERE is_new AND nb < {_MIN}
+            ORDER BY doc_id""",
         "exact_dedup_same_source":
             f"SELECT * FROM ({same_source_sql}) ORDER BY doc_id",
         "exact_dedup_diff_source":
