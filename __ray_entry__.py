@@ -147,6 +147,96 @@ def _q_incremental_dedup(sf_dir: str):
     return incremental_exact_dedup(new, ref, _doc_cfg()).sort("doc_id")
 
 
+def _q_incremental_dedup_cc(sf_dir: str):
+    """Closure-path incremental dedup (incremental_dedup: edge stages
+    over the side-tagged union -> union-find -> component assigner) with
+    the exact-only config: must equal the direct anti-join variant minus
+    the n_ref column — checked by the same SQL oracle."""
+    from dedup.incremental import incremental_dedup
+    ref, new = _split_docs(sf_dir)
+    return incremental_dedup(new, ref, _doc_cfg()).sort("doc_id")
+
+
+def _q_incremental_near_planted(sf_dir: str):
+    """Planted-truth check for FULL incremental dedup (exact + MinHash +
+    SimHash + substring) over a 50/50 url-hash split of the synthetic
+    pages corpus: every truth cluster with >= 1 reference-side member
+    must have all its new-side members 'ref_dup' (directly or through
+    the duplicate chain), new-only clusters keep/delete by natural
+    order, everything else unique/ignored/error.  mismatches expected
+    0 (the corpus is one where the engine's recall AND precision are
+    1.0, so components equal truth clusters exactly)."""
+    import hashlib
+    import pyarrow.parquet as pq
+    from dedup.config import DedupConfig
+    from dedup.incremental import incremental_dedup
+    from dedup.keys import order_key_bytes
+    from dedup.synth import write_pages
+    paths = write_pages("/tmp/dedup_pages_recall", n_docs=4000, seed=42)
+    pages = ray.data.read_parquet(paths["pages"], columns=["url", "text"])
+
+    def _side(keep_ref: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            us = t["url"].to_pylist()
+            m = pa.array([hashlib.md5(u.encode()).hexdigest()[:2] < "80"
+                          for u in us], pa.bool_())
+            return t.filter(m if keep_ref else pc.invert(m))
+        return _f
+
+    ref = pages.map_batches(_side(True), batch_format="pyarrow")
+    new = pages.map_batches(_side(False), batch_format="pyarrow")
+    cfg = DedupConfig()
+    out = incremental_dedup(new, ref, cfg).to_pandas()
+
+    truth = pq.read_table(paths["truth"]).to_pandas()
+    pdf = pages.to_pandas().merge(
+        truth[["url", "cluster_id", "cluster_class"]], on="url")
+    pdf["is_ref"] = pdf["url"].map(
+        lambda u: hashlib.md5(u.encode()).hexdigest()[:2] < "80")
+    pdf["err"] = pdf["text"].isna()
+    pdf["ok"] = pdf["text"].str.len().fillna(-1) >= cfg.min_doc_bytes
+    detected = (pdf["cluster_id"] >= 0) & pdf["cluster_class"].isin(
+        ["exact", "near", "simhash", "substring"])
+    exp: dict[str, str] = {}
+    members = pdf[detected & pdf["ok"]]
+    for _, grp in members.groupby("cluster_id"):
+        has_ref = bool(grp["is_ref"].any())
+        newm = grp[~grp["is_ref"]]
+        if len(newm) == 0:
+            continue
+        if has_ref:
+            for u in newm["url"]:
+                exp[u] = "ref_dup"
+        elif len(newm) == 1:
+            exp[newm["url"].iloc[0]] = "unique"
+        else:
+            keeper = min(newm["url"], key=lambda u: order_key_bytes(u, 0))
+            for u in newm["url"]:
+                exp[u] = "keep" if u == keeper else "delete"
+    rest = pdf[~pdf["is_ref"]]
+    for r in rest.itertuples():
+        if r.url in exp:
+            continue
+        exp[r.url] = ("error" if r.err
+                      else ("ignored" if not r.ok else "unique"))
+    out["expected"] = out["url"].map(exp)
+    mism = int((out["state"] != out["expected"]).sum())
+    counts = out["state"].value_counts()
+    n = len(out)
+    return pa.table({
+        "n_new": pa.array([n], pa.int64()),
+        "n_ref_dup": pa.array([int(counts.get("ref_dup", 0))], pa.int64()),
+        "n_keep": pa.array([int(counts.get("keep", 0))], pa.int64()),
+        "n_delete": pa.array([int(counts.get("delete", 0))], pa.int64()),
+        "n_unique": pa.array([int(counts.get("unique", 0))], pa.int64()),
+        "n_ignored": pa.array([int(counts.get("ignored", 0))], pa.int64()),
+        "n_error": pa.array([int(counts.get("error", 0))], pa.int64()),
+        "mismatches": pa.array([mism], pa.int64()),
+        "match_e6": pa.array(
+            [int(round((n - mism) / n * 1e6)) if n else -1], pa.int64()),
+    })
+
+
 def _q_incremental_dedup_planted(sf_dir: str):
     """Planted-truth check for incremental dedup over the synthetic pages
     corpus (exact clusters straddle a 50/50 url-hash split, so the
@@ -771,12 +861,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_agreement": _q_fingerprint_agreement,
         "incremental_dedup": _q_incremental_dedup,
         "incremental_dedup_planted": _q_incremental_dedup_planted,
+        "incremental_dedup_cc": _q_incremental_dedup_cc,
+        "incremental_near_planted": _q_incremental_near_planted,
         "substring_sa_dedup": _q_substring_sa_dedup,
         "substring_sa_recall": _q_substring_sa_recall,
         "ngram_jaccard_recall": _q_ngram_jaccard_recall,
         "knn_ivf_recall": _q_knn_ivf_recall,
         "embedding_dup_pairs_lsh_recall": _q_embedding_dup_pairs_lsh_recall,
     }
+
+
+#: incremental (cross-snapshot) exact dedup over the md5-split documents
+#: table: train shard = reference corpus, val shard = new snapshot.
+_INCR_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS nb,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e6' AS is_new
+  FROM documents),
+refok AS (
+  SELECT text, count(*) AS nref FROM base
+  WHERE NOT is_new AND nb >= {_MIN} GROUP BY text),
+newok AS (
+  SELECT doc_id, text FROM base WHERE is_new AND nb >= {_MIN}),
+ok AS (
+  SELECT n.doc_id,
+         CAST(coalesce(r.nref, 0) AS BIGINT) AS nref,
+         MIN(n.doc_id) OVER (PARTITION BY n.text) AS min_id,
+         COUNT(*) OVER (PARTITION BY n.text) AS cnt
+  FROM newok n LEFT JOIN refok r USING (text))
+SELECT doc_id,
+       CASE WHEN nref > 0 THEN 'ref_dup'
+            WHEN cnt = 1 THEN 'unique'
+            WHEN doc_id = min_id THEN 'keep'
+            ELSE 'delete' END AS state,
+       CAST(CASE WHEN nref > 0 OR cnt = 1 THEN -1
+                 ELSE min_id END AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN nref > 0 THEN 0 WHEN cnt = 1 THEN 1
+                 ELSE cnt END AS BIGINT) AS cluster_size,
+       nref AS n_ref
+FROM ok
+UNION ALL
+SELECT doc_id, 'ignored' AS state, CAST(-1 AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM base WHERE is_new AND nb < {_MIN}
+"""
 
 
 _EXACT_SQL = f"""
@@ -894,39 +1022,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "exact_dedup": f"SELECT * FROM ({_EXACT_SQL}) ORDER BY doc_id",
         "exact_dedup_lang": f"SELECT * FROM ({lang_sql}) ORDER BY doc_id",
-        "incremental_dedup": f"""
-            WITH base AS (
-              SELECT doc_id, text, length(text) AS nb,
-                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e6'
-                       AS is_new
-              FROM documents),
-            refok AS (
-              SELECT text, count(*) AS nref FROM base
-              WHERE NOT is_new AND nb >= {_MIN} GROUP BY text),
-            newok AS (
-              SELECT doc_id, text FROM base WHERE is_new AND nb >= {_MIN}),
-            ok AS (
-              SELECT n.doc_id,
-                     CAST(coalesce(r.nref, 0) AS BIGINT) AS nref,
-                     MIN(n.doc_id) OVER (PARTITION BY n.text) AS min_id,
-                     COUNT(*) OVER (PARTITION BY n.text) AS cnt
-              FROM newok n LEFT JOIN refok r USING (text))
-            SELECT doc_id,
-                   CASE WHEN nref > 0 THEN 'ref_dup'
-                        WHEN cnt = 1 THEN 'unique'
-                        WHEN doc_id = min_id THEN 'keep'
-                        ELSE 'delete' END AS state,
-                   CAST(CASE WHEN nref > 0 OR cnt = 1 THEN -1
-                             ELSE min_id END AS BIGINT) AS cluster_id,
-                   CAST(CASE WHEN nref > 0 THEN 0 WHEN cnt = 1 THEN 1
-                             ELSE cnt END AS BIGINT) AS cluster_size,
-                   nref AS n_ref
-            FROM ok
-            UNION ALL
-            SELECT doc_id, 'ignored' AS state, CAST(-1 AS BIGINT),
-                   CAST(0 AS BIGINT), CAST(0 AS BIGINT)
-            FROM base WHERE is_new AND nb < {_MIN}
-            ORDER BY doc_id""",
+        "incremental_dedup":
+            f"SELECT * FROM ({_INCR_SQL}) ORDER BY doc_id",
+        "incremental_dedup_cc": f"""
+            SELECT doc_id, state, cluster_id, cluster_size
+            FROM ({_INCR_SQL}) ORDER BY doc_id""",
         "exact_dedup_same_source":
             f"SELECT * FROM ({same_source_sql}) ORDER BY doc_id",
         "exact_dedup_diff_source":

@@ -1,12 +1,17 @@
-"""Incremental (reference-corpus) exact dedup.
+"""Incremental (reference-corpus) dedup.
 
 Dedups a NEW snapshot against a previously-kept REFERENCE corpus and
-against itself in ONE hash shuffle — the standard web-pipeline shape for
-deduping a fresh crawl dump against the corpus accumulated from earlier
-dumps (CCNet/RefinedWeb-style cross-snapshot dedup).  The reference app
-has no incremental mode (every scan rebuilds the full index,
+against itself — the standard web-pipeline shape for deduping a fresh
+crawl dump against the corpus accumulated from earlier dumps
+(CCNet/RefinedWeb-style cross-snapshot dedup).  The reference app has no
+incremental mode (every scan rebuilds the full index,
 MainViewModel.cs:770-906); this is the LLM-pipeline extension of its
-exact pass (SURVEY.md §2.9) to the snapshot-over-snapshot case.
+dedup passes (SURVEY.md §2.9) to the snapshot-over-snapshot case.
+
+Two entry points: ``incremental_exact_dedup`` (direct exact-key
+anti-join semantics, one shuffle, reports the per-doc reference match
+count) and ``incremental_dedup`` (every configured pass — exact,
+MinHash, SimHash, substring — under transitive-closure semantics).
 
 Semantics per NEW document:
 
@@ -36,7 +41,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from .config import DedupConfig
-from .dist import groupapply, tune_context
+from .dist import groupapply, tune_context, union_find
 from .ingest import prepare
 
 _SIDE_REF = 0
@@ -172,3 +177,234 @@ def incremental_exact_dedup(
                                  "cluster_size", "n_ref"])
 
     return assigned.union(nonok).map_batches(_rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# full incremental dedup (every configured pass, closure semantics)
+# ---------------------------------------------------------------------------
+
+def incremental_dedup(
+    new_ds: ray.data.Dataset,
+    ref_ds: ray.data.Dataset,
+    cfg: DedupConfig,
+    check_html: bool = False,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Cross-snapshot dedup with EVERY configured pass (exact + MinHash +
+    SimHash + substring, per the cfg flags) under transitive-closure
+    semantics: edges are computed over the side-tagged union of both
+    snapshots with the exact same stages run_dedup uses, components come
+    from the same union-find, and then
+
+        component containing >= 1 reference doc  -> every NEW member is
+            'ref_dup' (its content — directly or through a chain of
+            duplicates — already exists in the kept corpus)
+        component of only NEW docs               -> the usual
+            keep/delete assignment (keeper = global-order minimum)
+        unmatched ok NEW docs                    -> 'unique'
+        non-ok NEW docs                          -> 'ignored' / 'error'
+
+    Reference docs never appear in the output.  Scale shape: the edge
+    stages are the engine's own shuffle-native passes; the side/label
+    attachment is one hash shuffle on node over the corpus and the
+    component assigner one shuffle on comp over O(matched) rows — no
+    broadcast, no driver-side state.  Ref-ref edges are kept (they can
+    only merge components that are already reference-containing, so they
+    never change a new doc's state)."""
+    from .pipeline import (_auto_partitions, _ok_only, exact_edges,
+                           minhash_edges, simhash_edges, substring_edges)
+
+    tune_context()
+    prep_new = prepare(new_ds, cfg, check_html=check_html).materialize()
+    prep_ref = prepare(ref_ds, cfg, check_html=check_html)
+    P = num_partitions or _auto_partitions(cfg, prep_new.size_bytes())
+
+    id_type = prep_new.schema().base_schema.field("id").type
+    string_ids = (pa.types.is_string(id_type)
+                  or pa.types.is_large_string(id_type))
+    sentinel = "" if string_ids else -1
+
+    def _tag(side: int):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side, dtype=np.int8)))
+        return _f
+
+    active = _ok_only(prep_new).map_batches(_tag(_SIDE_NEW),
+                                            batch_format="pyarrow").union(
+        _ok_only(prep_ref).map_batches(_tag(_SIDE_REF),
+                                       batch_format="pyarrow")).materialize()
+
+    stage_fns = []
+    if cfg.exact:
+        stage_fns.append(lambda: exact_edges(active, cfg, P))
+    if cfg.near:
+        stage_fns.append(lambda: minhash_edges(active, cfg, P))
+    if cfg.simhash:
+        stage_fns.append(lambda: simhash_edges(active, cfg, P))
+    if cfg.substring:
+        stage_fns.append(lambda: substring_edges(active, cfg, P))
+    if not stage_fns:
+        raise ValueError("incremental_dedup needs at least one pass enabled")
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=len(stage_fns)) as ex:
+        edge_sets = [f.result() for f in
+                     [ex.submit(lambda fn: fn().materialize(), fn)
+                      for fn in stage_fns]]
+    edges = edge_sets[0]
+    if len(edge_sets) > 1:
+        edges = edges.union(*edge_sets[1:])
+    labels = union_find(edges, P)
+
+    # ---- shuffle A (node): attach comp + side/id/order_key; settle
+    # unmatched new docs immediately ------------------------------------
+    def _lab_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "node": t["node"],
+            "comp": t["comp"],
+            "side": pa.array(np.full(n, -1, dtype=np.int8)),
+            "id": pa.nulls(n, id_type),
+            "order_key": pa.nulls(n, pa.binary()),
+        })
+
+    def _act_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = t["id"].cast(id_type)
+        okeys = pc.if_else(pc.equal(t["side"], _SIDE_NEW),
+                           t["order_key"], pa.nulls(n, pa.binary()))
+        return pa.table({
+            "node": t["node"],
+            "comp": pa.nulls(n, pa.uint64()),
+            "side": t["side"],
+            "id": pc.if_else(pc.equal(t["side"], _SIDE_NEW), ids,
+                             pa.nulls(n, id_type)),
+            "order_key": okeys,
+        })
+
+    mixed = labels.map_batches(_lab_rows, batch_format="pyarrow").union(
+        active.select_columns(["node", "side", "id", "order_key"])
+              .map_batches(_act_rows, batch_format="pyarrow"))
+
+    def _attach(t: pa.Table) -> pa.Table:
+        nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        # nullable-uint64 to_numpy degrades to float64 and loses precision
+        # for full-range hash ids — fill nulls on the arrow side instead
+        comp = pc.fill_null(t["comp"], 0).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        # sort by (node, side) so each group's label row (side -1) is first
+        order = np.lexsort((side, nodes))
+        sn = nodes[order]
+        brk = np.flatnonzero(sn[1:] != sn[:-1]) + 1
+        starts = np.concatenate([[0], brk]).astype(np.int64)
+        sizes = np.diff(np.concatenate([starts, [len(sn)]]))
+        first = order[starts]
+        has_lab = side[first] == -1
+        row_comp = np.repeat(comp[first], sizes)    # aligned with `order`
+        row_haslab = np.repeat(has_lab, sizes)
+        row_side = side[order]
+        is_act = row_side >= 0
+        matched = is_act & row_haslab
+        unmatched_new = is_act & ~row_haslab & (row_side == _SIDE_NEW)
+        m_idx = pa.array(order[matched], pa.int64())
+        u_idx = pa.array(order[unmatched_new], pa.int64())
+        return pa.table({
+            "comp": pa.array(
+                np.concatenate([row_comp[matched],
+                                np.zeros(int(unmatched_new.sum()),
+                                         np.uint64)]), pa.uint64()),
+            "side": pa.concat_arrays([
+                t["side"].combine_chunks().take(m_idx),
+                t["side"].combine_chunks().take(u_idx)]),
+            "id": pa.concat_arrays([
+                t["id"].combine_chunks().take(m_idx),
+                t["id"].combine_chunks().take(u_idx)]),
+            "order_key": pa.concat_arrays([
+                t["order_key"].combine_chunks().take(m_idx),
+                t["order_key"].combine_chunks().take(u_idx)]),
+            "matched": pa.array(
+                [True] * int(matched.sum()) +
+                [False] * int(unmatched_new.sum()), pa.bool_()),
+        })
+
+    attached = groupapply(mixed, "node", _attach, P).materialize()
+
+    def _unmatched_final(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(t["matched"]))
+        n = t.num_rows
+        return pa.table({
+            "id": t["id"],
+            "state": pa.array(["unique"] * n, pa.string()),
+            "cluster_id": pa.array([sentinel] * n, id_type),
+            "cluster_size": pa.array(np.ones(n, dtype=np.int64)),
+        })
+
+    unmatched = attached.map_batches(_unmatched_final, batch_format="pyarrow")
+
+    def _comp_cols(t: pa.Table) -> pa.Table:
+        t = t.filter(t["matched"])
+        return t.drop_columns(["matched"])
+
+    comp_rows = attached.map_batches(_comp_cols, batch_format="pyarrow")
+
+    # ---- shuffle B (comp): per-component assignment --------------------
+    def _assign(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("comp", "ascending"),
+                                            ("order_key", "ascending")])
+        t2 = t.take(idx)
+        ck = t2["comp"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        side = t2["side"].to_numpy(zero_copy_only=False)
+        n = len(ck)
+        if n == 0:
+            return pa.table({"id": pa.array([], id_type),
+                             "state": pa.array([], pa.string()),
+                             "cluster_id": pa.array([], id_type),
+                             "cluster_size": pa.array([], pa.int64())})
+        brk = np.flatnonzero(ck[1:] != ck[:-1]) + 1
+        starts = np.concatenate([[0], brk]).astype(np.int64)
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        gidx = np.repeat(np.arange(len(starts)), sizes)
+        has_ref = np.bincount(gidx, weights=(side == _SIDE_REF),
+                              minlength=len(starts)) > 0
+        n_new = np.bincount(gidx, weights=(side == _SIDE_NEW),
+                            minlength=len(starts)).astype(np.int64)
+        # keeper = first row per group in (comp, order_key) order; in
+        # new-only groups every row is new so this is the order minimum
+        state = np.full(n, "delete", dtype=object)
+        state[starts] = "keep"
+        state[has_ref[gidx]] = "ref_dup"
+        ids2 = t2["id"].combine_chunks()
+        cid = ids2.take(pa.array(np.repeat(starts, sizes)))
+        row_has_ref = has_ref[gidx]
+        keep_mask = side == _SIDE_NEW
+        out = pa.table({
+            "id": ids2,
+            "state": pa.array(state.tolist(), pa.string()),
+            "cluster_id": pc.if_else(pa.array(row_has_ref),
+                                     pa.scalar(sentinel, id_type), cid),
+            "cluster_size": pa.array(
+                np.where(row_has_ref, 0, n_new[gidx]), pa.int64()),
+        })
+        return out.filter(pa.array(keep_mask))
+
+    assigned = groupapply(comp_rows, "comp", _assign, P)
+
+    def _passthrough(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["state0"], "ok"))
+        n = t.num_rows
+        return pa.table({
+            "id": t["id"].cast(id_type),
+            "state": t["state0"],
+            "cluster_id": pa.array([sentinel] * n, id_type),
+            "cluster_size": pa.array(np.zeros(n, dtype=np.int64)),
+        })
+
+    nonok = prep_new.map_batches(_passthrough, batch_format="pyarrow")
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([cfg.id_col, "state", "cluster_id",
+                                 "cluster_size"])
+
+    return assigned.union(unmatched).union(nonok) \
+        .map_batches(_rename, batch_format="pyarrow")

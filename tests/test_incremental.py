@@ -96,3 +96,37 @@ def test_key_lang_conjunct_respected():
     rows = _rows(incremental_exact_dedup(new, ref, _cfg(key_lang=True),
                                          num_partitions=4))
     assert rows == {10: ("unique", -1, 1, 0), 11: ("ref_dup", -1, 0, 1)}
+
+
+def test_closure_path_equals_exact_variant():
+    """incremental_dedup with the exact-only config must equal
+    incremental_exact_dedup minus the n_ref column."""
+    from dedup.incremental import incremental_dedup
+    new, ref = _micro()
+    direct = incremental_exact_dedup(new, ref, _cfg(), num_partitions=4) \
+        .sort("doc_id").to_pandas().drop(columns=["n_ref"])
+    cc = incremental_dedup(new, ref, _cfg(), num_partitions=4) \
+        .sort("doc_id").to_pandas()
+    assert cc.reset_index(drop=True).equals(direct.reset_index(drop=True))
+
+
+def test_near_ref_dup_and_transitive_chain():
+    """A new doc that NEAR-duplicates a reference doc is ref_dup, and so
+    is a new doc connected to it only through the duplicate chain."""
+    from dedup.incremental import incremental_dedup
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"] * 12
+    base = " ".join(words)
+    edit1 = " ".join(words[:115] + ["CHANGED1", "x", "y", "z", "w"])
+    edit2 = " ".join(words[:110] + ["CHANGED1", "x", "y", "z", "w",
+                                    "q2", "r2", "s2", "t2", "u2"])
+    other = " ".join(reversed([w.upper() for w in words]))
+    ref = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()), "text": [base]}))
+    new = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "text": [edit1, edit2, other]}))
+    cfg = DOCUMENTS_CONFIG.with_(simhash=False, substring=False)  # exact+minhash
+    t = incremental_dedup(new, ref, cfg, num_partitions=4) \
+        .sort("doc_id").to_pandas()
+    assert list(t["state"]) == ["ref_dup", "ref_dup", "unique"]
