@@ -41,6 +41,7 @@ def cmd_run(args: argparse.Namespace) -> int:
     import ray.data
     from .config import DedupConfig
     from .pipeline import run_dedup, state_stats
+    from .incremental import incremental_dedup
 
     if args.config:
         cfg = DedupConfig.from_json(open(args.config).read())
@@ -51,7 +52,16 @@ def cmd_run(args: argparse.Namespace) -> int:
 
     ds = ray.data.read_parquet(args.input)
     t0 = time.time()
-    out = run_dedup(ds, cfg)
+    if args.ref_input:
+        # cross-snapshot mode: dedup the input against a previously-kept
+        # reference corpus (plus within itself), closure semantics
+        if cfg.checkpoint_dir:
+            raise SystemExit(
+                "--checkpoint-dir is not supported in --ref-input mode")
+        out = incremental_dedup(ds, ray.data.read_parquet(args.ref_input),
+                                cfg)
+    else:
+        out = run_dedup(ds, cfg)
     os.makedirs(args.output, exist_ok=True)
     assign_dir = os.path.join(args.output, "assignments")
     if os.path.isdir(assign_dir):  # rerun: replace, don't append files
@@ -63,6 +73,7 @@ def cmd_run(args: argparse.Namespace) -> int:
     ).iter_rows()}
     report = {
         "input": args.input,
+        "ref_input": args.ref_input,
         "output": args.output,
         "config_fingerprint": cfg.fingerprint(),
         "wall_sec": round(time.time() - t0, 2),
@@ -93,6 +104,10 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--input", required=True)
     rp.add_argument("--output", required=True)
     rp.add_argument("--config", default=None, help="DedupConfig JSON path")
+    rp.add_argument("--ref-input", default=None,
+                    help="previously-kept reference corpus parquet: dedup "
+                         "--input against it (cross-snapshot mode; matched "
+                         "docs become state=ref_dup)")
     rp.add_argument("--checkpoint-dir", default=None)
     rp.add_argument("--cpus", type=int, default=None)
     rp.set_defaults(fn=cmd_run)
