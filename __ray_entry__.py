@@ -117,6 +117,31 @@ def _q_exact_dedup_diff_source(sf_dir: str):
         .sort("doc_id")
 
 
+def _q_normalized_dedup(sf_dir: str):
+    """Exact dedup over C4-style-normalized text (normalize='c4' — the
+    content-level generalization of the reference's OrdinalIgnoreCase
+    key matching, MainViewModel.cs:1040-1072), with byte_verify on so
+    the normalized-byte comparator path is exercised too.  Corpus =
+    documents ∪ a mangled twin per doc (doc_id + 1_000_000, upper-cased,
+    double-spaced): plain exact dedup finds zero duplicates here, while
+    normalized dedup must cluster every ok doc with its twin."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _twin(t: pa.Table) -> pa.Table:
+        mang = pc.replace_substring(pc.utf8_upper(t["text"]),
+                                    pattern=" ", replacement="  ")
+        orig = pa.table({"doc_id": t["doc_id"].combine_chunks(),
+                         "text": t["text"].combine_chunks()})
+        twin = pa.table({"doc_id": pc.add(t["doc_id"], 1_000_000)
+                         .combine_chunks().cast(pa.int64()),
+                         "text": mang})
+        return pa.concat_tables([orig, twin])
+
+    union = ds.map_batches(_twin, batch_format="pyarrow")
+    return run_dedup(union, _doc_cfg(normalize="c4", byte_verify=True)) \
+        .sort("doc_id")
+
+
 def _split_docs(sf_dir: str, bound: str = "e6"):
     """documents split into (ref, new) by the hash_split md5-prefix rule:
     the 'train' shard plays the previously-kept reference corpus, the
@@ -819,6 +844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_same_source": _q_exact_dedup_same_source,
         "exact_dedup_diff_source": _q_exact_dedup_diff_source,
         "exact_dedup_byteverify": _q_exact_dedup_byteverify,
+        "normalized_dedup": _q_normalized_dedup,
         "exact_dedup_stats": _q_exact_dedup_stats,
         "visible_duplicates": _q_visible_duplicates,
         "delete_manifest": _q_delete_manifest,
@@ -911,6 +937,34 @@ _EXACT_SQL = f"""
 WITH base AS (SELECT doc_id, text, length(text) AS nb FROM documents),
 ok AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS min_id,
               COUNT(*) OVER (PARTITION BY text) AS cnt
+       FROM base WHERE nb >= {_MIN})
+SELECT doc_id,
+       CASE WHEN cnt = 1 THEN 'unique' WHEN doc_id = min_id THEN 'keep'
+            ELSE 'delete' END AS state,
+       CASE WHEN cnt = 1 THEN -1 ELSE min_id END AS cluster_id,
+       CASE WHEN cnt = 1 THEN 1 ELSE cnt END AS cluster_size
+FROM ok
+UNION ALL
+SELECT doc_id, 'ignored' AS state, -1 AS cluster_id, 0 AS cluster_size
+FROM base WHERE nb < {_MIN}
+"""
+
+
+#: normalized exact dedup over documents ∪ mangled twins; the norm
+#: expression mirrors dedup.extract.normalize_text_column byte-for-byte
+#: (both are RE2; backslashes pass through DuckDB string literals).
+_NORM_SQL = rf"""
+WITH uni AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, replace(upper(text), ' ', '  ') FROM documents),
+base AS (
+  SELECT doc_id, length(text) AS nb,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[!-/:-@\[-`{{-~]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+  FROM uni),
+ok AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY norm) AS min_id,
+              COUNT(*) OVER (PARTITION BY norm) AS cnt
        FROM base WHERE nb >= {_MIN})
 SELECT doc_id,
        CASE WHEN cnt = 1 THEN 'unique' WHEN doc_id = min_id THEN 'keep'
@@ -1031,6 +1085,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM ({same_source_sql}) ORDER BY doc_id",
         "exact_dedup_diff_source":
             f"SELECT * FROM ({_DIFF_SOURCE_SQL}) ORDER BY doc_id",
+        "normalized_dedup": f"SELECT * FROM ({_NORM_SQL}) ORDER BY doc_id",
         "visible_duplicates": f"""
             SELECT * FROM ({_EXACT_SQL})
             WHERE state IN ('keep', 'delete') ORDER BY doc_id""",

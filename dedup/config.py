@@ -54,6 +54,14 @@ class DedupConfig:
     key_lang: bool = False         # CompareExtension analogue (:1081-1085)
     byte_verify: bool = False      # M9 byte comparator analogue (:1094-1146); carries
                                    # text through the exact shuffle — costly, off by default
+    normalize: str = "none"        # 'none' | 'c4': exact-key material is the
+                                   # C4-style-normalized text (lowercase, ASCII
+                                   # punct stripped, whitespace collapsed) — the
+                                   # content-level generalization of the
+                                   # reference's OrdinalIgnoreCase key matching
+                                   # (MainViewModel.cs:1040-1072); byte_verify
+                                   # then compares the normalized bytes (the
+                                   # bytes that were hashed)
     stem_prefix: bool = False      # M7 literal mode (CompareFilenameSimilar,
                                    # MainViewModel.cs:1064-1072): exact-pass pairs
                                    # additionally require the ORDER-EARLIER record's
@@ -130,6 +138,9 @@ class DedupConfig:
             raise ValueError(
                 "content_hash must be sha256|blake2b|sha1|md5, "
                 f"got {self.content_hash!r}")
+        if self.normalize not in ("none", "c4"):
+            raise ValueError(
+                f"normalize must be 'none'|'c4', got {self.normalize!r}")
         if self.substring_mode not in ("winnow", "suffix_array"):
             raise ValueError(
                 "substring_mode must be 'winnow'|'suffix_array', "

@@ -79,6 +79,36 @@ def extract_text_column(col) -> "pa.Array":
     return pc.utf8_trim_whitespace(s)
 
 
+#: ASCII punctuation (0x21-0x2f, 0x3a-0x40, 0x5b-0x60, 0x7b-0x7e) — the
+#: class deliberately keeps non-ASCII letters intact so normalization is
+#: unicode-safe.  The same literal is embedded in the SQL oracle.
+PUNCT_CLASS = "[!-/:-@\\[-`{-~]"
+
+
+def normalize_text_column(col) -> "pa.Array":
+    """C4-style text normalization for the normalized exact-dedup pass
+    (the case-insensitive key-comparison analogue of the reference's
+    OrdinalIgnoreCase filename matching, MainViewModel.cs:1040-1072,
+    generalized to content): lowercase, ASCII punctuation → space,
+    whitespace runs collapsed, trimmed.  Fully vectorized (arrow re2
+    kernels); byte-identical to the DuckDB expression
+    ``trim(regexp_replace(regexp_replace(lower(x), PUNCT, ' ', 'g'),
+    '\\s+', ' ', 'g'))`` used by the oracle."""
+    import pyarrow.compute as pc
+    x = pc.utf8_lower(col)
+    x = pc.replace_substring_regex(x, pattern=PUNCT_CLASS, replacement=" ")
+    x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
+    return pc.utf8_trim(x, characters=" ")
+
+
+def normalize_text(s: str) -> str:
+    """Per-row reference implementation of normalize_text_column (kept
+    for parity tests; \\s stays ASCII to match re2)."""
+    s = re.sub(PUNCT_CLASS, " ", s.lower())
+    s = re.sub(r"\s+", " ", s, flags=re.ASCII)
+    return s.strip(" ")
+
+
 def extract_text(html: bytes | str) -> str:
     """Deterministic text extraction; returns '' for undecodable input
     (the caller routes those rows to state='error', never silently)."""

@@ -96,6 +96,13 @@ class Preparer:
             txt_null = pc.is_null(t[cfg.text_col]).to_numpy(zero_copy_only=False)
             invariant_bad = ~eq & ~txt_null
 
+        # content bytes the exact key hashes: the raw text, or its
+        # C4-style normalization (normalize='c4') — nulls propagate
+        hash_texts = texts
+        if cfg.normalize == "c4":
+            from .extract import normalize_text_column
+            hash_texts = normalize_text_column(t[cfg.text_col]).to_pylist()
+
         id_list = ids.to_pylist()
         node = np.empty(n, dtype=np.uint64)
         okeys: list[bytes] = []
@@ -120,7 +127,7 @@ class Preparer:
                 sv = (str(scope_vals[i]) if scope_vals is not None
                       else _scope_value(cfg, id_list[i]))
                 scope64[i] = _h64(sv.encode())
-            txt = texts[i]
+            txt = hash_texts[i]
             shas.append(self._hash(txt.encode()).digest() if txt is not None else None)
 
         n_chars = pc.fill_null(pc.utf8_length(t[cfg.text_col]), 0).cast(pa.int64())

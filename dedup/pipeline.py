@@ -249,7 +249,15 @@ def exact_edges(active: ray.data.Dataset, cfg: DedupConfig,
         # the composite (e64, ehi) — no Python-object conversion on the
         # common (no byte-verify / no stem) path
         ehi = _full_hi(t["exact_full"])
-        texts = t["text"].to_pylist() if cfg.byte_verify else None
+        if cfg.byte_verify:
+            tcol = t["text"]
+            if cfg.normalize == "c4":
+                # verify the bytes that were hashed (the normalized text)
+                from .extract import normalize_text_column
+                tcol = normalize_text_column(tcol)
+            texts = tcol.to_pylist()
+        else:
+            texts = None
         stems = t["stem"].to_pylist() if cfg.stem_prefix else None
         okeys = t["order_key"].to_pylist() if cfg.stem_prefix else None
         order = np.lexsort((ehi, e64))

@@ -210,3 +210,25 @@ def test_full_hi_views_second_word():
     assert (_full_hi(col) == exp).all()
     sl = pa.table({"x": pa.array(vals, pa.binary())}).slice(37, 200)
     assert (_full_hi(sl["x"]) == exp[37:237]).all()
+
+
+def test_normalize_text_column_matches_reference():
+    import pyarrow as pa
+    from dedup.extract import normalize_text, normalize_text_column
+    cases = [
+        "Hello, World!  foo-bar_baz",
+        "  A  B\tC\nD ",
+        "ALL CAPS!!!",
+        "",
+        "中文 Mixed-CASE 句子。",
+        "a@b.c [x] `y` {z} ~w",
+        "é À Ü ß",
+        None,
+    ]
+    got = normalize_text_column(pa.array(cases, pa.string())).to_pylist()
+    want = [normalize_text(c) if c is not None else None for c in cases]
+    assert got == want
+    # idempotent: normalizing a normalized string is a no-op
+    again = normalize_text_column(pa.array(
+        [g for g in got if g is not None])).to_pylist()
+    assert again == [g for g in got if g is not None]

@@ -473,3 +473,28 @@ def test_embedding_dedup_transitive_chain():
     assert by_id[2]["cluster_size"] == 3
     assert by_id[3]["state"] == "unique" and by_id[3]["cluster_id"] == -1
     assert by_id[3]["cluster_size"] == 1
+
+
+def test_normalize_c4_clusters_case_and_punct_variants():
+    """normalize='c4': docs differing only in case / ASCII punctuation /
+    whitespace runs share one exact key; without it they don't.  Also
+    exercises byte_verify over normalized bytes (the hashed material)."""
+    cfg = DedupConfig(**EXACT, normalize="c4")
+    rows = _pages([
+        ("u/a", "The QUICK  brown FOX!"),
+        ("u/b", "the quick brown fox"),
+        ("u/c", "the, quick; brown... fox"),
+        ("u/d", "a different document entirely"),
+    ])
+    got = _run(rows, cfg)
+    assert got["u/a"][0] == "keep"
+    assert got["u/b"][0] == "delete" and got["u/c"][0] == "delete"
+    assert got["u/b"][1] == got["u/a"][1] == got["u/c"][1]
+    assert got["u/a"][2] == 3
+    assert got["u/d"][0] == "unique"
+    # byte_verify composes: verifies the normalized bytes -> same result
+    got_bv = _run(rows, cfg.with_(byte_verify=True))
+    assert got_bv == got
+    # without normalization these are four distinct texts
+    got_plain = _run(rows, DedupConfig(**EXACT))
+    assert all(v[0] == "unique" for v in got_plain.values())
