@@ -460,6 +460,29 @@ def _q_quality_score(sf_dir: str):
         .sort("doc_id")
 
 
+#: deterministic PII augmentation shared by the Ray query and its SQL
+#: oracle: one email (id-dependent), one phone, one long number per doc.
+_PII_SUFFIX = "@example.com tel +1 212 5550199 ref 987654321012"
+
+
+def _q_pii_scrub(sf_dir: str):
+    """PII scrub over deterministically-augmented documents (the base
+    corpus has no digits/emails, so each row gets one synthetic email /
+    phone / long-number appended on BOTH sides): counts per category
+    plus the scrubbed text, verified byte-for-byte."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _aug(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        ids = pc.cast(t["doc_id"], pa.string())
+        aug = pc.binary_join_element_wise(
+            txt, " contact", ids, _PII_SUFFIX, "")
+        return pa.table({"doc_id": t["doc_id"], "text": aug})
+
+    return textstats.scrub_pii(ds.map_batches(_aug, batch_format="pyarrow")) \
+        .sort("doc_id")
+
+
 def _q_top_docs_per_lang(sf_dir: str):
     """Top-5 longest docs per language (per-group top-k with a per-batch
     partial prune before the shuffle)."""
@@ -856,6 +879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": _q_doc_stats,
         "top_tokens": _q_top_tokens,
         "quality_score": _q_quality_score,
+        "pii_scrub": _q_pii_scrub,
         "hash_split": _q_hash_split,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "lang_group_stats": _q_lang_group_stats,
@@ -1154,6 +1178,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(n_stop / greatest(n_tokens, 1) * 1e6) AS BIGINT) AS stopword_ratio_e6,
                    CAST(floor(tok_chars / greatest(n_tokens, 1) * 1e6) AS BIGINT) AS mean_token_len_e6
             FROM d ORDER BY doc_id""",
+        "pii_scrub": rf"""
+            WITH s0 AS (
+              SELECT doc_id,
+                     coalesce(text, '') || ' contact' ||
+                     CAST(doc_id AS VARCHAR) || '{_PII_SUFFIX}' AS t
+              FROM documents),
+            s1 AS (
+              SELECT doc_id,
+                     length(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_emails,
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}',
+                       '<EMAIL>', 'g') AS t
+              FROM s0),
+            s2 AS (
+              SELECT doc_id, n_emails,
+                     length(regexp_extract_all(t, '\+\d[\d -]{{7,}}\d')) AS n_phones,
+                     regexp_replace(t, '\+\d[\d -]{{7,}}\d', '<PHONE>', 'g') AS t
+              FROM s1),
+            s3 AS (
+              SELECT doc_id, n_emails, n_phones,
+                     length(regexp_extract_all(t, '\d{{9,}}')) AS n_numbers,
+                     regexp_replace(t, '\d{{9,}}', '<NUM>', 'g') AS t
+              FROM s2)
+            SELECT doc_id, n_emails, n_phones, n_numbers, t AS text_scrubbed
+            FROM s3 ORDER BY doc_id""",
         "top_docs_per_lang": """
             SELECT lang, doc_id, n_chars FROM (
               SELECT lang, doc_id, n_chars,

@@ -289,6 +289,43 @@ def hash_split(ds: ray.data.Dataset, id_col: str = "doc_id",
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+#: PII scrub patterns, applied IN ORDER over the evolving text (each
+#: count is taken on the text as the previous stage left it — the SQL
+#: oracle chains the same way).  RE2 on both sides: arrow
+#: count_substring_regex / replace_substring_regex vs DuckDB
+#: regexp_extract_all / regexp_replace(…,'g') agree match-for-match.
+PII_PATTERNS = (
+    ("n_emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("n_phones", r"\+\d[\d -]{7,}\d", "<PHONE>"),
+    ("n_numbers", r"\d{9,}", "<NUM>"),
+)
+
+
+def scrub_pii_table(t: pa.Table, id_col: str = "doc_id",
+                    text_col: str = "text") -> pa.Table:
+    """Batch kernel for scrub_pii (kept table-level for Ray-free tests):
+    redacts emails / international phone numbers / long digit runs and
+    counts each category — all arrow re2 kernels, no per-row Python."""
+    txt = pc.fill_null(t[text_col], "")
+    out: dict = {id_col: t[id_col]}
+    for name, pat, rep in PII_PATTERNS:
+        out[name] = pc.count_substring_regex(txt, pattern=pat).cast(pa.int64())
+        txt = pc.replace_substring_regex(txt, pattern=pat, replacement=rep)
+    out["text_scrubbed"] = txt
+    return pa.table(out)
+
+
+def scrub_pii(ds: ray.data.Dataset, id_col: str = "doc_id",
+              text_col: str = "text") -> ray.data.Dataset:
+    """PII redaction — the scrub every published training corpus needs.
+    Emits per-doc redaction counts plus the scrubbed text itself, so the
+    transformation is verifiable byte-for-byte (the SQL oracle replays
+    the same chained regexp_replace)."""
+    return ds.map_batches(
+        lambda t: scrub_pii_table(t, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow")
+
+
 def doc_fingerprints(ds: ray.data.Dataset, id_col: str = "doc_id",
                      text_col: str = "text", g: int = 50,
                      w: int = 100) -> ray.data.Dataset:

@@ -232,3 +232,28 @@ def test_normalize_text_column_matches_reference():
     again = normalize_text_column(pa.array(
         [g for g in got if g is not None])).to_pylist()
     assert again == [g for g in got if g is not None]
+
+
+def test_scrub_pii_table_counts_and_redaction():
+    import pyarrow as pa
+    from dedup.textstats import scrub_pii_table
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "mail a.b+c@x-corp.co.uk and d@e.io today",
+            "call +44 20 7946 0958 or +1 5551234567 now",
+            "order 123456789012 shipped, ref 987654321",
+            None,
+        ],
+    })
+    out = scrub_pii_table(t)
+    assert out["n_emails"].to_pylist() == [2, 0, 0, 0]
+    assert out["n_phones"].to_pylist() == [0, 2, 0, 0]
+    assert out["n_numbers"].to_pylist() == [0, 0, 2, 0]
+    got = out["text_scrubbed"].to_pylist()
+    assert got[0] == "mail <EMAIL> and <EMAIL> today"
+    assert got[1] == "call <PHONE> or <PHONE> now"
+    assert got[2] == "order <NUM> shipped, ref <NUM>"
+    assert got[3] == ""
+    # phones already redacted are not re-matched as long numbers
+    assert "<NUM>" not in got[1]
