@@ -483,6 +483,14 @@ def _q_pii_scrub(sf_dir: str):
         .sort("doc_id")
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition features (dup-line / dup-2-gram /
+    top-2-gram occurrence fractions) — floor-e6 ints via pure integer
+    arithmetic on both sides."""
+    return textstats.repetition_stats(_docs(sf_dir, ["doc_id", "text"])) \
+        .sort("doc_id")
+
+
 def _q_top_docs_per_lang(sf_dir: str):
     """Top-5 longest docs per language (per-group top-k with a per-batch
     partial prune before the shuffle)."""
@@ -880,6 +888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": _q_top_tokens,
         "quality_score": _q_quality_score,
         "pii_scrub": _q_pii_scrub,
+        "repetition_stats": _q_repetition_stats,
         "hash_split": _q_hash_split,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "lang_group_stats": _q_lang_group_stats,
@@ -1204,6 +1213,46 @@ def oracle_sql() -> dict[str, str]:
               FROM s2)
             SELECT doc_id, n_emails, n_phones, n_numbers, t AS text_scrubbed
             FROM s3 ORDER BY doc_id""",
+        "repetition_stats": r"""
+            WITH src AS (
+              SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            ln AS (
+              SELECT doc_id, unnest(string_split(t, chr(10))) AS line
+              FROM src),
+            lcnt AS (SELECT doc_id, line, count(*) AS c
+                     FROM ln GROUP BY doc_id, line),
+            lagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS ltot,
+                            CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+                                 AS BIGINT) AS ldup
+                     FROM lcnt GROUP BY doc_id),
+            tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(t, '\s+'),
+                                 x -> x <> '') AS ts
+              FROM src),
+            g AS (
+              SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS gram
+              FROM tok, unnest(generate_series(1, len(ts) - 1)) AS u(i)),
+            gcnt AS (SELECT doc_id, gram, count(*) AS c
+                     FROM g GROUP BY doc_id, gram),
+            gagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS gtot,
+                            CAST(max(c) AS BIGINT) AS gmx,
+                            CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+                                 AS BIGINT) AS gdup
+                     FROM gcnt GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(l.ltot, 0) AS BIGINT) AS n_lines,
+                   coalesce(l.ldup, 0) * 1000000
+                     // greatest(coalesce(l.ltot, 0), 1) AS dup_line_frac_e6,
+                   CAST(coalesce(a.gtot, 0) AS BIGINT) AS n_2grams,
+                   coalesce(a.gmx, 0) * 1000000
+                     // greatest(coalesce(a.gtot, 0), 1) AS top_2gram_frac_e6,
+                   coalesce(a.gdup, 0) * 1000000
+                     // greatest(coalesce(a.gtot, 0), 1) AS dup_2gram_frac_e6
+            FROM documents d
+            LEFT JOIN lagg l USING (doc_id)
+            LEFT JOIN gagg a USING (doc_id)
+            ORDER BY d.doc_id""",
         "top_docs_per_lang": """
             SELECT lang, doc_id, n_chars FROM (
               SELECT lang, doc_id, n_chars,

@@ -289,6 +289,90 @@ def hash_split(ds: ray.data.Dataset, id_col: str = "doc_id",
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+def _group_dup_stats(parent: np.ndarray, keys: np.ndarray,
+                     nrows: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-parent (total, max-multiplicity, duplicated-occurrence) counts
+    over (parent, key) items — one lexsort + run-length pass, no hashing
+    and no per-row Python (overflow-safe for any key range)."""
+    tot = np.bincount(parent, minlength=nrows).astype(np.int64)
+    mx = np.zeros(nrows, dtype=np.int64)
+    dup = np.zeros(nrows, dtype=np.int64)
+    if len(parent):
+        order = np.lexsort((keys, parent))
+        gp, gk = parent[order], keys[order]
+        change = (gp[1:] != gp[:-1]) | (gk[1:] != gk[:-1])
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1, [len(gp)]])
+        counts = np.diff(starts).astype(np.int64)
+        run_parent = gp[starts[:-1]]
+        np.maximum.at(mx, run_parent, counts)
+        dup = np.bincount(run_parent, weights=counts * (counts > 1),
+                          minlength=nrows).astype(np.int64)
+    return tot, mx, dup
+
+
+def repetition_stats_table(t: pa.Table, id_col: str = "doc_id",
+                           text_col: str = "text") -> pa.Table:
+    """Batch kernel for repetition_stats (table-level for Ray-free
+    tests).  Fractions are occurrence fractions (occurrences belonging
+    to a repeated line / 2-gram over total occurrences) emitted as
+    floor-e6 integers via pure int arithmetic — bit-identical to the
+    SQL oracle's ``x * 1000000 // greatest(tot, 1)``."""
+    txt = pc.fill_null(t[text_col], "")
+    nrows = t.num_rows
+
+    def e6_frac(x: np.ndarray, tot: np.ndarray) -> pa.Array:
+        return pa.array(x * 1_000_000 // np.maximum(tot, 1), pa.int64())
+
+    # --- duplicate-line stats (every split segment is a line, empties
+    # included — matches string_split(t, chr(10)) in the oracle)
+    lines = pc.split_pattern(txt, pattern="\n")
+    lper = pc.list_value_length(lines).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    lparent = np.repeat(np.arange(nrows), lper)
+    lflat = pc.list_flatten(lines).combine_chunks()
+    lcodes = pc.dictionary_encode(lflat).indices \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    ltot, _, ldup = _group_dup_stats(lparent, lcodes, nrows)
+
+    # --- 2-gram stats over non-empty \s+ tokens
+    toks = pc.split_pattern_regex(txt, pattern=r"\s+")
+    nper = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    parent = np.repeat(np.arange(nrows), nper)
+    flat = pc.list_flatten(toks).combine_chunks()
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    parent = parent[keep]
+    codes = pc.dictionary_encode(flat.filter(pa.array(keep))) \
+        .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    k = len(codes)
+    adj = parent[1:] == parent[:-1] if k else np.zeros(0, dtype=bool)
+    ncodes = int(codes.max()) + 1 if k else 1
+    gram = (codes[:-1] * ncodes + codes[1:])[adj] if k else codes
+    gparent = parent[:-1][adj] if k else parent
+    gtot, gmx, gdup = _group_dup_stats(gparent, gram, nrows)
+
+    return pa.table({
+        id_col: t[id_col],
+        "n_lines": pa.array(ltot, pa.int64()),
+        "dup_line_frac_e6": e6_frac(ldup, ltot),
+        "n_2grams": pa.array(gtot, pa.int64()),
+        "top_2gram_frac_e6": e6_frac(gmx, gtot),
+        "dup_2gram_frac_e6": e6_frac(gdup, gtot),
+    })
+
+
+def repetition_stats(ds: ray.data.Dataset, id_col: str = "doc_id",
+                     text_col: str = "text") -> ray.data.Dataset:
+    """Gopher-style repetition features for quality filtering (duplicate
+    line fraction, duplicate / most-common 2-gram occurrence fractions)
+    — vectorized: dictionary-encode + one lexsort per batch, no per-row
+    Python.  (Gopher's char-weighted variants differ slightly; the
+    occurrence-fraction definition here is exactly SQL-checkable.)"""
+    return ds.map_batches(
+        lambda t: repetition_stats_table(t, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow")
+
+
 #: PII scrub patterns, applied IN ORDER over the evolving text (each
 #: count is taken on the text as the previous stage left it — the SQL
 #: oracle chains the same way).  RE2 on both sides: arrow

@@ -257,3 +257,36 @@ def test_scrub_pii_table_counts_and_redaction():
     assert got[3] == ""
     # phones already redacted are not re-matched as long numbers
     assert "<NUM>" not in got[1]
+
+def test_repetition_stats_table_matches_naive():
+    import pyarrow as pa
+    from collections import Counter
+    from dedup.textstats import repetition_stats_table
+    texts = [
+        "a b a b\na b a b\nunique line",     # repeated line + repeated 2-grams
+        "x y z",                              # nothing repeated
+        "w w w w w",                          # one token repeated -> one 2-gram
+        "",                                   # empty doc
+        None,                                 # null doc
+        "line\nline\nline",                   # only line repetition
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = repetition_stats_table(t)
+
+    for i, txt in enumerate(texts):
+        s = txt or ""
+        lines = s.split("\n")
+        lc = Counter(lines)
+        ltot = len(lines)
+        ldup = sum(c for c in lc.values() if c > 1)
+        toks = [x for x in __import__("re").split(r"\s+", s) if x != ""]
+        grams = [(a, b) for a, b in zip(toks, toks[1:])]
+        gc = Counter(grams)
+        gtot = len(grams)
+        gmx = max(gc.values()) if gc else 0
+        gdup = sum(c for c in gc.values() if c > 1)
+        assert out["n_lines"][i].as_py() == ltot
+        assert out["dup_line_frac_e6"][i].as_py() == ldup * 10**6 // max(ltot, 1)
+        assert out["n_2grams"][i].as_py() == gtot
+        assert out["top_2gram_frac_e6"][i].as_py() == gmx * 10**6 // max(gtot, 1)
+        assert out["dup_2gram_frac_e6"][i].as_py() == gdup * 10**6 // max(gtot, 1)
