@@ -491,6 +491,39 @@ def _q_repetition_stats(sf_dir: str):
         .sort("doc_id")
 
 
+def _q_line_dedup(sf_dir: str):
+    """C4-style corpus-level line dedup over a derived multi-line corpus
+    (documents texts are single-line, so each doc gets a per-lang banner
+    line and a per-source footer line — the web-boilerplate shape this
+    operator exists for).  Every distinct line keeps only its first
+    global occurrence (min doc_id, line_idx); texts are rebuilt from the
+    surviving lines."""
+    from dedup.corpus import line_dedup
+    docs = _docs(sf_dir, ["doc_id", "text", "lang", "source"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        head = pc.binary_join_element_wise(
+            "banner", pc.fill_null(t["lang"], ""), " ")
+        foot = pc.binary_join_element_wise(
+            "footer", pc.fill_null(t["source"], ""), " ")
+        full = pc.binary_join_element_wise(head, txt, foot, "\n")
+        return pa.table({"doc_id": t["doc_id"], "text": full})
+
+    corpus = docs.map_batches(_mk, batch_format="pyarrow")
+    return line_dedup(corpus).sort("doc_id")
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: the hash_split 'val' shard plays the
+    held-out benchmark; every train doc is scanned for 8-token-gram
+    overlap against the broadcast benchmark gram set (the train side is
+    never shuffled)."""
+    from dedup.corpus import ngram_decontaminate
+    ref, new = _split_docs(sf_dir)  # ref = train shard, new = val shard
+    return ngram_decontaminate(ref, new, n=8).sort("doc_id")
+
+
 def _q_top_docs_per_lang(sf_dir: str):
     """Top-5 longest docs per language (per-group top-k with a per-batch
     partial prune before the shuffle)."""
@@ -889,6 +922,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality_score,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
+        "line_dedup": _q_line_dedup,
+        "decontaminate": _q_decontaminate,
         "hash_split": _q_hash_split,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "lang_group_stats": _q_lang_group_stats,
@@ -1253,6 +1288,54 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN lagg l USING (doc_id)
             LEFT JOIN gagg a USING (doc_id)
             ORDER BY d.doc_id""",
+        "line_dedup": r"""
+            WITH src AS (
+              SELECT doc_id,
+                     'banner ' || coalesce(lang, '') || chr(10) ||
+                     coalesce(text, '') || chr(10) ||
+                     'footer ' || coalesce(source, '') AS t
+              FROM documents),
+            l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM src),
+            ln AS (
+              SELECT doc_id, ls[i] AS line, i
+              FROM l, unnest(generate_series(1, len(ls))) AS u(i)),
+            flag AS (
+              SELECT doc_id, i, line,
+                     row_number() OVER (PARTITION BY line
+                                        ORDER BY doc_id, i) = 1 AS keep
+              FROM ln)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+                   coalesce(string_agg(CASE WHEN keep THEN line END,
+                                       chr(10) ORDER BY i), '') AS text_dedup
+            FROM flag GROUP BY doc_id ORDER BY doc_id""",
+        "decontaminate": r"""
+            WITH src AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                       '\s+'),
+                                 x -> x <> '') AS ts,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                       AS is_train
+              FROM documents),
+            g AS (
+              SELECT doc_id, is_train,
+                     list_aggregate(ts[i:i + 7], 'string_agg', ' ') AS gram
+              FROM src, unnest(generate_series(1, len(ts) - 7)) AS u(i)),
+            bench AS (SELECT DISTINCT gram FROM g WHERE NOT is_train),
+            cnt AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+              FROM g WHERE is_train
+                AND gram IN (SELECT gram FROM bench)
+              GROUP BY doc_id)
+            SELECT s.doc_id,
+                   CAST(greatest(len(s.ts) - 7, 0) AS BIGINT) AS n_grams,
+                   coalesce(c.n_contaminated, 0) AS n_contaminated,
+                   CAST(coalesce(c.n_contaminated, 0) > 0 AS BIGINT)
+                     AS contaminated
+            FROM src s LEFT JOIN cnt c USING (doc_id)
+            WHERE s.is_train ORDER BY s.doc_id""",
         "top_docs_per_lang": """
             SELECT lang, doc_id, n_chars FROM (
               SELECT lang, doc_id, n_chars,

@@ -1,0 +1,259 @@
+"""Corpus-level text operators: C4-style global line dedup and n-gram
+decontamination against a held-out benchmark set.
+
+Both are the "beyond the reference" LLM-training-data ops (SURVEY.md
+scope): the reference's semantic core is whole-record duplicate
+detection (MainViewModel.cs:783-1120); these operate at sub-document
+granularity, where the shuffle unit is a LINE or an N-GRAM rather than
+a record.
+
+Scale shapes
+------------
+``line_dedup`` is two hash shuffles, both over the exploded line table
+(never the corpus as one block):
+
+    explode (map_batches, vectorized)            one row per line
+    -> groupapply(line_hash64)                   winner = min (doc, idx)
+    -> groupapply(doc_id)                        rebuild kept text
+
+Line text crosses the first exchange once (it is needed to verify
+equality under 64-bit key collisions and again for the rebuild); the
+partition kernels group by the true line string, so a hash collision
+can never merge two distinct lines.
+
+``ngram_decontaminate`` is broadcast-side: the benchmark n-gram set is
+aggregated to a sorted distinct array (the SMALL side — benchmark
+suites are MBs against a TB corpus), shipped once via ``ray.put``, and
+probed inside an actor-pool ``map_batches`` with one ``pc.is_in`` per
+batch — the train corpus is never shuffled at all.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .dist import groupapply, segments
+
+
+def _as_array(a) -> pa.Array:
+    return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+# ---------------------------------------------------------------------------
+# shared vectorized explosions
+# ---------------------------------------------------------------------------
+
+
+def _line_rows(t: pa.Table, id_col: str, text_col: str,
+               sep: str) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Explode text into (line, parent_row, line_idx) — one
+    split_pattern + arange, no per-row Python.  Every split segment is a
+    line (empties included), matching string_split in SQL."""
+    txt = pc.fill_null(t[text_col], "")
+    lines = pc.split_pattern(txt, pattern=sep)
+    nper = pc.list_value_length(lines).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = _as_array(pc.list_flatten(lines))
+    parent = np.repeat(np.arange(t.num_rows), nper)
+    offs = np.concatenate([[0], np.cumsum(nper)[:-1]]) if t.num_rows else \
+        np.zeros(0, dtype=np.int64)
+    idx = np.arange(len(flat)) - np.repeat(offs, nper)
+    return flat, parent, idx
+
+
+def _hash64_strings(arr: pa.Array) -> np.ndarray:
+    """uint64 partition key per string — md5 over the per-batch DISTINCT
+    values only (dictionary encode first), mapped back through codes.
+    Used purely to colocate equal strings; kernels re-group by the true
+    string, so collisions cost nothing but skew."""
+    d = pc.dictionary_encode(_as_array(arr))
+    dv = d.dictionary.to_pylist()
+    h = np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+         for s in dv), dtype=np.uint64, count=len(dv))
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return h[codes] if len(codes) else np.zeros(0, dtype=np.uint64)
+
+
+def gram_rows(txt: pa.Array, n: int) -> tuple[pa.Array, np.ndarray]:
+    """All within-document token n-grams of a text column, vectorized:
+    tokens are non-empty ``\\s+`` splits; each gram is n consecutive
+    tokens joined by one space (``binary_join_element_wise`` over n
+    zero-copy slices of the flat token array).  Returns (grams, parent
+    row index); a doc with < n tokens contributes none."""
+    toks = pc.split_pattern_regex(pc.fill_null(txt, ""), pattern=r"\s+")
+    nper = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = _as_array(pc.list_flatten(toks))
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    flat = flat.filter(keep)
+    parent = np.repeat(np.arange(len(nper)), nper)[keep_np]
+    k = len(flat)
+    if k < n:
+        return pa.array([], pa.string()), np.zeros(0, dtype=np.int64)
+    # a window starting at j stays inside one doc iff parent[j] ==
+    # parent[j+n-1] (parent is non-decreasing)
+    ok = parent[: k - n + 1] == parent[n - 1:]
+    idx = np.flatnonzero(ok)
+    pieces = [flat.slice(j, k - n + 1) for j in range(n)]
+    joined = pc.binary_join_element_wise(*pieces, " ")
+    return joined.take(pa.array(idx)), parent[idx]
+
+
+# ---------------------------------------------------------------------------
+# C4-style corpus-level line dedup
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
+               text_col: str = "text", sep: str = "\n",
+               num_partitions: int = 32) -> ray.data.Dataset:
+    """Global line deduplication (the C4 pipeline's cross-document
+    dedup, applied at line granularity): every distinct line keeps
+    exactly its FIRST occurrence — minimum (doc_id, line_idx) — and is
+    removed from every other document; each document's text is rebuilt
+    from its surviving lines (dropped lines take their separator with
+    them).  Output: (id, n_lines, n_kept, text_dedup), one row per doc.
+
+    Determinism: the winner rule is a pure minimum, so output is
+    byte-identical at any parallelism.  ``id_col`` must be integer."""
+
+    def _explode(t: pa.Table) -> pa.Table:
+        flat, parent, idx = _line_rows(t, id_col, text_col, sep)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "line": flat,
+            "d": pa.array(ids[parent], pa.int64()),
+            "i": pa.array(idx, pa.int64()),
+            "lh": pa.array(_hash64_strings(flat), pa.uint64()),
+        })
+
+    lines = ds.map_batches(_explode, batch_format="pyarrow")
+
+    def _winner(t: pa.Table) -> pa.Table:
+        """Partition kernel: group by the TRUE line string (dictionary
+        codes — collision-proof), keep = row with min (d, i)."""
+        codes = pc.dictionary_encode(t["line"].combine_chunks()) \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        i = t["i"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(codes), dtype=bool)
+        if len(codes):
+            order = np.lexsort((i, d, codes))
+            gc = codes[order]
+            first = np.concatenate([[True], gc[1:] != gc[:-1]])
+            keep[order[first]] = True
+        return pa.table({
+            "line": t["line"],
+            "d": t["d"],
+            "i": t["i"],
+            "keep": pa.array(keep),
+            "dh": pa.array(d.astype(np.uint64), pa.uint64()),
+        })
+
+    flagged = groupapply(lines, "lh", _winner, num_partitions)
+
+    def _rebuild(t: pa.Table) -> pa.Table:
+        d = t["d"].to_numpy(zero_copy_only=False)
+        i = t["i"].to_numpy(zero_copy_only=False)
+        keep = t["keep"].to_numpy(zero_copy_only=False)
+        # one sort puts each doc's lines in order; per-doc join of kept
+        order = np.lexsort((i, d))
+        ds_, is_, keep_ = d[order], i[order], keep[order]
+        lines_np = np.asarray(t["line"].to_numpy(zero_copy_only=False),
+                              dtype=object)[order]
+        seg_order, starts, uniq = segments(ds_)
+        # ds_ already sorted, so segments' argsort is stable identity
+        out_txt, out_n, out_k = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = keep_[s:e]
+            out_n.append(e - s)
+            out_k.append(int(m.sum()))
+            out_txt.append(sep.join(lines_np[s:e][m]))
+        return pa.table({
+            id_col: pa.array(uniq.astype(np.int64), pa.int64()),
+            "n_lines": pa.array(out_n, pa.int64()),
+            "n_kept": pa.array(out_k, pa.int64()),
+            "text_dedup": pa.array(out_txt, pa.string()),
+        })
+
+    return groupapply(flagged, "dh", _rebuild, num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# n-gram decontamination (train vs benchmark)
+# ---------------------------------------------------------------------------
+
+
+def benchmark_gram_set(bench: ray.data.Dataset, n: int,
+                       text_col: str = "text") -> "ray.ObjectRef":
+    """Distinct n-grams of the benchmark corpus as a broadcast ref
+    (sorted pa.StringArray).  Per-batch distinct FIRST (unique inside
+    map_batches), then the small union on the driver — the full gram
+    explosion never aggregates anywhere; only per-batch distinct rows
+    move.  The benchmark is the small side by construction; a benchmark
+    too large to broadcast should be the probe side instead."""
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        grams, _ = gram_rows(t[text_col], n)
+        return pa.table({"gram": grams.unique()})
+
+    parts = bench.map_batches(_distinct, batch_format="pyarrow")
+    seen: set = set()
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        seen.update(b["gram"].to_pylist())
+    return ray.put(pa.array(sorted(seen), pa.string()))
+
+
+class _GramProber:
+    """map_batches actor: resolves the broadcast gram set once per actor
+    (__init__), probes each batch with one pc.is_in."""
+
+    def __init__(self, gram_ref, n: int, id_col: str, text_col: str) -> None:
+        self.value_set = ray.get(gram_ref) if isinstance(
+            gram_ref, ray.ObjectRef) else gram_ref
+        self.n = n
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        grams, parent = gram_rows(t[self.text_col], self.n)
+        nrows = t.num_rows
+        tot = np.bincount(parent, minlength=nrows).astype(np.int64)
+        hit = pc.is_in(grams, value_set=self.value_set) \
+            .to_numpy(zero_copy_only=False)
+        bad = np.bincount(parent, weights=hit.astype(np.float64),
+                          minlength=nrows).astype(np.int64)
+        return pa.table({
+            self.id_col: t[self.id_col],
+            "n_grams": pa.array(tot, pa.int64()),
+            "n_contaminated": pa.array(bad, pa.int64()),
+            "contaminated": pa.array((bad > 0).astype(np.int64), pa.int64()),
+        })
+
+
+def ngram_decontaminate(train: ray.data.Dataset, bench: ray.data.Dataset,
+                        n: int = 8, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        concurrency=(1, 8)) -> ray.data.Dataset:
+    """Benchmark decontamination (the train/test-overlap scrub every
+    published pretraining corpus runs): counts, per train doc, the token
+    n-gram occurrences that also appear anywhere in the benchmark
+    corpus, and flags docs with >= 1 overlap.  Output per train doc:
+    (id, n_grams, n_contaminated, contaminated).
+
+    The benchmark gram set is broadcast once (ray.put) and probed
+    per-batch with pc.is_in — no shuffle touches the train corpus."""
+    ref = benchmark_gram_set(bench, n, text_col=text_col)
+    return train.map_batches(
+        _GramProber,
+        fn_constructor_kwargs={"gram_ref": ref, "n": n, "id_col": id_col,
+                               "text_col": text_col},
+        batch_format="pyarrow", concurrency=concurrency)

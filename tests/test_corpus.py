@@ -1,0 +1,98 @@
+"""Corpus-level ops: C4-style global line dedup, n-gram decontamination."""
+
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from dedup.corpus import gram_rows, line_dedup, ngram_decontaminate
+
+
+def _naive_line_dedup(texts):
+    """First-global-occurrence line dedup (winner = min (doc, idx))."""
+    seen = set()
+    out = []
+    for txt in texts:
+        kept = []
+        lines = (txt or "").split("\n")
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        out.append((len(lines), len(kept), "\n".join(kept)))
+    return out
+
+
+TEXTS = [
+    "header\nbody one\nfooter",
+    "header\nbody two\nfooter",          # loses header+footer
+    "body one\nfresh line",              # loses body one
+    "",                                  # single empty line (first owner)
+    "x\n\ny",                            # its empty line is a dup of doc 3's
+    "header",                            # fully removed -> empty rebuild
+]
+
+
+def test_line_dedup_matches_naive():
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": list(range(len(TEXTS))), "text": TEXTS}))
+    got = line_dedup(ds).sort("doc_id").to_pandas()
+    want = _naive_line_dedup(TEXTS)
+    assert got["doc_id"].tolist() == list(range(len(TEXTS)))
+    assert got["n_lines"].tolist() == [w[0] for w in want]
+    assert got["n_kept"].tolist() == [w[1] for w in want]
+    assert got["text_dedup"].tolist() == [w[2] for w in want]
+    # the fully-boilerplate doc rebuilds to empty
+    assert got["text_dedup"].tolist()[5] == ""
+
+
+def test_line_dedup_deterministic_across_partitions():
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "header", "footer"]
+    texts = ["\n".join(rng.choice(vocab, size=rng.integers(1, 6)))
+             for _ in range(200)]
+    t = pa.table({"doc_id": list(range(200)), "text": texts})
+    a = line_dedup(ray.data.from_arrow(t), num_partitions=2) \
+        .sort("doc_id").to_pandas()
+    b = line_dedup(ray.data.from_arrow(t).repartition(7),
+                   num_partitions=13).sort("doc_id").to_pandas()
+    assert a.equals(b)
+    want = _naive_line_dedup(texts)
+    assert a["text_dedup"].tolist() == [w[2] for w in want]
+
+
+def test_gram_rows_matches_naive():
+    texts = ["a b c d", "a  b\nc", "", None, "one"]
+    grams, parent = gram_rows(pa.array(texts, pa.string()), 2)
+    naive = []
+    for i, txt in enumerate(texts):
+        toks = [x for x in re.split(r"\s+", txt or "") if x]
+        naive += [(i, f"{u} {v}") for u, v in zip(toks, toks[1:])]
+    assert list(zip(parent.tolist(), grams.to_pylist())) == naive
+
+
+def test_ngram_decontaminate_counts():
+    train = ray.data.from_arrow(pa.table({
+        "doc_id": [0, 1, 2],
+        "text": ["the quick brown fox", "clean text here entirely",
+                 "quick brown fox quick brown fox"],
+    }))
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": [10], "text": ["lazy quick brown fox dog"]}))
+    out = ngram_decontaminate(train, bench, n=3).sort("doc_id").to_pandas()
+    # "quick brown fox" is the only shared 3-gram; doc 2 contains it twice
+    assert out["n_grams"].tolist() == [2, 2, 4]
+    assert out["n_contaminated"].tolist() == [1, 0, 2]
+    assert out["contaminated"].tolist() == [1, 0, 1]
+
+
+def test_ngram_decontaminate_short_docs():
+    train = ray.data.from_arrow(pa.table({
+        "doc_id": [0, 1], "text": ["too short", None]}))
+    bench = ray.data.from_arrow(pa.table({"doc_id": [9], "text": ["a b c"]}))
+    out = ngram_decontaminate(train, bench, n=3).sort("doc_id").to_pandas()
+    assert out["n_grams"].tolist() == [0, 0]
+    assert out["contaminated"].tolist() == [0, 0]
