@@ -141,7 +141,8 @@ def run_suite() -> dict:
     qs = E.queries()
     picks = ["exact_dedup", "full_dedup", "token_count", "doc_stats",
              "top_tokens", "lang_group_stats", "lang_id", "doc_fingerprints",
-             "knn_brute", "embedding_dup_pairs_lsh"]
+             "knn_brute", "embedding_dup_pairs_lsh", "repetition_stats",
+             "line_dedup", "decontaminate"]
     out: dict[str, float] = {}
     for name in picks:
         t0 = time.time()
