@@ -614,6 +614,21 @@ def _q_embedding_dedup(sf_dir: str):
 
 # --- rows-only (non-SQL-expressible) pipelines -----------------------------
 
+def _q_cluster_size_hist(sf_dir: str):
+    """Duplicate-cluster size distribution over the embedding-cosine
+    dedup result (the dedup QA report): counts each cluster once via its
+    keeper row, partial-counted per batch before the tiny groupby."""
+    from dedup.pipeline import cluster_size_hist
+    return cluster_size_hist(ann.embedding_dedup(_embs(sf_dir),
+                                                 threshold=0.40))
+
+
+def _q_quota_sample(sf_dir: str):
+    """Deterministic per-language quota downsample (data mixing): the 30
+    docs with smallest md5(doc_id) per lang."""
+    return textstats.quota_sample(_docs(sf_dir, ["doc_id", "lang"]), k=30)
+
+
 def _q_minhash_dedup(sf_dir: str):
     cfg = DOCUMENTS_CONFIG.with_(exact=False, simhash=False, substring=False,
                                  min_doc_bytes=_MIN)
@@ -924,6 +939,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "line_dedup": _q_line_dedup,
         "decontaminate": _q_decontaminate,
+        "quota_sample": _q_quota_sample,
+        "cluster_size_hist": _q_cluster_size_hist,
         "hash_split": _q_hash_split,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "lang_group_stats": _q_lang_group_stats,
@@ -999,6 +1016,38 @@ SELECT doc_id, 'ignored' AS state, CAST(-1 AS BIGINT),
        CAST(0 AS BIGINT), CAST(0 AS BIGINT)
 FROM base WHERE is_new AND nb < {_MIN}
 """
+
+
+#: embedding-cosine dedup via recursive-CTE transitive closure; shared
+#: by the embedding_dedup oracle and the cluster_size_hist report over
+#: it (no ORDER BY — callers wrap and order).
+_EMB_DEDUP_SQL = """
+            WITH RECURSIVE e AS (
+              SELECT a.vec_id AS u, b.vec_id AS v
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < b.vec_id
+                AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) >= 0.40),
+            sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+            reach(n, m) AS (
+              SELECT u, v FROM sym
+              UNION
+              SELECT r.n, s.v FROM reach r JOIN sym s ON r.m = s.u),
+            comp AS (
+              SELECT n AS vec_id, least(n, min(m)) AS cluster_id
+              FROM reach GROUP BY n),
+            sized AS (
+              SELECT c.vec_id, c.cluster_id,
+                     count(*) OVER (PARTITION BY c.cluster_id) AS csize
+              FROM comp c)
+            SELECT v.vec_id,
+                   CASE WHEN s.vec_id IS NULL THEN 'unique'
+                        WHEN v.vec_id = s.cluster_id THEN 'keep'
+                        ELSE 'delete' END AS state,
+                   coalesce(s.cluster_id, -1) AS cluster_id,
+                   CASE WHEN s.vec_id IS NULL THEN 1 ELSE s.csize END
+                       AS cluster_size
+            FROM embeddings v LEFT JOIN sized s USING (vec_id)"""
 
 
 _EXACT_SQL = f"""
@@ -1410,34 +1459,20 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute": _KNN_SQL,
         "knn_ivf": _KNN_SQL,
         "lang_id": _lang_id_sql(),
-        "embedding_dedup": """
-            WITH RECURSIVE e AS (
-              SELECT a.vec_id AS u, b.vec_id AS v
-              FROM embeddings a, embeddings b
-              WHERE a.vec_id < b.vec_id
-                AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                    CAST(b.embedding AS DOUBLE[])) >= 0.40),
-            sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
-            reach(n, m) AS (
-              SELECT u, v FROM sym
-              UNION
-              SELECT r.n, s.v FROM reach r JOIN sym s ON r.m = s.u),
-            comp AS (
-              SELECT n AS vec_id, least(n, min(m)) AS cluster_id
-              FROM reach GROUP BY n),
-            sized AS (
-              SELECT c.vec_id, c.cluster_id,
-                     count(*) OVER (PARTITION BY c.cluster_id) AS csize
-              FROM comp c)
-            SELECT v.vec_id,
-                   CASE WHEN s.vec_id IS NULL THEN 'unique'
-                        WHEN v.vec_id = s.cluster_id THEN 'keep'
-                        ELSE 'delete' END AS state,
-                   coalesce(s.cluster_id, -1) AS cluster_id,
-                   CASE WHEN s.vec_id IS NULL THEN 1 ELSE s.csize END
-                       AS cluster_size
-            FROM embeddings v LEFT JOIN sized s USING (vec_id)
-            ORDER BY v.vec_id""",
+        "embedding_dedup": f"{_EMB_DEDUP_SQL}\n            ORDER BY vec_id",
+        "cluster_size_hist": f"""
+            SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM ({_EMB_DEDUP_SQL})
+            WHERE state = 'keep'
+            GROUP BY cluster_size ORDER BY cluster_size""",
+        "quota_sample": """
+            SELECT lang, doc_id FROM (
+              SELECT lang, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 30 ORDER BY lang, doc_id""",
         "embedding_dup_pairs": """
             SELECT a.vec_id AS a, b.vec_id AS b,
                    CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

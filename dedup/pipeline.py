@@ -1530,3 +1530,29 @@ def filter_visible(assignments: ray.data.Dataset,
         return t.filter(mask)
 
     return assignments.map_batches(_f, batch_format="pyarrow")
+
+
+def cluster_size_hist(assignments: ray.data.Dataset) -> ray.data.Dataset:
+    """Duplicate-cluster size distribution — the standard dedup QA
+    report (how much of the corpus sits in 2-clusters vs giant
+    boilerplate blobs).  One row per distinct cluster size:
+    (cluster_size, n_clusters).
+
+    Counts each cluster ONCE via its keeper row (every cluster has
+    exactly one 'keep'), with a per-batch partial count before the tiny
+    groupby — the shuffle carries one row per distinct size per batch."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(t["state"], "keep"))
+        vc = keep["cluster_size"].combine_chunks().value_counts()
+        return pa.table({"cluster_size": vc.field("values").cast(pa.int64()),
+                         "n_clusters": vc.field("counts").cast(pa.int64())})
+
+    partial = assignments.map_batches(_partial, batch_format="pyarrow")
+    agg = partial.groupby("cluster_size").sum("n_clusters")
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["cluster_size", "n_clusters"])
+
+    return agg.map_batches(_rename, batch_format="pyarrow") \
+              .sort("cluster_size")

@@ -289,6 +289,50 @@ def hash_split(ds: ray.data.Dataset, id_col: str = "doc_id",
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+def quota_sample(ds: ray.data.Dataset, group_col: str = "lang",
+                 id_col: str = "doc_id", k: int = 30) -> ray.data.Dataset:
+    """Deterministic per-group downsampling to a fixed quota — the data
+    MIXING primitive (cap each source/language at k docs): within each
+    group, keep the k docs with the smallest md5(id) — a uniform,
+    content-independent, engine-reproducible choice (DuckDB's md5 ranks
+    identically, so the pick is oracle-checkable).
+
+    Same shuffle discipline as top_docs_per_group: per-batch prune to k
+    rows per (batch, group) BEFORE the exchange, so the shuffle carries
+    O(batches * groups * k) rows, never the corpus."""
+    import hashlib
+
+    def _rank(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        h = pa.array([hashlib.md5(str(i).encode()).hexdigest()
+                      for i in ids], pa.string())
+        return pa.table({group_col: t[group_col], id_col: t[id_col],
+                         "h": h})
+
+    def _prune(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(group_col, "ascending"),
+                                            ("h", "ascending"),
+                                            (id_col, "ascending")])
+        t2 = t.take(idx)
+        g = t2[group_col].to_numpy(zero_copy_only=False)
+        brk = np.concatenate([[0], np.flatnonzero(g[1:] != g[:-1]) + 1,
+                              [len(g)]])
+        keep = np.concatenate([np.arange(s, min(s + k, e))
+                               for s, e in zip(brk[:-1], brk[1:])]) \
+            if len(g) else np.zeros(0, dtype=np.int64)
+        return t2.take(pa.array(keep))
+
+    def _final(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("h", "ascending"),
+                                            (id_col, "ascending")])
+        return t.take(idx[:k]).drop_columns(["h"])
+
+    ranked = ds.map_batches(_rank, batch_format="pyarrow") \
+               .map_batches(_prune, batch_format="pyarrow")
+    return ranked.groupby(group_col).map_groups(
+        _final, batch_format="pyarrow").sort([group_col, id_col])
+
+
 def _group_dup_stats(parent: np.ndarray, keys: np.ndarray,
                      nrows: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per-parent (total, max-multiplicity, duplicated-occurrence) counts

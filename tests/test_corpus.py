@@ -96,3 +96,37 @@ def test_ngram_decontaminate_short_docs():
     out = ngram_decontaminate(train, bench, n=3).sort("doc_id").to_pandas()
     assert out["n_grams"].tolist() == [0, 0]
     assert out["contaminated"].tolist() == [0, 0]
+
+
+def test_quota_sample_matches_naive_and_partition_invariant():
+    import hashlib
+    from dedup.textstats import quota_sample
+    rng = np.random.default_rng(3)
+    langs = rng.choice(["en", "de", "fr"], size=120).tolist()
+    t = pa.table({"doc_id": list(range(120)), "lang": langs})
+    got = quota_sample(ray.data.from_arrow(t), k=10).to_pandas()
+    # naive: per lang, 10 smallest md5(str(id))
+    want = []
+    for lang in sorted(set(langs)):
+        ids = [i for i, l in zip(range(120), langs) if l == lang]
+        pick = sorted(ids, key=lambda i: hashlib.md5(str(i).encode())
+                      .hexdigest())[:10]
+        want += sorted((lang, i) for i in pick)
+    assert list(zip(got["lang"], got["doc_id"])) == want
+    again = quota_sample(ray.data.from_arrow(t).repartition(9),
+                         k=10).to_pandas()
+    assert got.equals(again)
+
+
+def test_cluster_size_hist():
+    from dedup.pipeline import cluster_size_hist
+    t = pa.table({
+        "doc_id": [0, 1, 2, 3, 4, 5, 6],
+        "state": ["keep", "delete", "keep", "delete", "delete", "unique",
+                  "keep"],
+        "cluster_size": [2, 2, 3, 3, 3, 1, 2],
+    })
+    out = cluster_size_hist(ray.data.from_arrow(t)).to_pandas()
+    # two clusters of size 2, one of size 3; uniques not counted
+    assert out["cluster_size"].tolist() == [2, 3]
+    assert out["n_clusters"].tolist() == [2, 1]
