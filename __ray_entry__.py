@@ -623,6 +623,14 @@ def _q_cluster_size_hist(sf_dir: str):
                                                  threshold=0.40))
 
 
+def _q_length_quantiles(sf_dir: str):
+    """Exact doc-length order statistics (corpus profile report):
+    per-batch value_counts combine, distinct-value groupby, integer
+    quantile_disc rule."""
+    return textstats.exact_quantiles(_docs(sf_dir, ["doc_id", "n_chars"]),
+                                     "n_chars")
+
+
 def _q_quota_sample(sf_dir: str):
     """Deterministic per-language quota downsample (data mixing): the 30
     docs with smallest md5(doc_id) per lang."""
@@ -941,6 +949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "quota_sample": _q_quota_sample,
         "cluster_size_hist": _q_cluster_size_hist,
+        "length_quantiles": _q_length_quantiles,
         "hash_split": _q_hash_split,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "lang_group_stats": _q_lang_group_stats,
@@ -1465,6 +1474,16 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_EMB_DEDUP_SQL})
             WHERE state = 'keep'
             GROUP BY cluster_size ORDER BY cluster_size""",
+        "length_quantiles": """
+            SELECT CAST(count(n_chars) AS BIGINT) AS n_docs,
+                   CAST(min(n_chars) AS BIGINT) AS min_value,
+                   CAST(max(n_chars) AS BIGINT) AS max_value,
+                   CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
+                   CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50,
+                   CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75,
+                   CAST(quantile_disc(n_chars, 0.90) AS BIGINT) AS p90,
+                   CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
+            FROM documents""",
         "quota_sample": """
             SELECT lang, doc_id FROM (
               SELECT lang, doc_id,

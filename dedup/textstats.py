@@ -289,6 +289,61 @@ def hash_split(ds: ray.data.Dataset, id_col: str = "doc_id",
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+#: (label, numerator, denominator) — quantiles as exact rationals so the
+#: selected index is integer arithmetic, matching DuckDB quantile_disc
+#: (idx = ceil(q*n) - 1, clamped at 0) with no float drift.
+QUANTILES = (("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4),
+             ("p90", 9, 10), ("p99", 99, 100))
+
+
+def exact_quantiles(ds: ray.data.Dataset, value_col: str,
+                    qs=QUANTILES) -> pa.Table:
+    """EXACT distributed order statistics over an integer-valued column
+    (doc/token length distributions — the corpus profile every curation
+    run reports).  One row: (n_docs, min/max, one column per quantile).
+
+    Scale shape: per-batch value_counts combine -> groupby(value).sum —
+    the shuffle carries one row per DISTINCT value per batch, never the
+    corpus.  The cumulative scan runs on the aggregated distinct-value
+    table (small for counts-like columns; a continuous column needs a
+    sketch instead — out of scope here, documented).  Discrete-quantile
+    rule matches DuckDB quantile_disc: value at index ceil(q*n)-1 of the
+    sorted multiset, computed in integer arithmetic."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        col = t[value_col].combine_chunks().drop_null().cast(pa.int64())
+        vc = col.value_counts()
+        return pa.table({"value": vc.field("values"),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow") \
+            .groupby("value").sum("cnt")
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["value", "cnt"])
+
+    small = agg.map_batches(_rename, batch_format="pyarrow").sort("value")
+    vals_l, cnts_l = [], []
+    for b in small.iter_batches(batch_format="pyarrow"):
+        vals_l.append(b["value"].to_numpy(zero_copy_only=False))
+        cnts_l.append(b["cnt"].to_numpy(zero_copy_only=False))
+    vals = np.concatenate(vals_l) if vals_l else np.zeros(0, np.int64)
+    cnts = np.concatenate(cnts_l) if cnts_l else np.zeros(0, np.int64)
+    n = int(cnts.sum())
+    cum = np.cumsum(cnts)
+    out = {"n_docs": pa.array([n], pa.int64()),
+           "min_value": pa.array([int(vals[0]) if n else 0], pa.int64()),
+           "max_value": pa.array([int(vals[-1]) if n else 0], pa.int64())}
+    for label, num, den in qs:
+        if n == 0:
+            out[label] = pa.array([0], pa.int64())
+            continue
+        idx = max((num * n + den - 1) // den - 1, 0)
+        pos = int(np.searchsorted(cum, idx, side="right"))
+        out[label] = pa.array([int(vals[pos])], pa.int64())
+    return pa.table(out)
+
+
 def quota_sample(ds: ray.data.Dataset, group_col: str = "lang",
                  id_col: str = "doc_id", k: int = 30) -> ray.data.Dataset:
     """Deterministic per-group downsampling to a fixed quota — the data

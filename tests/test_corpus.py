@@ -130,3 +130,29 @@ def test_cluster_size_hist():
     # two clusters of size 2, one of size 3; uniques not counted
     assert out["cluster_size"].tolist() == [2, 3]
     assert out["n_clusters"].tolist() == [2, 1]
+
+
+def test_exact_quantiles_matches_duckdb_rule():
+    import duckdb
+    from dedup.textstats import exact_quantiles
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 50, size=337).tolist() + [7] * 40  # heavy ties
+    t = pa.table({"doc_id": list(range(len(vals))), "n": vals})
+    got = exact_quantiles(ray.data.from_arrow(t).repartition(5), "n")
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT count(n), min(n), max(n), quantile_disc(n, 0.25), "
+        "quantile_disc(n, 0.5), quantile_disc(n, 0.75), "
+        "quantile_disc(n, 0.9), quantile_disc(n, 0.99) FROM t").fetchone()
+    assert [c[0].as_py() for c in got.columns] == [int(x) for x in want]
+
+
+def test_exact_quantiles_empty_and_single():
+    from dedup.textstats import exact_quantiles
+    empty = pa.table({"n": pa.array([], pa.int64())})
+    out = exact_quantiles(ray.data.from_arrow(empty), "n")
+    assert out["n_docs"][0].as_py() == 0
+    one = pa.table({"n": pa.array([42], pa.int64())})
+    out1 = exact_quantiles(ray.data.from_arrow(one), "n")
+    assert out1["p50"][0].as_py() == 42 and out1["p99"][0].as_py() == 42
