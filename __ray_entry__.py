@@ -623,6 +623,16 @@ def _q_cluster_size_hist(sf_dir: str):
                                                  threshold=0.40))
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Sequence packing (distributed prefix scan): docs in id order cut
+    into 256-token context windows; each doc gets the (pack_id,
+    pack_offset) where it starts.  Two-phase scan — per-range combiner
+    totals, driver cumsum over the tiny range table, one groupapply."""
+    from dedup.corpus import pack_sequences
+    tc = textstats.token_count(_docs(sf_dir, ["doc_id", "text"]))
+    return pack_sequences(tc, budget=256, ids_per_range=64).sort("doc_id")
+
+
 def _q_length_quantiles(sf_dir: str):
     """Exact doc-length order statistics (corpus profile report):
     per-batch value_counts combine, distinct-value groupby, integer
@@ -950,6 +960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quota_sample": _q_quota_sample,
         "cluster_size_hist": _q_cluster_size_hist,
         "length_quantiles": _q_length_quantiles,
+        "pack_sequences": _q_pack_sequences,
         "hash_split": _q_hash_split,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "lang_group_stats": _q_lang_group_stats,
@@ -1474,6 +1485,20 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_EMB_DEDUP_SQL})
             WHERE state = 'keep'
             GROUP BY cluster_size ORDER BY cluster_size""",
+        "pack_sequences": r"""
+            WITH tc AS (
+              SELECT doc_id,
+                     coalesce(length(regexp_extract_all(text, '\S+')), 0)
+                       AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY doc_id) AS cums
+              FROM tc)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST((cums - n_tokens) // 256 AS BIGINT) AS pack_id,
+                   CAST((cums - n_tokens) % 256 AS BIGINT) AS pack_offset
+            FROM c ORDER BY doc_id""",
         "length_quantiles": """
             SELECT CAST(count(n_chars) AS BIGINT) AS n_docs,
                    CAST(min(n_chars) AS BIGINT) AS min_value,

@@ -257,3 +257,89 @@ def ngram_decontaminate(train: ray.data.Dataset, bench: ray.data.Dataset,
         fn_constructor_kwargs={"gram_ref": ref, "n": n, "id_col": id_col,
                                "text_col": text_col},
         batch_format="pyarrow", concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (distributed prefix scan)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(ds: ray.data.Dataset, budget: int,
+                   id_col: str = "doc_id", tokens_col: str = "n_tokens",
+                   ids_per_range: int = 4096,
+                   num_partitions: int = 32) -> ray.data.Dataset:
+    """Assign every doc its position in a stream of fixed token-budget
+    training sequences (the packing step that turns a curated corpus
+    into context windows): docs are laid out in id order and cut every
+    ``budget`` tokens; each doc gets (pack_id, pack_offset) of its first
+    token.  Boundary rule is the simple streaming one (a doc may span a
+    cut — pack_id is where it STARTS), which makes the whole op an
+    exclusive prefix sum: SQL-checkable as ``sum() OVER (ORDER BY id)``.
+
+    Scale shape — the classic two-phase distributed scan, never a
+    single-node sort: ids are bucketed into contiguous ranges
+    (``id // ids_per_range``); a combiner computes per-range token
+    totals (one row per range per batch crosses the tiny aggregation);
+    the driver cumsums the RANGE table (small: #docs / ids_per_range)
+    and broadcasts the offsets; one groupapply over the range key then
+    computes each range's local exclusive cumsum and adds its offset.
+    Assumes ids are roughly uniform over their span (true for dense
+    ids); skewed id spaces should bucket by an equi-depth sample
+    instead."""
+
+    def _range_sums(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tok = pc.fill_null(t[tokens_col], 0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rk = ids // ids_per_range
+        order, starts, uniq = segments(rk)
+        s = np.add.reduceat(tok[order], starts[:-1]) if len(tok) else \
+            np.zeros(0, dtype=np.int64)
+        return pa.table({"rk": pa.array(uniq, pa.int64()),
+                         "s": pa.array(s, pa.int64())})
+
+    totals = ds.map_batches(_range_sums, batch_format="pyarrow") \
+               .groupby("rk").sum("s")
+    rks_l, sums_l = [], []
+    for b in totals.sort("rk").iter_batches(batch_format="pyarrow"):
+        rks_l.append(b["rk"].to_numpy(zero_copy_only=False))
+        sums_l.append(b["sum(s)"].to_numpy(zero_copy_only=False))
+    rks = np.concatenate(rks_l).astype(np.int64) if rks_l else \
+        np.zeros(0, np.int64)
+    sums = np.concatenate(sums_l).astype(np.int64) if sums_l else \
+        np.zeros(0, np.int64)
+    offs = np.concatenate([[0], np.cumsum(sums)[:-1]]) if len(sums) else sums
+    bcast = ray.put((rks, offs))
+
+    def _with_rk(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "rk64", pa.array((ids // ids_per_range).astype(np.uint64),
+                             pa.uint64()))
+
+    def _scan(t: pa.Table) -> pa.Table:
+        rks_b, offs_b = ray.get(bcast)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tok = pc.fill_null(t[tokens_col], 0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rk = ids // ids_per_range
+        order = np.lexsort((ids, rk))
+        rk_s, ids_s, tok_s = rk[order], ids[order], tok[order]
+        cum = np.cumsum(tok_s) - tok_s  # exclusive, but resets needed per rk
+        starts = np.concatenate([[0], np.flatnonzero(rk_s[1:] != rk_s[:-1])
+                                 + 1]) if len(rk_s) else np.zeros(0, np.int64)
+        base = np.zeros(len(rk_s), dtype=np.int64)
+        if len(rk_s):
+            base[starts] = cum[starts]
+            base = np.maximum.accumulate(base)
+        local = cum - base
+        prefix = offs_b[np.searchsorted(rks_b, rk_s)] + local
+        return pa.table({
+            id_col: pa.array(ids_s, pa.int64()),
+            tokens_col: pa.array(tok_s, pa.int64()),
+            "pack_id": pa.array(prefix // budget, pa.int64()),
+            "pack_offset": pa.array(prefix % budget, pa.int64()),
+        })
+
+    keyed = ds.map_batches(_with_rk, batch_format="pyarrow")
+    return groupapply(keyed, "rk64", _scan, num_partitions)

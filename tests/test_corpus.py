@@ -156,3 +156,24 @@ def test_exact_quantiles_empty_and_single():
     one = pa.table({"n": pa.array([42], pa.int64())})
     out1 = exact_quantiles(ray.data.from_arrow(one), "n")
     assert out1["p50"][0].as_py() == 42 and out1["p99"][0].as_py() == 42
+
+
+def test_pack_sequences_matches_naive():
+    from dedup.corpus import pack_sequences
+    rng = np.random.default_rng(5)
+    toks = rng.integers(0, 40, size=200).tolist()
+    # shuffled, non-dense ids exercise the range bucketing
+    ids = (np.arange(200) * 3 + 17).tolist()
+    t = pa.table({"doc_id": ids, "n_tokens": toks})
+    got = pack_sequences(ray.data.from_arrow(t).repartition(7), budget=64,
+                         ids_per_range=50, num_partitions=5) \
+        .sort("doc_id").to_pandas()
+    order = np.argsort(ids)
+    prefix = 0
+    want = {}
+    for j in order:
+        want[ids[j]] = (prefix // 64, prefix % 64)
+        prefix += toks[j]
+    assert got["doc_id"].tolist() == sorted(ids)
+    for _, r in got.iterrows():
+        assert (r["pack_id"], r["pack_offset"]) == want[r["doc_id"]]
