@@ -623,6 +623,50 @@ def _q_cluster_size_hist(sf_dir: str):
                                                  threshold=0.40))
 
 
+def _q_curation_pipeline(sf_dir: str):
+    """End-to-end curation recipe COMPOSED from the engine's stages —
+    exact dedup -> quality gate -> per-lang quota mixing — the chained
+    shape a real webtext run has, SQL-checked as one composition:
+      1. exact dedup keeps keep/unique docs (ignored/<64B drop out);
+      2. quality gate: n_tokens >= 40 and integer alpha ratio >= 0.80;
+      3. data mixing: per-lang quota of the 40 smallest-md5 doc ids.
+    Output (lang, doc_id, n_tokens)."""
+    import numpy as np
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    assign = run_dedup(docs.select_columns(["doc_id", "text"]), _doc_cfg())
+
+    def _surv(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["state"], value_set=pa.array(["keep", "unique"]))
+        return t.filter(m).select(["doc_id"])
+
+    surv = assign.map_batches(_surv, batch_format="pyarrow")
+    kept = surv.join(docs, join_type="inner", num_partitions=8,
+                     on=("doc_id",))
+
+    def _gate(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        nt = pc.count_substring_regex(txt, pattern=r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        na = pc.count_substring_regex(txt, pattern=r"[A-Za-z]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ok = (nt >= 40) & (na * 1_000_000 // np.maximum(nc, 1) >= 800_000)
+        out = pa.table({"lang": t["lang"], "doc_id": t["doc_id"],
+                        "n_tokens": pa.array(nt, pa.int64())})
+        return out.filter(pa.array(ok))
+
+    gated = kept.map_batches(_gate, batch_format="pyarrow")
+    return textstats.quota_sample(gated, group_col="lang", k=40,
+                                  carry_cols=("n_tokens",))
+
+
+def _q_token_doc_freq(sf_dir: str):
+    """Top-25 tokens by document frequency (exact count-distinct with a
+    per-batch (doc, token) dedupe combiner)."""
+    return textstats.token_doc_freq(_docs(sf_dir, ["doc_id", "text"]), k=25)
+
+
 def _q_pack_sequences(sf_dir: str):
     """Sequence packing (distributed prefix scan): docs in id order cut
     into 256-token context windows; each doc gets the (pack_id,
@@ -961,6 +1005,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_size_hist": _q_cluster_size_hist,
         "length_quantiles": _q_length_quantiles,
         "pack_sequences": _q_pack_sequences,
+        "token_doc_freq": _q_token_doc_freq,
+        "curation_pipeline": _q_curation_pipeline,
         "hash_split": _q_hash_split,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "lang_group_stats": _q_lang_group_stats,
@@ -1485,6 +1531,36 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_EMB_DEDUP_SQL})
             WHERE state = 'keep'
             GROUP BY cluster_size ORDER BY cluster_size""",
+        "curation_pipeline": rf"""
+            WITH surv AS (
+              SELECT doc_id FROM ({_EXACT_SQL})
+              WHERE state IN ('keep', 'unique')),
+            f AS (
+              SELECT d.doc_id, d.lang,
+                     length(regexp_extract_all(d.text, '\S+')) AS nt,
+                     length(regexp_extract_all(d.text, '[A-Za-z]')) AS na,
+                     length(d.text) AS nc
+              FROM documents d JOIN surv USING (doc_id)),
+            g AS (
+              SELECT doc_id, lang, nt FROM f
+              WHERE nt >= 40
+                AND na * 1000000 // greatest(nc, 1) >= 800000),
+            r AS (
+              SELECT lang, doc_id, CAST(nt AS BIGINT) AS n_tokens,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM g)
+            SELECT lang, doc_id, n_tokens FROM r
+            WHERE rn <= 40 ORDER BY lang, doc_id""",
+        "token_doc_freq": r"""
+            SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM (SELECT doc_id,
+                         unnest(list_filter(
+                           regexp_split_to_array(coalesce(text, ''), '\s+'),
+                           x -> x <> '')) AS token
+                  FROM documents)
+            GROUP BY token ORDER BY df DESC, token LIMIT 25""",
         "pack_sequences": r"""
             WITH tc AS (
               SELECT doc_id,

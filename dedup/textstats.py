@@ -74,6 +74,50 @@ def top_tokens(ds: ray.data.Dataset, k: int = 50,
                 .sort(["cnt", "token"], descending=[True, False]).limit(k)
 
 
+def token_doc_freq(ds: ray.data.Dataset, k: int = 25,
+                   text_col: str = "text") -> ray.data.Dataset:
+    """Top-k tokens by DOCUMENT frequency (the count-distinct aggregate:
+    how many docs contain the token at least once — the vocabulary /
+    stopword-discovery stat, distinct from top_tokens' occurrence
+    counts).  Per-batch the (doc, token) pairs are deduped vectorized
+    (dictionary codes + one lexsort) before counting, so the shuffle
+    carries one row per distinct token per batch — exact count-distinct
+    works because a doc's rows never span batches."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t[text_col], "")
+        toks = pc.split_pattern_regex(txt, pattern=r"\s+")
+        nper = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(toks)
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) \
+            else flat
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(t.num_rows), nper)[keep]
+        d = pc.dictionary_encode(flat.filter(pa.array(keep)))
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # distinct (doc, token) pairs, then df per token code
+        if len(codes):
+            order = np.lexsort((parent, codes))
+            cs, ps = codes[order], parent[order]
+            first = np.concatenate([[True], (cs[1:] != cs[:-1])
+                                    | (ps[1:] != ps[:-1])])
+            df = np.bincount(cs[first], minlength=len(d.dictionary))
+        else:
+            df = np.zeros(len(d.dictionary), dtype=np.int64)
+        return pa.table({"token": d.dictionary,
+                         "df": pa.array(df.astype(np.int64), pa.int64())})
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow") \
+            .groupby("token").sum("df")
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["token", "df"])
+
+    return agg.map_batches(_rename, batch_format="pyarrow") \
+              .sort(["df", "token"], descending=[True, False]).limit(k)
+
+
 def lang_group_stats(ds: ray.data.Dataset, lang_col: str = "lang",
                      chars_col: str = "n_chars") -> ray.data.Dataset:
     """groupby(lang): n_docs, total/min/max chars (A2 stats analogue)."""
@@ -345,7 +389,8 @@ def exact_quantiles(ds: ray.data.Dataset, value_col: str,
 
 
 def quota_sample(ds: ray.data.Dataset, group_col: str = "lang",
-                 id_col: str = "doc_id", k: int = 30) -> ray.data.Dataset:
+                 id_col: str = "doc_id", k: int = 30,
+                 carry_cols: tuple[str, ...] = ()) -> ray.data.Dataset:
     """Deterministic per-group downsampling to a fixed quota — the data
     MIXING primitive (cap each source/language at k docs): within each
     group, keep the k docs with the smallest md5(id) — a uniform,
@@ -361,8 +406,10 @@ def quota_sample(ds: ray.data.Dataset, group_col: str = "lang",
         ids = t[id_col].to_pylist()
         h = pa.array([hashlib.md5(str(i).encode()).hexdigest()
                       for i in ids], pa.string())
-        return pa.table({group_col: t[group_col], id_col: t[id_col],
-                         "h": h})
+        cols = {group_col: t[group_col], id_col: t[id_col], "h": h}
+        for c in carry_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
 
     def _prune(t: pa.Table) -> pa.Table:
         idx = pc.sort_indices(t, sort_keys=[(group_col, "ascending"),

@@ -177,3 +177,16 @@ def test_pack_sequences_matches_naive():
     assert got["doc_id"].tolist() == sorted(ids)
     for _, r in got.iterrows():
         assert (r["pack_id"], r["pack_offset"]) == want[r["doc_id"]]
+
+
+def test_token_doc_freq_counts_docs_not_occurrences():
+    from dedup.textstats import token_doc_freq
+    t = pa.table({
+        "doc_id": [0, 1, 2],
+        "text": ["cat cat cat dog", "cat fish", None],
+    })
+    out = token_doc_freq(ray.data.from_arrow(t), k=10).to_pandas()
+    got = dict(zip(out["token"], out["df"]))
+    assert got == {"cat": 2, "dog": 1, "fish": 1}
+    # tie order: df desc, token asc
+    assert out["token"].tolist() == ["cat", "dog", "fish"]
