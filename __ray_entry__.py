@@ -514,6 +514,43 @@ def _q_line_dedup(sf_dir: str):
     return line_dedup(corpus).sort("doc_id")
 
 
+def _q_url_dedup(sf_dir: str):
+    """Canonical-URL crawl dedup over a derived URL corpus: every doc
+    gets one of five URL spellings (https+www / http / bare+slash /
+    fragment / utm query) of a base shared by its 5-id group+source, so
+    all five variants canonicalize identically.  The operator strips
+    scheme/www/fragment/utm/trailing-slash (RE2 chain, one hash shuffle
+    on the canonical key) and assigns keep/delete/unique by min doc_id
+    — the URL-level analogue of the reference's exact-key pass
+    (MainViewModel.cs:1035-1090)."""
+    from dedup.corpus import url_dedup
+    docs = _docs(sf_dir, ["doc_id", "source"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks() if isinstance(
+            t["doc_id"], pa.ChunkedArray) else t["doc_id"]
+        gid = pc.cast(pc.divide(ids, pa.scalar(5, pa.int64())), pa.int64())
+        mod = pc.subtract(ids, pc.multiply(gid, pa.scalar(5, pa.int64())))
+        base = pc.binary_join_element_wise(
+            pc.fill_null(t["source"], ""), ".com/p/",
+            pc.cast(gid, pa.string()), "")
+        v0 = pc.binary_join_element_wise("https://www.", base, "")
+        v1 = pc.binary_join_element_wise("http://", base, "")
+        v2 = pc.binary_join_element_wise(base, "/", "")
+        v3 = pc.binary_join_element_wise("https://", base, "#frag", "")
+        v4 = pc.binary_join_element_wise("https://", base, "?utm_source=x",
+                                         "")
+        url = pc.if_else(
+            pc.equal(mod, 0), v0,
+            pc.if_else(pc.equal(mod, 1), v1,
+                       pc.if_else(pc.equal(mod, 2), v2,
+                                  pc.if_else(pc.equal(mod, 3), v3, v4))))
+        return pa.table({"doc_id": t["doc_id"], "url": url})
+
+    corpus = docs.map_batches(_mk, batch_format="pyarrow")
+    return url_dedup(corpus).sort("doc_id")
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: the hash_split 'val' shard plays the
     held-out benchmark; every train doc is scanned for 8-token-gram
@@ -1000,6 +1037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "line_dedup": _q_line_dedup,
+        "url_dedup": _q_url_dedup,
         "decontaminate": _q_decontaminate,
         "quota_sample": _q_quota_sample,
         "cluster_size_hist": _q_cluster_size_hist,
@@ -1425,6 +1463,43 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN keep THEN line END,
                                        chr(10) ORDER BY i), '') AS text_dedup
             FROM flag GROUP BY doc_id ORDER BY doc_id""",
+        "url_dedup": r"""
+            WITH src AS (
+              SELECT doc_id,
+                     coalesce(source, '') || '.com/p/' ||
+                       CAST(doc_id // 5 AS VARCHAR) AS base,
+                     doc_id % 5 AS m
+              FROM documents),
+            u AS (
+              SELECT doc_id,
+                     CASE m WHEN 0 THEN 'https://www.' || base
+                            WHEN 1 THEN 'http://' || base
+                            WHEN 2 THEN base || '/'
+                            WHEN 3 THEN 'https://' || base || '#frag'
+                            ELSE 'https://' || base || '?utm_source=x'
+                     END AS url
+              FROM src),
+            c AS (
+              SELECT doc_id, url,
+                     regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(url,
+                         '^https?://', '', 'g'),
+                         '^www\.', '', 'g'),
+                         '#.*$', '', 'g'),
+                         '\?utm_.*$', '', 'g'),
+                         '/$', '', 'g') AS canonical_url
+              FROM u),
+            s AS (
+              SELECT *,
+                     count(*) OVER (PARTITION BY canonical_url) AS cs,
+                     min(doc_id) OVER (PARTITION BY canonical_url) AS mn
+              FROM c)
+            SELECT doc_id, url, canonical_url,
+                   CASE WHEN cs = 1 THEN 'unique'
+                        WHEN doc_id = mn THEN 'keep'
+                        ELSE 'delete' END AS state,
+                   CAST(cs AS BIGINT) AS cluster_size
+            FROM s ORDER BY doc_id""",
         "decontaminate": r"""
             WITH src AS (
               SELECT doc_id,

@@ -343,3 +343,79 @@ def pack_sequences(ds: ray.data.Dataset, budget: int,
 
     keyed = ds.map_batches(_with_rk, batch_format="pyarrow")
     return groupapply(keyed, "rk64", _scan, num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + canonical-URL dedup
+# ---------------------------------------------------------------------------
+
+#: canonicalization rules, applied IN ORDER (scheme before www — the
+#: www rule is anchored at start and only exposes after the scheme is
+#: gone).  RE2 on both sides: arrow replace_substring_regex and DuckDB
+#: regexp_replace(...,'g') agree match-for-match.
+URL_CANON_RULES = (
+    (r"^https?://", ""),     # scheme
+    (r"^www\.", ""),         # www prefix
+    (r"#.*$", ""),           # fragment
+    (r"\?utm_.*$", ""),      # tracking query (utm-led)
+    (r"/$", ""),             # trailing slash
+)
+
+
+def canonicalize_urls(urls: pa.Array) -> pa.Array:
+    """Chained vectorized URL normalization (the crawl-dedup
+    preprocessor: scheme / www / fragment / utm-query / trailing-slash
+    stripping)."""
+    if not pa.types.is_string(urls.type):   # all-null block => null type
+        urls = urls.cast(pa.string())
+    out = pc.fill_null(urls, "")
+    for pat, rep in URL_CANON_RULES:
+        out = pc.replace_substring_regex(out, pattern=pat, replacement=rep)
+    return out
+
+
+def url_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
+              url_col: str = "url",
+              num_partitions: int = 32) -> ray.data.Dataset:
+    """Canonical-URL exact dedup: rows whose canonicalized URLs match
+    form a cluster; the minimum id keeps.  One hash shuffle on the
+    canonical string's 64-bit key; the partition kernel groups by the
+    true canonical string (collision-proof), exactly like line_dedup's
+    winner stage.  Output: (id, url, canonical_url, state,
+    cluster_size), deterministic at any parallelism."""
+
+    def _canon(t: pa.Table) -> pa.Table:
+        canon = canonicalize_urls(_as_array(t[url_col].combine_chunks()
+                                            if isinstance(t[url_col],
+                                                          pa.ChunkedArray)
+                                            else t[url_col]))
+        return pa.table({
+            id_col: t[id_col],
+            url_col: t[url_col],
+            "canonical_url": canon,
+            "ch": pa.array(_hash64_strings(canon), pa.uint64()),
+        })
+
+    keyed = ds.map_batches(_canon, batch_format="pyarrow")
+
+    def _states(t: pa.Table) -> pa.Table:
+        codes = pc.dictionary_encode(_as_array(t["canonical_url"]
+                                               .combine_chunks())) \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(codes)
+        mn = np.full(int(codes.max()) + 1 if n else 1, np.iinfo(np.int64).max,
+                     dtype=np.int64)
+        np.minimum.at(mn, codes, ids)
+        cnt = np.bincount(codes, minlength=len(mn))
+        state = np.where(cnt[codes] == 1, "unique",
+                         np.where(ids == mn[codes], "keep", "delete"))
+        return pa.table({
+            id_col: t[id_col],
+            url_col: t[url_col],
+            "canonical_url": t["canonical_url"],
+            "state": pa.array(state.tolist(), pa.string()),
+            "cluster_size": pa.array(cnt[codes].astype(np.int64), pa.int64()),
+        })
+
+    return groupapply(keyed, "ch", _states, num_partitions)

@@ -190,3 +190,51 @@ def test_token_doc_freq_counts_docs_not_occurrences():
     assert got == {"cat": 2, "dog": 1, "fish": 1}
     # tie order: df desc, token asc
     assert out["token"].tolist() == ["cat", "dog", "fish"]
+
+
+def test_url_dedup_canonicalization_and_states():
+    from dedup.corpus import canonicalize_urls, url_dedup
+    urls = [
+        "https://www.ex.com/p/1",          # all five spellings of ex.com/p/1
+        "http://ex.com/p/1",
+        "ex.com/p/1/",
+        "https://ex.com/p/1#frag",
+        "https://ex.com/p/1?utm_source=x",
+        "https://other.com/q",             # unique
+        "https://other.com/q?real=1",      # real query survives -> unique
+        None,                              # null -> '' cluster of 2
+        "#justfrag",
+    ]
+    canon = canonicalize_urls(pa.array(urls, pa.string())).to_pylist()
+    assert canon[:5] == ["ex.com/p/1"] * 5
+    assert canon[5] == "other.com/q"
+    assert canon[6] == "other.com/q?real=1"
+    assert canon[7] == "" and canon[8] == ""
+
+    ds = ray.data.from_items(
+        [{"doc_id": i, "url": u} for i, u in enumerate(urls)])
+    out = url_dedup(ds).sort("doc_id").to_pandas()
+    assert out["state"].tolist() == [
+        "keep", "delete", "delete", "delete", "delete",
+        "unique", "unique", "keep", "delete"]
+    assert out["cluster_size"].tolist() == [5, 5, 5, 5, 5, 1, 1, 2, 2]
+
+
+def test_url_dedup_deterministic_across_partitions():
+    from dedup.corpus import url_dedup
+    rng = np.random.default_rng(7)
+    urls = [f"https://www.s{int(rng.integers(0, 40))}.com/p/"
+            f"{int(rng.integers(0, 30))}" + ("/" if i % 2 else "")
+            for i in range(200)]
+    t = pa.table({"doc_id": list(range(200)), "url": urls})
+    a = url_dedup(ray.data.from_arrow(t), num_partitions=3) \
+        .sort("doc_id").to_pandas()
+    b = url_dedup(ray.data.from_arrow(t).repartition(11),
+                  num_partitions=8).sort("doc_id").to_pandas()
+    assert a.equals(b)
+    # keeper is min doc_id per canonical group
+    mins = a.groupby("canonical_url")["doc_id"].transform("min")
+    sizes = a.groupby("canonical_url")["doc_id"].transform("size")
+    want = np.where(sizes == 1, "unique",
+                    np.where(a["doc_id"] == mins, "keep", "delete"))
+    assert a["state"].tolist() == want.tolist()
