@@ -142,6 +142,39 @@ def _q_normalized_dedup(sf_dir: str):
         .sort("doc_id")
 
 
+def _q_normalized_dedup_longest(sf_dir: str):
+    """Tier-dedup keeper policy driver-checked: same normalized twin
+    corpus as normalized_dedup, but keeper='longest' — the double-spaced
+    twin is the longest member of every cluster, so the keeper flips
+    from the original (min doc_id) to the twin (doc_id + 1M) in every
+    cluster, with ties falling back to global order."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _twin(t: pa.Table) -> pa.Table:
+        mang = pc.replace_substring(pc.utf8_upper(t["text"]),
+                                    pattern=" ", replacement="  ")
+        orig = pa.table({"doc_id": t["doc_id"].combine_chunks(),
+                         "text": t["text"].combine_chunks()})
+        twin = pa.table({"doc_id": pc.add(t["doc_id"], 1_000_000)
+                         .combine_chunks().cast(pa.int64()),
+                         "text": mang})
+        return pa.concat_tables([orig, twin])
+
+    union = ds.map_batches(_twin, batch_format="pyarrow")
+    return run_dedup(union, _doc_cfg(normalize="c4", keeper="longest")) \
+        .sort("doc_id")
+
+
+def _q_events_dedup_newest(sf_dir: str):
+    """keeper='newest' over the events table (props-keyed exact dedup):
+    within each props-duplicate group the max-ts event keeps — the
+    'retain the freshest crawl snapshot' policy; ts never enters the
+    key, only the keeper rank."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "props", "ts"])
+    return run_dedup(ds, _events_cfg(keeper="newest")).sort("event_id")
+
+
 def _split_docs(sf_dir: str, bound: str = "e6"):
     """documents split into (ref, new) by the hash_split md5-prefix rule:
     the 'train' shard plays the previously-kept reference corpus, the
@@ -1023,6 +1056,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_diff_source": _q_exact_dedup_diff_source,
         "exact_dedup_byteverify": _q_exact_dedup_byteverify,
         "normalized_dedup": _q_normalized_dedup,
+        "normalized_dedup_longest": _q_normalized_dedup_longest,
+        "events_dedup_newest": _q_events_dedup_newest,
         "exact_dedup_stats": _q_exact_dedup_stats,
         "visible_duplicates": _q_visible_duplicates,
         "delete_manifest": _q_delete_manifest,
@@ -1199,6 +1234,58 @@ FROM base WHERE nb < {_MIN}
 """
 
 
+#: keeper='longest' variant of _NORM_SQL: the cluster representative is
+#: the raw-longest member (ties -> min doc_id), not the id-minimum
+_NORM_LONGEST_SQL = rf"""
+WITH uni AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, replace(upper(text), ' ', '  ') FROM documents),
+base AS (
+  SELECT doc_id, length(text) AS nb,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[!-/:-@\[-`{{-~]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+  FROM uni),
+ok AS (SELECT doc_id,
+              first_value(doc_id) OVER (
+                PARTITION BY norm ORDER BY nb DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING) AS rep,
+              COUNT(*) OVER (PARTITION BY norm) AS cnt
+       FROM base WHERE nb >= {_MIN})
+SELECT doc_id,
+       CASE WHEN cnt = 1 THEN 'unique' WHEN doc_id = rep THEN 'keep'
+            ELSE 'delete' END AS state,
+       CASE WHEN cnt = 1 THEN -1 ELSE rep END AS cluster_id,
+       CASE WHEN cnt = 1 THEN 1 ELSE cnt END AS cluster_size
+FROM ok
+UNION ALL
+SELECT doc_id, 'ignored' AS state, -1 AS cluster_id, 0 AS cluster_size
+FROM base WHERE nb < {_MIN}
+"""
+
+
+_EVENTS_NEWEST_SQL = """
+WITH ok AS (SELECT event_id,
+                   first_value(event_id) OVER (
+                     PARTITION BY props ORDER BY ts DESC, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING) AS rep,
+                   COUNT(*) OVER (PARTITION BY props) AS cnt
+            FROM events WHERE props IS NOT NULL)
+SELECT event_id,
+       CASE WHEN cnt = 1 THEN 'unique' WHEN event_id = rep THEN 'keep'
+            ELSE 'delete' END AS state,
+       CASE WHEN cnt = 1 THEN -1 ELSE rep END AS cluster_id,
+       CASE WHEN cnt = 1 THEN 1 ELSE cnt END AS cluster_size
+FROM ok
+UNION ALL
+SELECT event_id, 'error' AS state, -1 AS cluster_id, 0 AS cluster_size
+FROM events WHERE props IS NULL
+ORDER BY event_id
+"""
+
+
 _DIFF_SOURCE_SQL = f"""
 WITH base AS (SELECT doc_id, text, source, length(text) AS nb FROM documents),
 ok AS (SELECT * FROM base WHERE nb >= {_MIN}),
@@ -1317,8 +1404,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id, d.lang FROM ({_EXACT_SQL}) a
             JOIN documents d USING (doc_id)
             WHERE a.state IN ('keep', 'unique') ORDER BY a.doc_id""",
+        "normalized_dedup_longest":
+            f"SELECT * FROM ({_NORM_LONGEST_SQL}) ORDER BY doc_id",
         "events_dedup_props": _events_dedup_sql("props"),
         "events_dedup_props_ts": _events_dedup_sql("props, ts"),
+        "events_dedup_newest": _EVENTS_NEWEST_SQL,
         "exact_dedup_byteverify": f"SELECT * FROM ({_EXACT_SQL}) ORDER BY doc_id",
         "exact_dedup_blake2b": f"SELECT * FROM ({_EXACT_SQL}) ORDER BY doc_id",
         "exact_dedup_stats": f"""

@@ -119,6 +119,20 @@ class DedupConfig:
                                     # co-partition, per-partition sorted suffix
                                     # tables decide exactly — see dedup.suffix)
 
+    # --- keeper policy (tier dedup) ----------------------------------
+    keeper: str = "first"          # which cluster member survives:
+                                   # 'first'   = global-order minimum (the
+                                   #   reference's greedy-scan representative,
+                                   #   MainViewModel.cs:1227-1234 — default);
+                                   # 'longest' = max raw n_chars;
+                                   # 'newest' / 'oldest' = max/min ts_col;
+                                   # 'priority' = max keeper_col (an integer
+                                   #   tier/quality rank — pre-scale floats e6).
+                                   # Ties always break to the global-order
+                                   # minimum, so every policy stays
+                                   # deterministic at any parallelism.
+    keeper_col: str = ""           # integer column read for keeper='priority'
+
     # --- misc --------------------------------------------------------
     seed: int = 42
     checkpoint_dir: str | None = None
@@ -145,6 +159,15 @@ class DedupConfig:
             raise ValueError(
                 "substring_mode must be 'winnow'|'suffix_array', "
                 f"got {self.substring_mode!r}")
+        if self.keeper not in ("first", "longest", "newest", "oldest",
+                               "priority"):
+            raise ValueError(
+                "keeper must be first|longest|newest|oldest|priority, "
+                f"got {self.keeper!r}")
+        if self.keeper == "priority" and not self.keeper_col:
+            raise ValueError("keeper='priority' needs keeper_col")
+        if self.keeper in ("newest", "oldest") and not self.ts_col:
+            raise ValueError(f"keeper={self.keeper!r} needs ts_col")
 
     # -----------------------------------------------------------------
     def to_json(self) -> str:

@@ -61,6 +61,8 @@ def read_input(path: str | list[str], cfg: DedupConfig,
         cols.append(cfg.lang_col)
     if cfg.scope_col and cfg.scope != "all" and cfg.scope_col not in cols:
         cols.append(cfg.scope_col)
+    if cfg.keeper_col and cfg.keeper_col not in cols:
+        cols.append(cfg.keeper_col)
     if has_html:
         cols.append("html")
     return ray.data.read_parquet(path, columns=cols)
@@ -160,9 +162,26 @@ class Preparer:
             exact_full.append(d)
             exact64[i] = int.from_bytes(d[:8], "little")
 
+        # keeper rank: SMALLER = preferred keeper; ties fall through to
+        # order_key in the assignment sort, so 'first' (all-zero rank)
+        # reproduces the reference's greedy representative exactly
+        if cfg.keeper == "longest":
+            krank = -nc.astype(np.int64)
+        elif cfg.keeper in ("newest", "oldest"):
+            tsv = pc.fill_null(t[cfg.ts_col].cast(pa.int64()), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            krank = -tsv if cfg.keeper == "newest" else tsv
+        elif cfg.keeper == "priority":
+            pv = pc.fill_null(t[cfg.keeper_col].cast(pa.int64()), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            krank = -pv
+        else:
+            krank = np.zeros(n, dtype=np.int64)
+
         out_cols = {
             "node": pa.array(node, pa.uint64()),
             "id": ids,
+            "krank": pa.array(krank, pa.int64()),
             "order_key": pa.array(okeys, pa.binary()),
             "n_chars": pa.array(nc, pa.int64()),
             "scope64": pa.array(scope64, pa.uint64()),

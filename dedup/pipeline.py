@@ -1256,6 +1256,7 @@ def _attach_broadcast(prep: ray.data.Dataset,
         state = np.where(ok, "unique", t["state0"].to_numpy(zero_copy_only=False))
         return pa.table({
             "id": t["id"],
+            "krank": t["krank"],
             "order_key": t["order_key"],
             "state": pa.array(state.tolist(), pa.string()),
             "skey": pa.array(comp, pa.uint64()),
@@ -1275,6 +1276,7 @@ def _attach_reduce(prep: ray.data.Dataset, labels: ray.data.Dataset,
         return pa.table({
             "skey": t["node"],
             "id": t["id"],
+            "krank": t["krank"],
             "order_key": t["order_key"],
             "state0": t["state0"],
             "comp": pa.nulls(t.num_rows, pa.uint64()),
@@ -1284,12 +1286,14 @@ def _attach_reduce(prep: ray.data.Dataset, labels: ray.data.Dataset,
         return pa.table({
             "skey": t["node"],
             "id": pa.nulls(t.num_rows, id_type),
+            "krank": pa.nulls(t.num_rows, pa.int64()),
             "order_key": pa.nulls(t.num_rows, pa.binary()),
             "state0": pa.nulls(t.num_rows, pa.string()),
             "comp": t["comp"],
         })
 
-    docs = prep.select_columns(["node", "id", "order_key", "state0"])
+    docs = prep.select_columns(["node", "id", "krank", "order_key",
+                                "state0"])
     side = docs.map_batches(_doc_rows, batch_format="pyarrow").union(
         labels.map_batches(_lab_rows, batch_format="pyarrow"))
 
@@ -1314,6 +1318,7 @@ def _attach_reduce(prep: ray.data.Dataset, labels: ray.data.Dataset,
                          doc["state0"].to_numpy(zero_copy_only=False))
         return pa.table({
             "id": doc["id"],
+            "krank": doc["krank"],
             "order_key": doc["order_key"],
             "state": pa.array(state.tolist(), pa.string()),
             "skey": pa.array(comp, pa.uint64()),
@@ -1329,10 +1334,15 @@ def assign_states(prep: ray.data.Dataset, labels: ray.data.Dataset,
     """labels (node, comp) + prepared docs → assignments table
     (id_col, state, cluster_id, cluster_size).
 
-    cluster_id = the keeper's original id (reference: cluster representative
-    is the first record in the deterministic global order that probed a
-    non-empty candidate set, MainViewModel.cs:1227-1234 — equal to the
-    order-minimum member for symmetric predicates, SURVEY.md §0.1).
+    cluster_id = the keeper's original id.  The keeper is the cluster
+    minimum under (krank, order_key): with the default keeper='first'
+    krank is all-zero and this is exactly the reference's greedy-scan
+    representative (first record in the deterministic global order that
+    probed a non-empty candidate set, MainViewModel.cs:1227-1234 — equal
+    to the order-minimum member for symmetric predicates, SURVEY.md
+    §0.1); the tier-dedup policies (longest/newest/oldest/priority)
+    prefer the best-ranked member and tie-break to the same global
+    order, so assignments stay deterministic at any parallelism.
     Sentinel for non-clustered rows: -1 (int ids) / "" (string ids).
 
     The label table holds only MATCHED nodes (O(dups), not O(corpus)); up
@@ -1343,7 +1353,8 @@ def assign_states(prep: ray.data.Dataset, labels: ray.data.Dataset,
     billions of labels.  Both paths produce byte-identical assignments.
     The per-cluster keeper selection then shuffles only the clustered
     rows (again O(dups))."""
-    docs = prep.select_columns(["node", "id", "order_key", "state0"])
+    docs = prep.select_columns(["node", "id", "krank", "order_key",
+                                "state0"])
     id_type = docs.schema().base_schema.field("id").type
     string_ids = pa.types.is_string(id_type) or pa.types.is_large_string(id_type)
     sentinel = "" if string_ids else -1
@@ -1367,6 +1378,7 @@ def assign_states(prep: ray.data.Dataset, labels: ray.data.Dataset,
     def _clustered(t: pa.Table) -> pa.Table:
         t = t.filter(t["clustered"])
         return pa.table({"skey": t["skey"], "id": t["id"],
+                         "krank": t["krank"],
                          "order_key": t["order_key"]})
 
     nonclustered = attached.map_batches(_final_nonclustered,
@@ -1375,10 +1387,12 @@ def assign_states(prep: ray.data.Dataset, labels: ray.data.Dataset,
 
     def _assign(t: pa.Table) -> pa.Table:
         # fully vectorized keeper selection: one arrow multi-key sort by
-        # (cluster, order_key) — binary order_key compares lexicographically,
-        # identical to the min-by-bytes reduce — then segment firsts are the
-        # keepers and np.repeat broadcasts (cluster_id, size) to members
+        # (cluster, krank, order_key) — binary order_key compares
+        # lexicographically, identical to the min-by-bytes reduce — then
+        # segment firsts are the keepers and np.repeat broadcasts
+        # (cluster_id, size) to members
         idx = pc.sort_indices(t, sort_keys=[("skey", "ascending"),
+                                            ("krank", "ascending"),
                                             ("order_key", "ascending")])
         t2 = t.take(idx)
         sk = t2["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
