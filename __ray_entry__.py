@@ -205,6 +205,18 @@ def _q_incremental_dedup(sf_dir: str):
     return incremental_exact_dedup(new, ref, _doc_cfg()).sort("doc_id")
 
 
+def _q_incremental_dedup_bloom(sf_dir: str):
+    """Bloom semi-join variant of incremental_dedup: a sharded bloom
+    over the new shard's exact keys filters the reference side before
+    the shuffle (dedup.bloom) — false positives shuffle and match
+    nothing, false negatives are impossible, so the same SQL anti-join
+    oracle must hash-match the unfiltered path exactly."""
+    from dedup.incremental import incremental_exact_dedup
+    ref, new = _split_docs(sf_dir)
+    return incremental_exact_dedup(new, ref, _doc_cfg(),
+                                   bloom_fpp=0.01).sort("doc_id")
+
+
 def _q_incremental_dedup_cc(sf_dir: str):
     """Closure-path incremental dedup (incremental_dedup: edge stages
     over the side-tagged union -> union-find -> component assigner) with
@@ -1110,6 +1122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup_recall": _method_recall("substring", ("substring",)),
         "fingerprint_agreement": _q_fingerprint_agreement,
         "incremental_dedup": _q_incremental_dedup,
+        "incremental_dedup_bloom": _q_incremental_dedup_bloom,
         "incremental_dedup_planted": _q_incremental_dedup_planted,
         "incremental_dedup_cc": _q_incremental_dedup_cc,
         "incremental_near_planted": _q_incremental_near_planted,
@@ -1385,6 +1398,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": f"SELECT * FROM ({_EXACT_SQL}) ORDER BY doc_id",
         "exact_dedup_lang": f"SELECT * FROM ({lang_sql}) ORDER BY doc_id",
         "incremental_dedup":
+            f"SELECT * FROM ({_INCR_SQL}) ORDER BY doc_id",
+        "incremental_dedup_bloom":
             f"SELECT * FROM ({_INCR_SQL}) ORDER BY doc_id",
         "incremental_dedup_cc": f"""
             SELECT doc_id, state, cluster_id, cluster_size

@@ -80,11 +80,21 @@ def incremental_exact_dedup(
     cfg: DedupConfig,
     check_html: bool = False,
     num_partitions: int | None = None,
+    bloom_fpp: float | None = None,
 ) -> ray.data.Dataset:
     """Assignments for every NEW doc: (cfg.id_col, state, cluster_id,
     cluster_size, n_ref).  ref_dup rows carry the sentinel cluster_id
     (-1 / ""), cluster_size 0 and n_ref >= 1; unmatched groups follow
-    the exact_dedup conventions (assign_states) with n_ref = 0."""
+    the exact_dedup conventions (assign_states) with n_ref = 0.
+
+    ``bloom_fpp`` enables the bloom semi-join: a sharded bloom over the
+    NEW snapshot's exact keys (the small side — the reference corpus
+    accumulated over many dumps dwarfs one fresh crawl) filters the
+    reference side before the shuffle, so only probable matches ship.
+    Reference rows the bloom drops can never affect an assignment
+    (reference-only groups are skipped in the join kernel) and false
+    positives just shuffle and match nothing, so assignments are
+    byte-identical to the unfiltered path at any fpp."""
     from .pipeline import _auto_partitions, _full_hi
 
     tune_context()
@@ -98,8 +108,14 @@ def incremental_exact_dedup(
                   or pa.types.is_large_string(id_type))
     sentinel = "" if string_ids else -1
 
-    both = _ok_side(prep_new, _SIDE_NEW, id_type).union(
-        _ok_side(prep_ref, _SIDE_REF, id_type))
+    new_side = _ok_side(prep_new, _SIDE_NEW, id_type)
+    ref_side = _ok_side(prep_ref, _SIDE_REF, id_type)
+    if bloom_fpp is not None:
+        from .bloom import bloom_filter_dataset, build_bloom
+        bloom = build_bloom(new_side.select_columns(["exact64"]), "exact64",
+                            fpp=bloom_fpp, num_partitions=P)
+        ref_side = bloom_filter_dataset(ref_side, "exact64", bloom)
+    both = new_side.union(ref_side)
 
     def _part(t: pa.Table) -> pa.Table:
         e64 = t["exact64"].to_numpy(zero_copy_only=False).astype(np.uint64)
