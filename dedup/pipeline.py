@@ -723,9 +723,13 @@ def _pair_rows(pairs: ray.data.Dataset, pay_type: pa.DataType) -> ray.data.Datas
 
 
 #: Above this many candidate-pair endpoints the payload semi-join switches
-#: from the broadcast-filter path to the full co-shuffle path (see
-#: attach_payloads).  Module-level so tests can force the co-shuffle.
+#: from the exact broadcast-filter path to the bloom path (see
+#: attach_payloads).  Module-level so tests can force the other tiers.
 ATTACH_BROADCAST_THRESHOLD = 20_000_000
+
+#: Above this many endpoints even the bloom (~1.2 bytes/endpoint at 1%
+#: fpp) is too large to broadcast; the unfiltered co-shuffle runs.
+ATTACH_BLOOM_THRESHOLD = 1_000_000_000
 
 
 def attach_payloads(pairs: ray.data.Dataset, payload: ray.data.Dataset,
@@ -740,15 +744,21 @@ def attach_payloads(pairs: ray.data.Dataset, payload: ray.data.Dataset,
         array (8 B/candidate) is broadcast once via ray.put and the
         corpus-sized payload table is pre-filtered map-side, so only
         O(pairs) payload bytes enter the shuffle;
+      * <= ATTACH_BLOOM_THRESHOLD: the exact array no longer fits a
+        broadcast, but a sharded bloom over the endpoints (~1.2
+        bytes/endpoint at 1% fpp, dedup.bloom) does — map-side filter
+        passes candidates plus ~1% false positives, which the reduce
+        side drops anyway (``_attach`` emits only rows matching a pair
+        side), so results are byte-identical;
       * above it: no driver-side structure at all — every payload row
         enters the node-keyed shuffle and non-candidates are dropped
-        reduce-side (the join in ``_attach`` emits only rows matching a
-        pair side).  One full payload shuffle, but streaming and spillable
-        — never a driver or single-worker materialization."""
+        reduce-side.  One full payload shuffle, but streaming and
+        spillable — never a driver or single-worker materialization."""
     pay_type = payload.schema().base_schema.field(payload_col).type
     pairs = pairs.materialize()
+    n_end = 2 * pairs.count()
 
-    if 2 * pairs.count() <= ATTACH_BROADCAST_THRESHOLD:
+    if n_end <= ATTACH_BROADCAST_THRESHOLD:
         cand_ref = ray.put(_candidate_nodes(pairs))
 
         def _pay_rows(t: pa.Table) -> pa.Table:
@@ -758,6 +768,29 @@ def attach_payloads(pairs: ray.data.Dataset, payload: ray.data.Dataset,
             pos[pos >= len(arr)] = 0
             t = t.filter(pa.array(arr[pos] == nd) if len(arr) else
                          pa.array(np.zeros(len(nd), dtype=bool)))
+            return pa.table({
+                "skey": t["node"],
+                "u": pa.nulls(t.num_rows, pa.uint64()),
+                "v": pa.nulls(t.num_rows, pa.uint64()),
+                "pay": t[payload_col],
+            })
+    elif n_end <= ATTACH_BLOOM_THRESHOLD:
+        from .bloom import build_bloom
+
+        def _ends(t: pa.Table) -> pa.Table:
+            u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            return pa.table({"node": pa.array(np.concatenate([u, v]),
+                                              pa.uint64())})
+
+        bloom_ref = ray.put(build_bloom(
+            pairs.map_batches(_ends, batch_format="pyarrow"),
+            "node", capacity=n_end, fpp=0.01))
+
+        def _pay_rows(t: pa.Table) -> pa.Table:
+            b = ray.get(bloom_ref)
+            nd = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            t = t.filter(pa.array(b.contains(nd)))
             return pa.table({
                 "skey": t["node"],
                 "u": pa.nulls(t.num_rows, pa.uint64()),

@@ -326,13 +326,28 @@ def test_reduce_side_label_join_int_ids():
 
 
 def test_attach_coshuffle_identical(planted, monkeypatch):
-    """Forcing ATTACH_BROADCAST_THRESHOLD=0 routes the verify payload
+    """Forcing both attach thresholds to 0 routes the verify payload
     semi-join through the full co-shuffle path; results must match the
     broadcast-filter path exactly."""
     import dedup.pipeline as pl
     pages, _ = planted
     ds = ray.data.from_arrow(pages).repartition(4)
     cfg = DedupConfig(simhash=False)  # exercises minhash + substring verify
+    a = _collect(run_dedup(ds, cfg, num_partitions=8))
+    monkeypatch.setattr(pl, "ATTACH_BROADCAST_THRESHOLD", 0)
+    monkeypatch.setattr(pl, "ATTACH_BLOOM_THRESHOLD", 0)
+    b = _collect(run_dedup(ds, cfg, num_partitions=8))
+    assert a == b
+
+
+def test_attach_bloom_tier_identical(planted, monkeypatch):
+    """Forcing only ATTACH_BROADCAST_THRESHOLD=0 routes the payload
+    semi-join through the bloom tier (map-side bloom filter, false
+    positives dropped reduce-side); results must be byte-identical."""
+    import dedup.pipeline as pl
+    pages, _ = planted
+    ds = ray.data.from_arrow(pages).repartition(4)
+    cfg = DedupConfig(simhash=False)
     a = _collect(run_dedup(ds, cfg, num_partitions=8))
     monkeypatch.setattr(pl, "ATTACH_BROADCAST_THRESHOLD", 0)
     b = _collect(run_dedup(ds, cfg, num_partitions=8))
