@@ -114,6 +114,7 @@ def gram_rows(txt: pa.Array, n: int) -> tuple[pa.Array, np.ndarray]:
 
 def line_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
                text_col: str = "text", sep: str = "\n",
+               min_line_chars: int = 0,
                num_partitions: int = 32) -> ray.data.Dataset:
     """Global line deduplication (the C4 pipeline's cross-document
     dedup, applied at line granularity): every distinct line keeps
@@ -121,6 +122,10 @@ def line_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
     removed from every other document; each document's text is rebuilt
     from its surviving lines (dropped lines take their separator with
     them).  Output: (id, n_lines, n_kept, text_dedup), one row per doc.
+
+    Lines shorter than ``min_line_chars`` are EXEMPT — kept in every
+    document (the RefinedWeb-style guard: globally deduping short
+    boilerplate like list bullets or "Home" would gut unrelated pages).
 
     Determinism: the winner rule is a pure minimum, so output is
     byte-identical at any parallelism.  ``id_col`` must be integer."""
@@ -139,7 +144,8 @@ def line_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
 
     def _winner(t: pa.Table) -> pa.Table:
         """Partition kernel: group by the TRUE line string (dictionary
-        codes — collision-proof), keep = row with min (d, i)."""
+        codes — collision-proof), keep = row with min (d, i); short
+        lines are exempt (always kept)."""
         codes = pc.dictionary_encode(t["line"].combine_chunks()) \
             .indices.to_numpy(zero_copy_only=False).astype(np.int64)
         d = t["d"].to_numpy(zero_copy_only=False)
@@ -150,6 +156,11 @@ def line_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
             gc = codes[order]
             first = np.concatenate([[True], gc[1:] != gc[:-1]])
             keep[order[first]] = True
+            if min_line_chars > 0:
+                short = pc.less(pc.utf8_length(t["line"]),
+                                min_line_chars) \
+                    .to_numpy(zero_copy_only=False)
+                keep |= short
         return pa.table({
             "line": t["line"],
             "d": t["d"],

@@ -238,3 +238,16 @@ def test_url_dedup_deterministic_across_partitions():
     want = np.where(sizes == 1, "unique",
                     np.where(a["doc_id"] == mins, "keep", "delete"))
     assert a["state"].tolist() == want.tolist()
+
+
+def test_line_dedup_min_line_chars_exempts_short_lines():
+    texts = ["short\nthis is a much longer shared line here\nshort",
+             "short\nthis is a much longer shared line here\nother tail line x"]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    out = line_dedup(ds, min_line_chars=8).sort("doc_id").to_pandas()
+    # 'short' (5 chars) exempt -> survives in both docs everywhere;
+    # the long shared line dedups to doc 0
+    assert out.loc[0, "text_dedup"] == texts[0]
+    assert out.loc[1, "text_dedup"] == "short\nother tail line x"
+    assert out["n_kept"].tolist() == [3, 2]
