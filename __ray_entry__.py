@@ -165,6 +165,68 @@ def _q_normalized_dedup_longest(sf_dir: str):
         .sort("doc_id")
 
 
+def _q_source_dup_report(sf_dir: str):
+    """Per-source duplication report (the crawl-curation 'which domains
+    feed the dup pile' table): normalized-dedup assignments over the
+    twin corpus hash-joined back to each doc's source, then per-source
+    state counts and a floor-e6 dup fraction.  Exercises the engine's
+    join surface over dedup output plus a combiner-before-groupby
+    aggregate."""
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def _twin(t: pa.Table) -> pa.Table:
+        mang = pc.replace_substring(pc.utf8_upper(t["text"]),
+                                    pattern=" ", replacement="  ")
+        ids = t["doc_id"].combine_chunks()
+        return pa.table({
+            "doc_id": pa.concat_arrays([
+                ids, pc.add(ids, 1_000_000).cast(pa.int64())]),
+            "text": pa.concat_arrays([
+                t["text"].combine_chunks(),
+                mang.combine_chunks() if isinstance(mang, pa.ChunkedArray)
+                else mang]),
+        })
+
+    def _srcs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks()
+        src = t["source"].combine_chunks()
+        return pa.table({
+            "doc_id": pa.concat_arrays([
+                ids, pc.add(ids, 1_000_000).cast(pa.int64())]),
+            "source": pa.concat_arrays([src, src]),
+        })
+
+    corpus = docs.map_batches(_twin, batch_format="pyarrow")
+    srcs = docs.map_batches(_srcs, batch_format="pyarrow")
+    asn = run_dedup(corpus, _doc_cfg(normalize="c4"))
+    joined = asn.join(srcs, join_type="inner", num_partitions=8,
+                      on=("doc_id",))
+
+    def _cnt(t: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(t, ["source", "state"]).aggregate(
+            [("doc_id", "count")]).rename_columns(["source", "state", "n"])
+
+    def _pivot(t: pa.Table) -> pa.Table:
+        by: dict[str, int] = {}
+        for s, c in zip(t["state"].to_pylist(), t["n"].to_pylist()):
+            by[s] = by.get(s, 0) + int(c)
+        total = sum(by.values())
+        dele = by.get("delete", 0)
+        return pa.table({
+            "source": pa.array([t["source"][0].as_py()], pa.string()),
+            "n_docs": pa.array([total], pa.int64()),
+            "n_keep": pa.array([by.get("keep", 0)], pa.int64()),
+            "n_delete": pa.array([dele], pa.int64()),
+            "n_unique": pa.array([by.get("unique", 0)], pa.int64()),
+            "dup_frac_e6": pa.array([dele * 1_000_000 // max(total, 1)],
+                                    pa.int64()),
+        })
+
+    part = joined.map_batches(_cnt, batch_format="pyarrow")
+    return part.groupby("source").map_groups(_pivot, batch_format="pyarrow") \
+        .sort("source")
+
+
 def _q_events_dedup_newest(sf_dir: str):
     """keeper='newest' over the events table (props-keyed exact dedup):
     within each props-duplicate group the max-ts event keeps — the
@@ -1091,6 +1153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_dedup": _q_normalized_dedup,
         "normalized_dedup_longest": _q_normalized_dedup_longest,
         "events_dedup_newest": _q_events_dedup_newest,
+        "source_dup_report": _q_source_dup_report,
         "exact_dedup_stats": _q_exact_dedup_stats,
         "visible_duplicates": _q_visible_duplicates,
         "delete_manifest": _q_delete_manifest,
@@ -1446,6 +1509,24 @@ def oracle_sql() -> dict[str, str]:
         "events_dedup_props": _events_dedup_sql("props"),
         "events_dedup_props_ts": _events_dedup_sql("props, ts"),
         "events_dedup_newest": _EVENTS_NEWEST_SQL,
+        "source_dup_report": f"""
+            WITH a AS ({_NORM_SQL}),
+            src AS (
+              SELECT doc_id, source FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, source FROM documents)
+            SELECT s.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) FILTER (a.state = 'keep') AS BIGINT)
+                     AS n_keep,
+                   CAST(count(*) FILTER (a.state = 'delete') AS BIGINT)
+                     AS n_delete,
+                   CAST(count(*) FILTER (a.state = 'unique') AS BIGINT)
+                     AS n_unique,
+                   count(*) FILTER (a.state = 'delete') * 1000000
+                     // count(*) AS dup_frac_e6
+            FROM a JOIN src s USING (doc_id)
+            GROUP BY s.source ORDER BY s.source""",
         "exact_dedup_byteverify": f"SELECT * FROM ({_EXACT_SQL}) ORDER BY doc_id",
         "exact_dedup_blake2b": f"SELECT * FROM ({_EXACT_SQL}) ORDER BY doc_id",
         "exact_dedup_stats": f"""
