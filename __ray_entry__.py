@@ -165,6 +165,35 @@ def _q_normalized_dedup_longest(sf_dir: str):
         .sort("doc_id")
 
 
+_SPAN_BP = (" SHARED BOILERPLATE SNIPPET THAT REPEATS ACROSS MANY "
+            "DOCUMENTS FOR SPAN TESTS")
+
+
+def _q_span_dedup(sf_dir: str):
+    """Duplicated-SPAN removal (Lee et al. exact-substring semantics,
+    dedup.spans): every 50-char window occurring more than once keeps
+    its first (doc_id, offset) occurrence; other occurrences are cut
+    from their documents.  Corpus = documents with a shared boilerplate
+    sentence appended to every third doc, so the keeper doc retains the
+    boilerplate and every later doc loses exactly it (plus any natural
+    50-char repeats the synthesizer produced)."""
+    from dedup.spans import span_dedup
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks()
+        third = pc.equal(pc.subtract(
+            ids, pc.multiply(pc.cast(pc.divide(ids, 3), pa.int64()),
+                             pa.scalar(3, pa.int64()))), 0)
+        txt = pc.binary_join_element_wise(
+            pc.fill_null(t["text"], ""),
+            pc.if_else(third, _SPAN_BP, ""), "")
+        return pa.table({"doc_id": ids, "text": txt})
+
+    corpus = docs.map_batches(_mk, batch_format="pyarrow")
+    return span_dedup(corpus, L=50).sort("doc_id")
+
+
 def _q_source_dup_report(sf_dir: str):
     """Per-source duplication report (the crawl-curation 'which domains
     feed the dup pile' table): normalized-dedup assignments over the
@@ -1154,6 +1183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_dedup_longest": _q_normalized_dedup_longest,
         "events_dedup_newest": _q_events_dedup_newest,
         "source_dup_report": _q_source_dup_report,
+        "span_dedup": _q_span_dedup,
         "exact_dedup_stats": _q_exact_dedup_stats,
         "visible_duplicates": _q_visible_duplicates,
         "delete_manifest": _q_delete_manifest,
@@ -1509,6 +1539,47 @@ def oracle_sql() -> dict[str, str]:
         "events_dedup_props": _events_dedup_sql("props"),
         "events_dedup_props_ts": _events_dedup_sql("props, ts"),
         "events_dedup_newest": _EVENTS_NEWEST_SQL,
+        "span_dedup": f"""
+            WITH src AS (
+              SELECT doc_id,
+                     coalesce(text, '') ||
+                       CASE WHEN doc_id % 3 = 0 THEN '{_SPAN_BP}'
+                            ELSE '' END AS t
+              FROM documents),
+            pos AS (
+              SELECT doc_id, i, substr(t, i, 50) AS w
+              FROM src, unnest(generate_series(1, length(t) - 49)) AS u(i)
+              WHERE length(t) >= 50),
+            flag AS (
+              SELECT doc_id, i,
+                     count(*) OVER (PARTITION BY w) AS c,
+                     row_number() OVER (PARTITION BY w
+                                        ORDER BY doc_id, i) AS rn
+              FROM pos),
+            cuts AS (SELECT doc_id, i FROM flag WHERE c > 1 AND rn > 1),
+            cov AS (
+              SELECT DISTINCT doc_id, j
+              FROM cuts, unnest(generate_series(i, i + 49)) AS v(j)),
+            chars AS (
+              SELECT s.doc_id, j, substr(s.t, j, 1) AS ch
+              FROM src s,
+                   unnest(generate_series(1, length(s.t))) AS w(j)),
+            agg AS (
+              SELECT c.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_chars,
+                     CAST(count(v.j) AS BIGINT) AS n_removed,
+                     coalesce(string_agg(CASE WHEN v.j IS NULL THEN c.ch
+                                         END, '' ORDER BY c.j), '')
+                       AS text_dedup
+              FROM chars c
+              LEFT JOIN cov v ON v.doc_id = c.doc_id AND v.j = c.j
+              GROUP BY c.doc_id)
+            SELECT s.doc_id,
+                   coalesce(a.n_chars, 0) AS n_chars,
+                   coalesce(a.n_removed, 0) AS n_removed,
+                   coalesce(a.text_dedup, '') AS text_dedup
+            FROM src s LEFT JOIN agg a USING (doc_id)
+            ORDER BY s.doc_id""",
         "source_dup_report": f"""
             WITH a AS ({_NORM_SQL}),
             src AS (

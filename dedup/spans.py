@@ -1,0 +1,200 @@
+"""Exact duplicated-SPAN removal (Lee et al. 2022 semantics).
+
+Where ``dedup.pipeline``'s substring passes flag DOCUMENT pairs that
+share a long verbatim run, this operator rewrites the documents
+themselves: every length-``L`` character window that occurs more than
+once in the corpus keeps exactly its first occurrence — minimum
+(doc_id, offset) — and every other occurrence's character range is cut
+from its document (overlapping cut windows merge into maximal runs).
+This is the span-level generalization of the reference's byte
+comparator (FileEntryViewModel.cs:192-247): equality decided on content,
+winner decided by the deterministic global order.
+
+Scale shape — two hash shuffles over the sampled-window table, never a
+global suffix array:
+
+    map_batches: per doc, TWO independent 64-bit polynomial rolling
+        hashes over the codepoint array (vectorized: cumsum of
+        byte*B^t, window hash = (S[o+L]-S[o]) * B^-o with an ODD base,
+        invertible mod 2^64) -> rows (h1, h2, doc, offset), one per
+        window start, sampled every ``stride`` positions
+    -> groupapply(h1): groups by (h1, h2); in each group of >= 2 every
+        occurrence but the (doc, offset) minimum becomes a cut row
+    -> groupapply(doc): cut rows + the original texts co-locate; the
+        kernel merges [o, o+L) intervals and rebuilds the text
+
+The 128-bit combined hash stands in for byte verification (collision
+odds ~2^-128 per pair — negligible at any corpus size; documented
+divergence from the carry-the-bytes alternative, which would multiply
+shuffle volume by L).  ``stride=1`` is exact per-window semantics (the
+SQL-checkable contract); ``stride=s`` > 1 samples window starts and
+still detects every duplicated run of length >= L + s - 1 — the
+documented web-scale setting that divides shuffle volume by s.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .dist import groupapply, segments
+
+_B1 = np.uint64(0x9E3779B97F4A7C15 | 1)   # odd -> invertible mod 2^64
+_B2 = np.uint64(0xC2B2AE3D27D4EB4F | 1)
+_B1_INV = np.uint64(pow(int(_B1), -1, 1 << 64))
+_B2_INV = np.uint64(pow(int(_B2), -1, 1 << 64))
+
+
+def _codepoints(s: str) -> np.ndarray:
+    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+
+
+def _window_hashes(cp: np.ndarray, L: int,
+                   base: np.uint64, base_inv: np.uint64) -> np.ndarray:
+    """Rolling hash of every length-L window (len(cp)-L+1 values),
+    fully vectorized: S[k] = sum cp[t]*B^t, H[o] = (S[o+L]-S[o])*B^-o.
+    uint64 arithmetic wraps mod 2^64 by construction."""
+    n = len(cp)
+    pw = np.ones(n, dtype=np.uint64)
+    pw[1:] = base
+    pw = np.cumprod(pw, dtype=np.uint64)            # B^t
+    inv = np.ones(n - L + 1, dtype=np.uint64)
+    inv[1:] = base_inv
+    inv = np.cumprod(inv, dtype=np.uint64)          # B^-o
+    s = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(cp.astype(np.uint64) * pw, out=s[1:])
+    return (s[L:] - s[:-L]) * inv
+
+
+def span_dedup(ds: ray.data.Dataset, L: int = 50, stride: int = 1,
+               id_col: str = "doc_id", text_col: str = "text",
+               num_partitions: int = 32) -> ray.data.Dataset:
+    """Corpus-wide duplicated-span removal.  Output one row per doc:
+    (id, n_chars, n_removed, text_dedup), deterministic at any
+    parallelism (winner = min (doc_id, offset) per window value).
+    ``id_col`` must be integer."""
+
+    def _windows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t[text_col].to_pylist()
+        h1_l, h2_l, d_l, o_l = [], [], [], []
+        for i, txt in enumerate(texts):
+            if txt is None:
+                continue
+            cp = _codepoints(txt)
+            if len(cp) < L:
+                continue
+            h1 = _window_hashes(cp, L, _B1, _B1_INV)
+            h2 = _window_hashes(cp, L, _B2, _B2_INV)
+            sel = np.arange(0, len(h1), stride)
+            h1_l.append(h1[sel])
+            h2_l.append(h2[sel])
+            d_l.append(np.full(len(sel), ids[i], dtype=np.int64))
+            o_l.append(sel.astype(np.int64))
+        if not h1_l:
+            return pa.table({"h1": pa.array([], pa.uint64()),
+                             "h2": pa.array([], pa.uint64()),
+                             "d": pa.array([], pa.int64()),
+                             "o": pa.array([], pa.int64())})
+        return pa.table({
+            "h1": pa.array(np.concatenate(h1_l), pa.uint64()),
+            "h2": pa.array(np.concatenate(h2_l), pa.uint64()),
+            "d": pa.array(np.concatenate(d_l), pa.int64()),
+            "o": pa.array(np.concatenate(o_l), pa.int64()),
+        })
+
+    wins = ds.map_batches(_windows, batch_format="pyarrow")
+
+    def _losers(t: pa.Table) -> pa.Table:
+        """Per (h1, h2) group: every occurrence but the (d, o) minimum
+        is cut.  One lexsort; group firsts survive."""
+        h1 = t["h1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h2 = t["h2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        o = t["o"].to_numpy(zero_copy_only=False)
+        if len(h1) == 0:
+            return pa.table({"d": pa.array([], pa.int64()),
+                             "o": pa.array([], pa.int64()),
+                             "dh": pa.array([], pa.uint64())})
+        order = np.lexsort((o, d, h2, h1))
+        g1, g2 = h1[order], h2[order]
+        new_grp = np.concatenate(
+            [[True], (g1[1:] != g1[:-1]) | (g2[1:] != g2[:-1])])
+        grp_id = np.cumsum(new_grp) - 1
+        grp_size = np.bincount(grp_id)
+        dup = grp_size[grp_id] > 1          # group has >= 2 occurrences
+        loser = dup & ~new_grp              # everything but the first
+        keep_idx = order[loser]
+        return pa.table({
+            "d": pa.array(d[keep_idx], pa.int64()),
+            "o": pa.array(o[keep_idx], pa.int64()),
+            "dh": pa.array(d[keep_idx].astype(np.uint64), pa.uint64()),
+        })
+
+    cuts = groupapply(wins, "h1", _losers, num_partitions)
+
+    def _doc_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "d": pa.array(ids, pa.int64()),
+            "o": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+            "dh": pa.array(ids.astype(np.uint64), pa.uint64()),
+            "text": pc.fill_null(t[text_col], ""),
+        })
+
+    def _cut_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "d": t["d"], "o": t["o"], "dh": t["dh"],
+            "text": pa.nulls(t.num_rows, pa.string()),
+        })
+
+    side = ds.map_batches(_doc_rows, batch_format="pyarrow").union(
+        cuts.map_batches(_cut_rows, batch_format="pyarrow"))
+
+    def _rebuild(t: pa.Table) -> pa.Table:
+        o = t["o"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        is_doc = o == -1
+        doc_d = d[is_doc]
+        doc_txt = np.asarray(
+            t.filter(pa.array(is_doc))["text"].to_numpy(
+                zero_copy_only=False), dtype=object)
+        cut_d = d[~is_doc]
+        cut_o = o[~is_doc]
+        # group cuts by doc via one argsort
+        corder, cstarts, cuniq = segments(cut_d.astype(np.uint64))
+        cut_by_doc = {int(cuniq[g]): cut_o[corder[cstarts[g]:cstarts[g + 1]]]
+                      for g in range(len(cuniq))}
+        out_d, out_n, out_r, out_t = [], [], [], []
+        for j in np.argsort(doc_d, kind="stable"):
+            did = int(doc_d[j])
+            txt = doc_txt[j]
+            cp = _codepoints(txt)
+            n = len(cp)
+            co = cut_by_doc.get(did)
+            if co is None or n == 0:
+                out_d.append(did)
+                out_n.append(n)
+                out_r.append(0)
+                out_t.append(txt)
+                continue
+            diff = np.zeros(n + 1, dtype=np.int64)
+            np.add.at(diff, np.minimum(co, n), 1)
+            np.add.at(diff, np.minimum(co + L, n), -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            kept = cp[~covered]
+            out_d.append(did)
+            out_n.append(n)
+            out_r.append(int(covered.sum()))
+            out_t.append(kept.tobytes().decode("utf-32-le"))
+        return pa.table({
+            id_col: pa.array(out_d, pa.int64()),
+            "n_chars": pa.array(out_n, pa.int64()),
+            "n_removed": pa.array(out_r, pa.int64()),
+            "text_dedup": pa.array(out_t, pa.string()),
+        })
+
+    return groupapply(side, "dh", _rebuild, num_partitions)

@@ -1,0 +1,87 @@
+"""Duplicated-span removal (dedup/spans.py) vs a naive per-window
+reference: keeper = min (doc, offset) occurrence per distinct window,
+every other occurrence's [o, o+L) range cut, overlaps merged."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from dedup.spans import span_dedup
+
+
+def _naive(texts, L, stride=1):
+    occ = {}
+    for d, t in enumerate(texts):
+        t = t or ""
+        for o in range(0, max(len(t) - L + 1, 0), stride):
+            occ.setdefault(t[o:o + L], []).append((d, o))
+    cuts = {}
+    for lst in occ.values():
+        if len(lst) > 1:
+            for d, o in sorted(lst)[1:]:
+                cuts.setdefault(d, []).append(o)
+    out = []
+    for d, t in enumerate(texts):
+        t = t or ""
+        cov = np.zeros(len(t), dtype=bool)
+        for o in cuts.get(d, []):
+            cov[o:o + L] = True
+        out.append(("".join(c for c, m in zip(t, cov) if not m),
+                    int(cov.sum()), len(t)))
+    return out
+
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog " * 3 + "unique tail one",
+    "prefix text " + "the quick brown fox jumps over the lazy dog " * 3,
+    "completely different content with no duplication at all whatsoever",
+    "a" * 60,                       # self-overlapping repeat
+    "short",
+    None,
+    "",
+]
+
+
+def _run(L, stride=1, parts=3):
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(TEXTS)])
+    return span_dedup(ds.repartition(parts), L=L, stride=stride,
+                      num_partitions=5).sort("doc_id").to_pandas()
+
+
+def test_span_dedup_matches_naive():
+    got = _run(L=30)
+    want = _naive(TEXTS, 30)
+    for i, (txt, rem, n) in enumerate(want):
+        assert got.loc[i, "text_dedup"] == txt
+        assert got.loc[i, "n_removed"] == rem
+        assert got.loc[i, "n_chars"] == n
+
+
+def test_span_dedup_stride_matches_strided_naive():
+    got = _run(L=30, stride=4)
+    want = _naive(TEXTS, 30, stride=4)
+    for i, (txt, rem, _) in enumerate(want):
+        assert got.loc[i, "text_dedup"] == txt
+        assert got.loc[i, "n_removed"] == rem
+    # stride still catches the long duplicated run (len >= L + s - 1)
+    assert got.loc[1, "n_removed"] > 0
+
+
+def test_span_dedup_deterministic_across_partitions():
+    a = _run(L=30, parts=2)
+    b = _run(L=30, parts=6)
+    assert a.equals(b)
+
+
+def test_span_dedup_unicode_boundaries():
+    texts = ["héllo wörld ünïcode " * 4, "x héllo wörld ünïcode " * 4]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    got = span_dedup(ds, L=15).sort("doc_id").to_pandas()
+    want = _naive(texts, 15)
+    for i, (txt, rem, n) in enumerate(want):
+        assert got.loc[i, "text_dedup"] == txt
+        assert got.loc[i, "n_removed"] == rem
+        assert got.loc[i, "n_chars"] == n
