@@ -142,7 +142,8 @@ def run_suite() -> dict:
     picks = ["exact_dedup", "full_dedup", "token_count", "doc_stats",
              "top_tokens", "lang_group_stats", "lang_id", "doc_fingerprints",
              "knn_brute", "embedding_dup_pairs_lsh", "repetition_stats",
-             "line_dedup", "decontaminate"]
+             "line_dedup", "decontaminate", "url_dedup", "span_dedup",
+             "incremental_dedup_bloom", "source_dup_report"]
     out: dict[str, float] = {}
     for name in picks:
         t0 = time.time()
