@@ -194,6 +194,28 @@ def _q_span_dedup(sf_dir: str):
     return span_dedup(corpus, L=50).sort("doc_id")
 
 
+def _q_top_spans(sf_dir: str):
+    """Boilerplate discovery over the span-test corpus: the 15
+    most-duplicated 50-char windows with occurrence/doc counts and the
+    recovered span text (extracted from each window's first-occurrence
+    doc in a tiny second pass — window text never rides the shuffle)."""
+    from dedup.spans import top_spans
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks()
+        third = pc.equal(pc.subtract(
+            ids, pc.multiply(pc.cast(pc.divide(ids, 3), pa.int64()),
+                             pa.scalar(3, pa.int64()))), 0)
+        txt = pc.binary_join_element_wise(
+            pc.fill_null(t["text"], ""),
+            pc.if_else(third, _SPAN_BP, ""), "")
+        return pa.table({"doc_id": ids, "text": txt})
+
+    corpus = docs.map_batches(_mk, batch_format="pyarrow")
+    return top_spans(corpus, L=50, k=15, min_count=2)
+
+
 def _q_source_dup_report(sf_dir: str):
     """Per-source duplication report (the crawl-curation 'which domains
     feed the dup pile' table): normalized-dedup assignments over the
@@ -1184,6 +1206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dedup_newest": _q_events_dedup_newest,
         "source_dup_report": _q_source_dup_report,
         "span_dedup": _q_span_dedup,
+        "top_spans": _q_top_spans,
         "exact_dedup_stats": _q_exact_dedup_stats,
         "visible_duplicates": _q_visible_duplicates,
         "delete_manifest": _q_delete_manifest,
@@ -1580,6 +1603,27 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.text_dedup, '') AS text_dedup
             FROM src s LEFT JOIN agg a USING (doc_id)
             ORDER BY s.doc_id""",
+        "top_spans": f"""
+            WITH src AS (
+              SELECT doc_id,
+                     coalesce(text, '') ||
+                       CASE WHEN doc_id % 3 = 0 THEN '{_SPAN_BP}'
+                            ELSE '' END AS t
+              FROM documents),
+            pos AS (
+              SELECT doc_id, i, substr(t, i, 50) AS w
+              FROM src, unnest(generate_series(1, length(t) - 49)) AS u(i)
+              WHERE length(t) >= 50),
+            g AS (
+              SELECT w AS span,
+                     CAST(count(*) AS BIGINT) AS n_occ,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                     min(doc_id * 4294967296 + (i - 1)) AS rep64
+              FROM pos GROUP BY w HAVING count(*) >= 2)
+            SELECT span, n_occ, n_docs,
+                   CAST(rep64 // 4294967296 AS BIGINT) AS rep_doc,
+                   CAST(rep64 % 4294967296 AS BIGINT) AS rep_offset
+            FROM g ORDER BY n_occ DESC, rep64 LIMIT 15""",
         "source_dup_report": f"""
             WITH a AS ({_NORM_SQL}),
             src AS (

@@ -198,3 +198,122 @@ def span_dedup(ds: ray.data.Dataset, L: int = 50, stride: int = 1,
         })
 
     return groupapply(side, "dh", _rebuild, num_partitions)
+
+
+def top_spans(ds: ray.data.Dataset, L: int = 50, k: int = 20,
+              min_count: int = 2, stride: int = 1,
+              id_col: str = "doc_id", text_col: str = "text",
+              num_partitions: int = 32) -> pa.Table:
+    """Boilerplate discovery: the k most-duplicated length-L windows in
+    the corpus.  Output (span, n_occ, n_docs, rep_doc, rep_offset),
+    ordered by (n_occ desc, rep) — rep is the window's first
+    (doc, offset) occurrence, which both breaks ties deterministically
+    and lets the span TEXT be recovered with one tiny second pass
+    instead of carrying L chars per window through the shuffle.
+
+    Shape: the same sampled-window shuffle as span_dedup, a per-group
+    count + per-partition top-k prune, a small global sort, then one
+    map over the corpus extracting the k spans from their rep docs."""
+
+    def _windows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t[text_col].to_pylist()
+        h1_l, h2_l, d_l, o_l = [], [], [], []
+        for i, txt in enumerate(texts):
+            if txt is None:
+                continue
+            cp = _codepoints(txt)
+            if len(cp) < L:
+                continue
+            h1 = _window_hashes(cp, L, _B1, _B1_INV)
+            h2 = _window_hashes(cp, L, _B2, _B2_INV)
+            sel = np.arange(0, len(h1), stride)
+            h1_l.append(h1[sel])
+            h2_l.append(h2[sel])
+            d_l.append(np.full(len(sel), ids[i], dtype=np.int64))
+            o_l.append(sel.astype(np.int64))
+        if not h1_l:
+            return pa.table({"h1": pa.array([], pa.uint64()),
+                             "h2": pa.array([], pa.uint64()),
+                             "d": pa.array([], pa.int64()),
+                             "o": pa.array([], pa.int64())})
+        return pa.table({
+            "h1": pa.array(np.concatenate(h1_l), pa.uint64()),
+            "h2": pa.array(np.concatenate(h2_l), pa.uint64()),
+            "d": pa.array(np.concatenate(d_l), pa.int64()),
+            "o": pa.array(np.concatenate(o_l), pa.int64()),
+        })
+
+    wins = ds.map_batches(_windows, batch_format="pyarrow")
+
+    def _grp(t: pa.Table) -> pa.Table:
+        h1 = t["h1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h2 = t["h2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        o = t["o"].to_numpy(zero_copy_only=False)
+        empty = pa.table({"n_occ": pa.array([], pa.int64()),
+                          "rep64": pa.array([], pa.uint64()),
+                          "n_docs": pa.array([], pa.int64())})
+        if len(h1) == 0:
+            return empty
+        order = np.lexsort((o, d, h2, h1))
+        g1, g2, gd, go = h1[order], h2[order], d[order], o[order]
+        new_grp = np.concatenate(
+            [[True], (g1[1:] != g1[:-1]) | (g2[1:] != g2[:-1])])
+        grp_id = np.cumsum(new_grp) - 1
+        n_occ = np.bincount(grp_id)
+        new_doc = new_grp | np.concatenate([[True], gd[1:] != gd[:-1]])
+        n_docs = np.bincount(grp_id, weights=new_doc).astype(np.int64)
+        starts = np.flatnonzero(new_grp)
+        rep64 = (gd[starts].astype(np.uint64) << np.uint64(32)) | \
+            go[starts].astype(np.uint64)
+        keep = n_occ >= min_count
+        if not keep.any():
+            return empty
+        n_occ, n_docs, rep64 = n_occ[keep], n_docs[keep], rep64[keep]
+        # partition-local prune to top-k by (n_occ desc, rep64 asc)
+        pr = np.lexsort((rep64, -n_occ))[:k]
+        return pa.table({
+            "n_occ": pa.array(n_occ[pr].astype(np.int64), pa.int64()),
+            "rep64": pa.array(rep64[pr], pa.uint64()),
+            "n_docs": pa.array(n_docs[pr], pa.int64()),
+        })
+
+    pruned = groupapply(wins, "h1", _grp, num_partitions)
+    top = pruned.sort(["n_occ", "rep64"],
+                      descending=[True, False]).limit(k).take_all()
+    if not top:
+        return pa.table({"span": pa.array([], pa.string()),
+                         "n_occ": pa.array([], pa.int64()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "rep_doc": pa.array([], pa.int64()),
+                         "rep_offset": pa.array([], pa.int64())})
+    want: dict[int, list[tuple[int, int]]] = {}
+    for rank, row in enumerate(top):
+        rd = int(row["rep64"]) >> 32
+        ro = int(row["rep64"]) & 0xFFFFFFFF
+        want.setdefault(rd, []).append((ro, rank))
+
+    def _extract(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ranks, spans = [], []
+        hit = np.isin(ids, np.fromiter(want, dtype=np.int64))
+        for i in np.flatnonzero(hit):
+            txt = t[text_col][int(i)].as_py() or ""
+            for ro, rank in want[int(ids[i])]:
+                ranks.append(rank)
+                spans.append(txt[ro:ro + L])
+        return pa.table({"rank": pa.array(ranks, pa.int64()),
+                         "span": pa.array(spans, pa.string())})
+
+    by_rank = {int(r["rank"]): r["span"]
+               for r in ds.map_batches(_extract,
+                                       batch_format="pyarrow").take_all()}
+    return pa.table({
+        "span": pa.array([by_rank[i] for i in range(len(top))], pa.string()),
+        "n_occ": pa.array([int(r["n_occ"]) for r in top], pa.int64()),
+        "n_docs": pa.array([int(r["n_docs"]) for r in top], pa.int64()),
+        "rep_doc": pa.array([int(r["rep64"]) >> 32 for r in top], pa.int64()),
+        "rep_offset": pa.array([int(r["rep64"]) & 0xFFFFFFFF for r in top],
+                               pa.int64()),
+    })

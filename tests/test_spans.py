@@ -85,3 +85,31 @@ def test_span_dedup_unicode_boundaries():
         assert got.loc[i, "text_dedup"] == txt
         assert got.loc[i, "n_removed"] == rem
         assert got.loc[i, "n_chars"] == n
+
+
+def test_top_spans_counts_and_text_recovery():
+    from collections import Counter
+    from dedup.spans import top_spans
+    texts = [t or "" for t in TEXTS]
+    L = 30
+    cnt = Counter()
+    docs_of = {}
+    first = {}
+    for d, t in enumerate(texts):
+        for o in range(max(len(t) - L + 1, 0)):
+            w = t[o:o + L]
+            cnt[w] += 1
+            docs_of.setdefault(w, set()).add(d)
+            first.setdefault(w, (d, o))
+    want = sorted(((w, c) for w, c in cnt.items() if c >= 2),
+                  key=lambda x: (-x[1], first[x[0]]))[:10]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(TEXTS)])
+    got = top_spans(ds.repartition(3), L=L, k=10, min_count=2,
+                    num_partitions=4).to_pandas()
+    assert list(got["span"]) == [w for w, _ in want]
+    assert list(got["n_occ"]) == [c for _, c in want]
+    assert list(got["n_docs"]) == [len(docs_of[w]) for w, _ in want]
+    for _, r in got.iterrows():
+        assert texts[r["rep_doc"]][r["rep_offset"]:r["rep_offset"] + L] \
+            == r["span"]
