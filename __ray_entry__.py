@@ -828,6 +828,54 @@ def _q_embedding_dedup(sf_dir: str):
     return ann.embedding_dedup(_embs(sf_dir), threshold=0.40)
 
 
+def _q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means cells over the embeddings,
+    exact cosine dedup within each cell — the semantic-dedup SCALE path
+    (per-cell all-pairs is O(k * (n/k)^2), the corpus rides one
+    cell-keyed shuffle).  Rows-only: k-means isn't SQL-expressible; the
+    planted-truth quality signal is semdedup_recall."""
+    return ann.semdedup(_embs(sf_dir), threshold=0.40, n_centroids=8)
+
+
+def _q_semdedup_recall(sf_dir: str):
+    """Planted-truth metric for semdedup: 40 tight embedding clusters +
+    800 isotropic singletons (synth.write_embedding_clusters).  Reports
+    member-level recall (planted dup members placed in a cluster),
+    false_dups (singletons wrongly clustered — must be 0 at threshold
+    0.9), and delete-precision vs the exact transitive closure (1.0 by
+    construction: within-cell edges are a subset of the brute edge
+    set).  Driver-side compare is over the bounded fixture only."""
+    from dedup.synth import write_embedding_clusters
+    paths = write_embedding_clusters("/tmp/dedup_semdedup_fix")
+    ds = ray.data.read_parquet(paths["embeddings"])
+    out = ann.semdedup(ds, threshold=0.9, n_centroids=64,
+                       sample_size=1000).to_pandas()
+    brute = ann.embedding_dedup(ds, threshold=0.9).to_pandas() \
+        .rename(columns={"state": "bstate", "cluster_id": "bc"})
+    import pyarrow.parquet as pq
+    truth = pq.read_table(paths["truth"]).to_pandas() \
+        .rename(columns={"cluster_id": "tc"})
+    df = out.merge(truth, on="vec_id").merge(
+        brute[["vec_id", "bstate", "bc"]], on="vec_id")
+    members = df[df["tc"] >= 0]
+    found = int((members["cluster_id"] >= 0).sum())
+    false_dups = int(((df["tc"] < 0) & (df["cluster_id"] >= 0)).sum())
+    dels = df[df["state"] == "delete"]
+    del_tp = int((dels["bc"] >= 0).sum())
+    return pa.table({
+        "truth_members": pa.array([len(members)], pa.int64()),
+        "found_members": pa.array([found], pa.int64()),
+        "recall_e6": pa.array(
+            [int(round(found / len(members) * 1e6)) if len(members) else -1],
+            pa.int64()),
+        "false_dups": pa.array([false_dups], pa.int64()),
+        "deletes": pa.array([len(dels)], pa.int64()),
+        "delete_precision_e6": pa.array(
+            [int(round(del_tp / len(dels) * 1e6)) if len(dels) else -1],
+            pa.int64()),
+    })
+
+
 # --- rows-only (non-SQL-expressible) pipelines -----------------------------
 
 def _q_cluster_size_hist(sf_dir: str):
@@ -1243,6 +1291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": _q_knn,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_dedup": _q_embedding_dedup,
+        "semdedup": _q_semdedup,
+        "semdedup_recall": _q_semdedup_recall,
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "knn_ivf": _q_knn_ivf,

@@ -143,7 +143,7 @@ def run_suite() -> dict:
              "top_tokens", "lang_group_stats", "lang_id", "doc_fingerprints",
              "knn_brute", "embedding_dup_pairs_lsh", "repetition_stats",
              "line_dedup", "decontaminate", "url_dedup", "span_dedup",
-             "incremental_dedup_bloom", "source_dup_report"]
+             "incremental_dedup_bloom", "source_dup_report", "semdedup"]
     out: dict[str, float] = {}
     for name in picks:
         t0 = time.time()
@@ -230,15 +230,19 @@ def run_scaling() -> dict:
         })
         if sum(p["qualified"] for p in pairs) >= SCALING_PAIRS:
             break
-    use = [p for p in pairs if p["qualified"]] or pairs
+    qualified = [p for p in pairs if p["qualified"]]
+    use = qualified or pairs
     effs = sorted(p["eff"] for p in use)
     eff = effs[len(effs) // 2] if len(effs) % 2 else \
         round((effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
     mid = sorted(use, key=lambda p: p["eff"])[len(use) // 2]
     results = {8: mid["legs"][0], 32: mid["legs"][1]}
+    basis = "median of probe-qualified adjacent leg pairs" if qualified \
+        else ("median of ALL adjacent leg pairs — no pair passed the "
+              "probe band, host speed drifted through every pair")
     out = {
-        "metric": "scaling efficiency (8 -> 32 cpus, fresh processes, "
-                  "median of probe-qualified adjacent leg pairs)",
+        "metric": f"scaling efficiency (8 -> 32 cpus, fresh processes, "
+                  f"{basis})",
         "value": eff,
         "unit": "efficiency",
         "runs": results,

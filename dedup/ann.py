@@ -43,6 +43,19 @@ def _ids_np(t: pa.Table, id_col: str) -> np.ndarray:
     return t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
 
 
+def _id_sorted_sample(ds: ray.data.Dataset, id_col: str, vec_col: str,
+                      sample_size: int) -> np.ndarray:
+    """Bounded training sample for coarse quantizers, ID-SORTED so the
+    fitted centroids are deterministic: ``limit()`` takes the same rows
+    every run but block arrival order varies, and k-means is sensitive
+    to input order."""
+    t = pa.concat_tables(list(
+        ds.limit(sample_size).select_columns([id_col, vec_col])
+        .iter_batches(batch_format="pyarrow")))
+    mat = _batch_matrix(t, vec_col)
+    return mat[np.argsort(_ids_np(t, id_col))]
+
+
 def _load_queries(ds: ray.data.Dataset, id_col: str, vec_col: str,
                   query_ids: list[int]) -> tuple[np.ndarray, np.ndarray]:
     qset = set(query_ids)
@@ -335,13 +348,23 @@ def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
     rng = np.random.default_rng(seed)
     k = min(k, len(sample))
     cent = sample[rng.choice(len(sample), size=k, replace=False)].copy()
+    if k == 0:
+        return cent
+    s_sq = (sample ** 2).sum(axis=1, keepdims=True)
     for _ in range(iters):
-        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        # |s - c|^2 = |s|^2 - 2 s.c + |c|^2 — O(s*k) memory, one matmul,
+        # never the O(s*k*d) broadcast tensor (k scales with corpus size)
+        d = s_sq - 2.0 * (sample @ cent.T) + (cent ** 2).sum(axis=1)[None, :]
         a = d.argmin(axis=1)
-        for c in range(k):
-            m = a == c
-            if m.any():
-                cent[c] = sample[m].mean(axis=0)
+        # vectorized per-cell means: segment-sum via np.add.at-free path
+        order = np.argsort(a, kind="stable")
+        a_s = a[order]
+        brk = np.flatnonzero(a_s[1:] != a_s[:-1]) + 1
+        starts = np.concatenate([[0], brk, [len(a_s)]])
+        occupied = a_s[starts[:-1]]
+        sums = np.add.reduceat(sample[order], starts[:-1], axis=0)
+        cnts = np.diff(starts)[:, None]
+        cent[occupied] = sums / cnts
     return cent
 
 
@@ -356,10 +379,7 @@ def knn_ivf(ds: ray.data.Dataset, query_ids: list[int], k: int = 10,
 
     Output: (q, vec_id, score) — approximate; recall rises with n_probe.
     """
-    sample_t = ds.limit(sample_size).select_columns([vec_col])
-    sample = np.array(
-        pa.concat_tables(list(sample_t.iter_batches(batch_format="pyarrow")))
-        [vec_col].to_pylist(), dtype=np.float64)
+    sample = _id_sorted_sample(ds, id_col, vec_col, sample_size)
     cent = _kmeans(sample, n_centroids, seed=seed)
     cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-300)
 
@@ -404,3 +424,123 @@ def knn_ivf(ds: ray.data.Dataset, query_ids: list[int], k: int = 10,
     return cand.groupby("q").map_groups(_topk, batch_format="pyarrow") \
                .sort(["q", "score_e6", "vec_id"],
                      descending=[False, True, False])
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup via k-means cells (Abbas et al. 2023,
+# arXiv:2303.09540): cluster the corpus into k coarse cells, then find
+# near-duplicates ONLY within each cell.  The all-pairs matrix shrinks
+# from O(n^2) to O(k * (n/k)^2); the price is pairs that straddle a cell
+# boundary (measured honestly by the semdedup_recall query / tests).
+# ---------------------------------------------------------------------------
+
+def _dense_cc(adj: np.ndarray) -> np.ndarray:
+    """Connected components of a small dense boolean adjacency matrix
+    (symmetric); returns the min local index of each node's component.
+    Vectorized min-label propagation + pointer jumping — no Python
+    per-edge loop; iterations are O(graph diameter), tiny in practice."""
+    n = adj.shape[0]
+    lab = np.arange(n)
+    masked = np.where(adj, 0, n)  # additive mask: n never wins a min
+    while True:
+        neigh = (masked + lab[None, :]).min(axis=1) if n else lab
+        new = np.minimum(lab, neigh)
+        while True:  # pointer jumping to fixpoint
+            nn = new[new]
+            if np.array_equal(nn, new):
+                break
+            new = nn
+        if np.array_equal(new, lab):
+            return lab
+        lab = new
+
+
+def semdedup(ds: ray.data.Dataset, threshold: float = 0.9,
+             n_centroids: int | None = None, id_col: str = "vec_id",
+             vec_col: str = "embedding", sample_size: int = 2048,
+             seed: int = 42, num_partitions: int = 32,
+             target_cell: int = 4096) -> ray.data.Dataset:
+    """SemDeDup: k-means cells over normalized embeddings, exact cosine
+    dedup WITHIN each cell (connected components at cosine >= threshold,
+    keeper = min id — the engine's assignment contract; the paper keeps
+    the member farthest from the centroid, an arbitrary-keeper variant
+    our keeper-policy knob models for text dedup).
+
+    Output: (id_col, state keep|delete|unique, cluster_id = min member
+    id or -1, cluster_size, cell).  The corpus rides ONE hash shuffle
+    keyed on cell; per-cell work is one (c, c) float64 matmul with
+    c ~ n/k — size n_centroids so a cell fits a worker (the paper's own
+    constraint).  Every emitted delete has a true cosine>=threshold
+    neighbor, so precision vs the exact closure is 1.0 by construction;
+    recall is the cell-split cost, measured by semdedup_recall.
+
+    ``n_centroids=None`` auto-sizes k = ceil(n / target_cell) (min 8):
+    cells stay ~target_cell rows as the corpus grows — k must scale
+    with n or the per-cell O(c^2) matmul quietly reverts to all-pairs.
+    The count is parquet metadata (no data scan)."""
+    from .dist import groupapply, segments
+
+    if n_centroids is None:
+        n_centroids = max(8, -(-ds.count() // target_cell))
+    sample = _id_sorted_sample(ds, id_col, vec_col, sample_size)
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-300)
+    cent = _kmeans(sample, n_centroids, seed=seed)
+    cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-300)
+    ref = ray.put(cn)
+
+    def _cell(t: pa.Table) -> pa.Table:
+        cn_b = ray.get(ref)
+        m = _batch_matrix(t, vec_col)
+        if m.shape[0] == 0:
+            return t.append_column("cell", pa.array([], pa.uint64()))
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        cell = (mn @ cn_b.T).argmax(axis=1).astype(np.uint64)
+        return t.append_column("cell", pa.array(cell, pa.uint64()))
+
+    withcell = ds.select_columns([id_col, vec_col]).map_batches(
+        _cell, batch_format="pyarrow")
+
+    def _dedup_cells(t: pa.Table) -> pa.Table:
+        ids = _ids_np(t, id_col)
+        m = _batch_matrix(t, vec_col)
+        cells = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300) \
+            if m.size else m
+        order, starts, _ = segments(cells)
+        out_id = np.empty(len(ids), dtype=np.int64)
+        out_state = np.empty(len(ids), dtype=object)
+        out_comp = np.empty(len(ids), dtype=np.int64)
+        out_size = np.empty(len(ids), dtype=np.int64)
+        out_cell = np.empty(len(ids), dtype=np.int64)
+        pos = 0
+        for gi in range(len(starts) - 1):
+            sel = order[starts[gi]:starts[gi + 1]]
+            sel = sel[np.argsort(ids[sel])]  # min local index == min id
+            gids = ids[sel]
+            X = mn[sel]
+            adj = (X @ X.T) >= threshold
+            lab = _dense_cc(adj)
+            comp_id = gids[lab]
+            _, inv, cnt = np.unique(lab, return_inverse=True,
+                                    return_counts=True)
+            size = cnt[inv]
+            dup = size > 1
+            n = len(gids)
+            out_id[pos:pos + n] = gids
+            out_state[pos:pos + n] = np.where(
+                ~dup, "unique", np.where(gids == comp_id, "keep", "delete"))
+            out_comp[pos:pos + n] = np.where(dup, comp_id, -1)
+            out_size[pos:pos + n] = size
+            out_cell[pos:pos + n] = cells[sel].astype(np.int64)
+            pos += n
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "state": pa.array(out_state.tolist(), pa.string()),
+            "cluster_id": pa.array(out_comp, pa.int64()),
+            "cluster_size": pa.array(out_size, pa.int64()),
+            "cell": pa.array(out_cell, pa.int64()),
+        })
+
+    return groupapply(withcell, "cell", _dedup_cells, num_partitions) \
+        .sort(id_col)

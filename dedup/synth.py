@@ -328,3 +328,67 @@ def write_hotband_pages(out_dir: str, n_docs: int, hot_frac: float = 0.05,
     with open(marker, "w") as fh:
         fh.write("ok")
     return {"pages": pages_dir, "n_hot": str(int(n_docs * hot_frac))}
+
+
+def generate_embedding_clusters(n_groups: int = 40, group_size: int = 5,
+                                n_singletons: int = 800, dim: int = 32,
+                                noise: float = 0.05,
+                                seed: int = 42) -> pa.Table:
+    """Planted semantic-dup fixture for SemDeDup-style ops: ``n_groups``
+    tight clusters (a random unit center + gaussian noise small enough
+    that within-group cosine stays >= ~0.99) plus ``n_singletons``
+    isotropic background vectors (pairwise cosine concentrates near 0 at
+    this dim, far below any dedup threshold).  Truth: ``cluster_id`` =
+    min vec_id of the planted group, -1 for singletons.  Columns match
+    the testdata embeddings table (vec_id, embedding) + truth."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    vecs, truth = [], []
+    vid = 0
+    first_of_group = {}
+    for g in range(n_groups):
+        c = rng.normal(size=dim)
+        c /= np.linalg.norm(c)
+        for _ in range(group_size):
+            v = c + rng.normal(scale=noise / np.sqrt(dim), size=dim)
+            if g not in first_of_group:
+                first_of_group[g] = vid
+            vecs.append(v)
+            truth.append(g)
+            vid += 1
+    for _ in range(n_singletons):
+        v = rng.normal(size=dim)
+        vecs.append(v / np.linalg.norm(v))
+        truth.append(-1)
+        vid += 1
+    ids = np.arange(vid, dtype=np.int64)
+    cluster = np.array([first_of_group[g] if g >= 0 else -1 for g in truth],
+                       dtype=np.int64)
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "cluster_id": pa.array(cluster, pa.int64()),
+    })
+
+
+def write_embedding_clusters(out_dir: str, n_groups: int = 40,
+                             group_size: int = 5, n_singletons: int = 800,
+                             dim: int = 32, seed: int = 42) -> dict[str, str]:
+    """Write (idempotent, _SUCCESS-marked) the planted embedding fixture:
+    embeddings.parquet (vec_id, embedding) + truth.parquet sidecar."""
+    marker = os.path.join(
+        out_dir, f"_SUCCESS.{n_groups}.{group_size}.{n_singletons}.{dim}.{seed}")
+    emb_path = os.path.join(out_dir, "embeddings.parquet")
+    truth_path = os.path.join(out_dir, "truth.parquet")
+    if os.path.exists(marker):
+        return {"embeddings": emb_path, "truth": truth_path}
+    t = generate_embedding_clusters(n_groups=n_groups, group_size=group_size,
+                                    n_singletons=n_singletons, dim=dim,
+                                    seed=seed)
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(t.select(["vec_id", "embedding"]), emb_path)
+    pq.write_table(t.select(["vec_id", "cluster_id"]), truth_path)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return {"embeddings": emb_path, "truth": truth_path}

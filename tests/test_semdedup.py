@@ -1,0 +1,124 @@
+"""SemDeDup (k-means cells + within-cell cosine dedup, ann.semdedup).
+
+Planted fixture: tight clusters (within-group cosine ~0.999) + isotropic
+singletons, so with enough centroids every planted group lands in one
+cell and member recall must be 1.0; singletons must never cluster at
+threshold 0.9.  Also: determinism across partitionings, the
+delete-subset property vs the exact transitive closure, and the dense-CC
+kernel vs a reference implementation.
+"""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from dedup import ann
+from dedup.ann import _dense_cc
+from dedup.synth import write_embedding_clusters
+
+FIX = "/tmp/dedup_semdedup_test_fix"
+
+
+@pytest.fixture(scope="module")
+def fixture_paths():
+    return write_embedding_clusters(FIX, n_groups=25, group_size=4,
+                                    n_singletons=300, dim=32, seed=7)
+
+
+def _run(paths, **kw):
+    ds = ray.data.read_parquet(paths["embeddings"])
+    base = dict(threshold=0.9, n_centroids=32, sample_size=400)
+    base.update(kw)
+    return ann.semdedup(ds, **base).to_pandas()
+
+
+def test_semdedup_planted_recall_and_no_false_dups(fixture_paths):
+    out = _run(fixture_paths)
+    truth = pq.read_table(fixture_paths["truth"]).to_pandas() \
+        .rename(columns={"cluster_id": "tc"})
+    df = out.merge(truth, on="vec_id")
+    members = df[df["tc"] >= 0]
+    assert len(members) == 100
+    assert (members["cluster_id"] >= 0).all()  # recall 1.0
+    # each planted group resolves to exactly its min member id
+    grp = members.groupby("tc")["cluster_id"].nunique()
+    assert (grp == 1).all()
+    for tc, g in members.groupby("tc"):
+        assert (g["cluster_id"] == tc).all()
+    # singletons never cluster at threshold 0.9
+    single = df[df["tc"] < 0]
+    assert (single["state"] == "unique").all()
+    assert (single["cluster_id"] == -1).all()
+
+
+def test_semdedup_deterministic_across_partitionings(fixture_paths):
+    a = _run(fixture_paths, num_partitions=32)
+    b = _run(fixture_paths, num_partitions=5)
+    assert a.equals(b)
+
+
+def test_semdedup_deletes_subset_of_exact_closure(fixture_paths):
+    """Every semdedup delete must be a dup-cluster member of the exact
+    brute-force closure at the same threshold (within-cell edges are a
+    subset of all edges) — delete precision 1.0 by construction."""
+    out = _run(fixture_paths)
+    ds = ray.data.read_parquet(fixture_paths["embeddings"])
+    brute = ann.embedding_dedup(ds, threshold=0.9).to_pandas() \
+        .rename(columns={"cluster_id": "bc", "state": "bstate"})
+    m = out.merge(brute[["vec_id", "bc", "bstate"]], on="vec_id")
+    dels = m[m["state"] == "delete"]
+    assert len(dels) > 0
+    assert (dels["bc"] >= 0).all()
+    # one keeper per semdedup cluster, and it is the min member id
+    clustered = out[out["cluster_id"] >= 0]
+    keeps = clustered.groupby("cluster_id").apply(
+        lambda g: ((g["state"] == "keep").sum(), g["vec_id"].min()),
+        include_groups=False)
+    for cid, (nkeep, minid) in keeps.items():
+        assert nkeep == 1
+        assert cid == minid
+
+
+def test_semdedup_states_partition_output(fixture_paths):
+    out = _run(fixture_paths)
+    assert sorted(out.columns) == ["cell", "cluster_id", "cluster_size",
+                                   "state", "vec_id"]
+    assert len(out) == 400
+    assert set(out["state"]) == {"keep", "delete", "unique"}
+    # cluster_size consistent with membership counts
+    clustered = out[out["cluster_id"] >= 0]
+    sizes = clustered.groupby("cluster_id").size()
+    for cid, n in sizes.items():
+        assert (clustered[clustered["cluster_id"] == cid]["cluster_size"]
+                == n).all()
+
+
+def test_dense_cc_matches_reference():
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        n = int(rng.integers(1, 40))
+        adj = rng.random((n, n)) < 0.08
+        adj = adj | adj.T
+        np.fill_diagonal(adj, True)
+        got = _dense_cc(adj)
+        # reference: BFS per node
+        lab = np.full(n, -1)
+        for s in range(n):
+            if lab[s] >= 0:
+                continue
+            stack, comp = [s], [s]
+            lab[s] = s
+            while stack:
+                u = stack.pop()
+                for v in np.flatnonzero(adj[u]):
+                    if lab[v] < 0:
+                        lab[v] = s
+                        stack.append(v)
+                        comp.append(v)
+        assert np.array_equal(got, lab), trial
+
+
+def test_dense_cc_empty_and_singleton():
+    assert _dense_cc(np.zeros((0, 0), dtype=bool)).shape == (0,)
+    assert np.array_equal(_dense_cc(np.eye(1, dtype=bool)), [0])
