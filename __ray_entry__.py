@@ -693,6 +693,28 @@ def _q_line_dedup_minlen(sf_dir: str):
     return line_dedup(corpus, min_line_chars=16).sort("doc_id")
 
 
+def _q_paragraph_dedup(sf_dir: str):
+    """Paragraph-granularity global dedup (the Dolma-style tier between
+    C4 line dedup and whole-document dedup): same first-occurrence-wins
+    operator, unit = blank-line-separated paragraph (sep='\\n\\n').  The
+    derived corpus gives each doc a per-lang banner paragraph and a
+    per-source footer paragraph around its text."""
+    from dedup.corpus import line_dedup
+    docs = _docs(sf_dir, ["doc_id", "text", "lang", "source"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        head = pc.binary_join_element_wise(
+            "banner", pc.fill_null(t["lang"], ""), " ")
+        foot = pc.binary_join_element_wise(
+            "footer", pc.fill_null(t["source"], ""), " ")
+        full = pc.binary_join_element_wise(head, txt, foot, "\n\n")
+        return pa.table({"doc_id": t["doc_id"], "text": full})
+
+    corpus = docs.map_batches(_mk, batch_format="pyarrow")
+    return line_dedup(corpus, sep="\n\n").sort("doc_id")
+
+
 def _q_url_dedup(sf_dir: str):
     """Canonical-URL crawl dedup over a derived URL corpus: every doc
     gets one of five URL spellings (https+www / http / bare+slash /
@@ -1269,6 +1291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "line_dedup": _q_line_dedup,
+        "paragraph_dedup": _q_paragraph_dedup,
         "url_dedup": _q_url_dedup,
         "line_dedup_minlen": _q_line_dedup_minlen,
         "decontaminate": _q_decontaminate,
@@ -1835,6 +1858,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
                    coalesce(string_agg(CASE WHEN keep THEN line END,
                                        chr(10) ORDER BY i), '') AS text_dedup
+            FROM flag GROUP BY doc_id ORDER BY doc_id""",
+        "paragraph_dedup": r"""
+            WITH src AS (
+              SELECT doc_id,
+                     'banner ' || coalesce(lang, '') || chr(10) || chr(10) ||
+                     coalesce(text, '') || chr(10) || chr(10) ||
+                     'footer ' || coalesce(source, '') AS t
+              FROM documents),
+            l AS (SELECT doc_id,
+                         string_split(t, chr(10) || chr(10)) AS ls
+                  FROM src),
+            ln AS (
+              SELECT doc_id, ls[i] AS line, i
+              FROM l, unnest(generate_series(1, len(ls))) AS u(i)),
+            flag AS (
+              SELECT doc_id, i, line,
+                     row_number() OVER (PARTITION BY line
+                                        ORDER BY doc_id, i) = 1 AS keep
+              FROM ln)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+                   coalesce(string_agg(CASE WHEN keep THEN line END,
+                                       chr(10) || chr(10) ORDER BY i), '')
+                     AS text_dedup
             FROM flag GROUP BY doc_id ORDER BY doc_id""",
         "line_dedup_minlen": r"""
             WITH src AS (

@@ -123,8 +123,18 @@ def run_hotband(num_cpus: int, n_docs: int | None = None) -> dict:
             lambda t, c=cfg: cached_signer(c.num_perm, c.shingle_k, c.seed)(t),
             batch_format="pyarrow",
         ).select_columns(["node", "scope64", "minhash"])
-        max_bucket = lsh_band_rows(sigs, cfg).groupby("skey").count() \
-            .max("count()")
+        # reinterpret the uint64 band key as int64 (bijective bit view):
+        # Ray's aggregate converts group keys through Python ints typed
+        # int64, so raw uint64 keys >= 2^63 hit an OverflowError and the
+        # whole block falls back to pickled-object serialization
+        def _skey_i64(t):
+            i = t.column_names.index("skey")
+            return t.set_column(
+                i, "skey", t["skey"].combine_chunks().view("int64"))
+
+        max_bucket = lsh_band_rows(sigs, cfg) \
+            .map_batches(_skey_i64, batch_format="pyarrow") \
+            .groupby("skey").count().max("count()")
         out[f"salt{salt}"] = {
             "wall_sec": round(dt, 2),
             "docs_per_sec": round(n_docs / dt, 1),

@@ -29,6 +29,8 @@ def main(sf_dir):
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="error")
     ray.data.DataContext.get_current().enable_progress_bars = False
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.WARNING)
     import __ray_entry__ as E
     con = duckdb.connect()
     for t in TABLES:
