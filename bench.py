@@ -264,6 +264,47 @@ def run_scaling() -> dict:
     return out
 
 
+def run_semdedup_scale(num_cpus: int, n_vecs: int | None = None) -> dict:
+    """SemDeDup scale probe: 500k 32-dim vectors (20% planted
+    near-copies), auto-sized k-means cells (k = n / 4096), one
+    cell-keyed shuffle.  Reports wall, vecs/s, and found-vs-planted
+    deletes — the evidence that the semantic-dedup path holds beyond
+    the 2k-row sf embeddings table."""
+    n_vecs = n_vecs or int(os.environ.get("DEDUP_SEMDEDUP_VECS", "500000"))
+    _init_ray(num_cpus)
+    import pyarrow.compute as pc
+    import ray.data
+    from dedup import ann
+    from dedup.synth import write_embedding_corpus
+    info = write_embedding_corpus(f"/tmp/dedup_semdedup_scale_{n_vecs}",
+                                  n_vecs=n_vecs)
+    ds = ray.data.read_parquet(info["embeddings"])
+    ray.data.range(num_cpus * 8, override_num_blocks=num_cpus * 4).map_batches(
+        lambda b: b).materialize()
+    t0 = time.time()
+    out = ann.semdedup(ds, threshold=0.9, num_partitions=num_cpus * 2)
+    n_del = 0
+    n_rows = 0
+    for b in out.iter_batches(batch_format="pyarrow"):
+        n_rows += b.num_rows
+        n_del += int(pc.sum(pc.cast(pc.equal(b["state"], "delete"),
+                                    "int64")).as_py() or 0)
+    dt = time.time() - t0
+    n_dups = int(info["n_dups"])
+    return {
+        "metric": "semdedup scale probe",
+        "n_vecs": n_vecs,
+        "dim": 32,
+        "num_cpus": num_cpus,
+        "wall_sec": round(dt, 2),
+        "vecs_per_sec": round(n_vecs / dt, 1),
+        "rows_out": n_rows,
+        "planted_dups": n_dups,
+        "deletes": n_del,
+        "delete_recall_e6": int(round(n_del / n_dups * 1e6)) if n_dups else -1,
+    }
+
+
 def synth_bench_corpus_sub(n_docs: int) -> None:
     subprocess.run([sys.executable, "-c",
                     "import sys; sys.path.insert(0, %r); "
@@ -299,6 +340,7 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--pages-only", action="store_true")
     ap.add_argument("--hotband", action="store_true")
+    ap.add_argument("--semdedup-scale", action="store_true")
     ap.add_argument("--cpus", type=int, default=NUM_CPUS)
     args = ap.parse_args()
     import ray
@@ -306,6 +348,8 @@ def main() -> None:
         print(json.dumps(run_pages_dedup(args.cpus)))
     elif args.hotband:
         print(json.dumps(run_hotband(args.cpus)))
+    elif args.semdedup_scale:
+        print(json.dumps(run_semdedup_scale(args.cpus)))
     elif args.scaling:
         print(json.dumps(run_scaling()))
     else:

@@ -156,10 +156,11 @@ def dup_pairs_brute(ds: ray.data.Dataset, threshold: float = 0.9,
         m = _batch_matrix(t, vec_col)
         vids = _ids_np(t, id_col)
         bn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
-        sims = bn @ all_mn.T
-        bi, aj = np.nonzero((sims >= threshold) & (vids[:, None] < all_ids[None, :]))
+        bi, aj, exact = _sim_cross(bn, all_mn, threshold)
+        keep = vids[bi] < all_ids[aj]
+        bi, aj, exact = bi[keep], aj[keep], exact[keep]
         return pa.table({"a": vids[bi], "b": all_ids[aj],
-                         "score_e6": np.rint(sims[bi, aj] * 1e6).astype(np.int64)})
+                         "score_e6": np.rint(exact * 1e6).astype(np.int64)})
 
     return ds.map_batches(_f, batch_format="pyarrow").sort(["a", "b"])
 
@@ -231,14 +232,13 @@ def dup_pairs_lsh(ds: ray.data.Dataset, threshold: float = 0.9,
             idx = order[s:e]
             m = mat[idx]
             vv = vids[idx]
-            sims = m @ m.T
-            ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
+            ai, bj, exact = _sim_edges(m, threshold)
             if len(ai) == 0:
                 continue
             va, vb = vv[ai], vv[bj]
             o_a.append(np.minimum(va, vb))
             o_b.append(np.maximum(va, vb))
-            o_s.append(np.rint(sims[ai, bj] * 1e6).astype(np.int64))
+            o_s.append(np.rint(exact * 1e6).astype(np.int64))
         if not o_a:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64()),
@@ -434,17 +434,19 @@ def knn_ivf(ds: ray.data.Dataset, query_ids: list[int], k: int = 10,
 # boundary (measured honestly by the semdedup_recall query / tests).
 # ---------------------------------------------------------------------------
 
-def _dense_cc(adj: np.ndarray) -> np.ndarray:
-    """Connected components of a small dense boolean adjacency matrix
-    (symmetric); returns the min local index of each node's component.
-    Vectorized min-label propagation + pointer jumping — no Python
-    per-edge loop; iterations are O(graph diameter), tiny in practice."""
-    n = adj.shape[0]
+def _edges_cc(n: int, iu: np.ndarray, ju: np.ndarray) -> np.ndarray:
+    """Connected components over an undirected edge list on nodes
+    [0, n): vectorized min-label propagation + pointer jumping,
+    O(edges) per round, O(log diameter) rounds.  Returns the min local
+    index of each node's component."""
     lab = np.arange(n)
-    masked = np.where(adj, 0, n)  # additive mask: n never wins a min
+    if len(iu) == 0:
+        return lab
+    src = np.concatenate([iu, ju])
+    dst = np.concatenate([ju, iu])
     while True:
-        neigh = (masked + lab[None, :]).min(axis=1) if n else lab
-        new = np.minimum(lab, neigh)
+        new = lab.copy()
+        np.minimum.at(new, src, lab[dst])
         while True:  # pointer jumping to fixpoint
             nn = new[new]
             if np.array_equal(nn, new):
@@ -453,6 +455,63 @@ def _dense_cc(adj: np.ndarray) -> np.ndarray:
         if np.array_equal(new, lab):
             return lab
         lab = new
+
+
+def _screen_margin(dim: int) -> float:
+    """Margin above the float32 dot error bound for unit-norm rows
+    (|dot32 - dot64| <= ~dim * eps32 * |x||y| plus normalization slop)."""
+    return max(1e-4, dim * 4e-7)
+
+
+def _sim_edges(X: np.ndarray, threshold: float) \
+        -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All (i < j, exact_dot) pairs of rows of the NORMALIZED float64
+    matrix X with cosine >= threshold, with float64-exact semantics at
+    float32 matmul speed: the O(n^2) similarity matrix is computed in
+    float32 (this host's float64 GEMM is ~100x slower) with a margin
+    well above the float32 error bound, then ONLY the candidate pairs
+    are re-scored with float64 row dots.  Pairs and scores match a pure
+    float64 GEMM up to its own last-ulp summation-order slack — the same
+    slack the scaled-int (e6) oracle contract already absorbs."""
+    if X.shape[0] < 2:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros(0, dtype=np.float64)
+    X32 = X.astype(np.float32)
+    cand = (X32 @ X32.T) >= np.float32(threshold - _screen_margin(X.shape[1]))
+    iu, ju = np.nonzero(np.triu(cand, k=1))
+    exact = np.einsum("ij,ij->i", X[iu], X[ju]) if len(iu) else \
+        np.zeros(0, dtype=np.float64)
+    keep = exact >= threshold
+    return iu[keep], ju[keep], exact[keep]
+
+
+def _sim_cross(B: np.ndarray, A: np.ndarray, threshold: float) \
+        -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(row_of_B, row_of_A, exact_dot) for every cross pair with cosine
+    >= threshold — same float32-screen / float64-confirm contract as
+    _sim_edges, for a (B_rows x A_rows) cross matrix."""
+    if B.shape[0] == 0 or A.shape[0] == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros(0, dtype=np.float64)
+    s32 = B.astype(np.float32) @ A.astype(np.float32).T
+    bi, aj = np.nonzero(s32 >= np.float32(threshold - _screen_margin(B.shape[1])))
+    exact = np.einsum("ij,ij->i", B[bi], A[aj]) if len(bi) else \
+        np.zeros(0, dtype=np.float64)
+    keep = exact >= threshold
+    return bi[keep], aj[keep], exact[keep]
+
+
+def _dense_cc(adj: np.ndarray) -> np.ndarray:
+    """Connected components of a small dense boolean adjacency matrix
+    (symmetric); returns the min local index of each node's component.
+    Extracts the (sparse) edge list once, then runs vectorized min-label
+    propagation + pointer jumping over the edges — O(edges) per round,
+    O(log diameter) rounds, no O(n^2) per-iteration temporaries (the
+    adjacency is diagonal-dominated when most rows are unique, so dense
+    row-min sweeps waste almost all their work)."""
+    n = adj.shape[0]
+    iu, ju = np.nonzero(np.triu(adj, k=1))
+    return _edges_cc(n, iu, ju)
 
 
 def semdedup(ds: ray.data.Dataset, threshold: float = 0.9,
@@ -519,8 +578,8 @@ def semdedup(ds: ray.data.Dataset, threshold: float = 0.9,
             sel = sel[np.argsort(ids[sel])]  # min local index == min id
             gids = ids[sel]
             X = mn[sel]
-            adj = (X @ X.T) >= threshold
-            lab = _dense_cc(adj)
+            iu, ju, _ = _sim_edges(X, threshold)
+            lab = _edges_cc(len(gids), iu, ju)
             comp_id = gids[lab]
             _, inv, cnt = np.unique(lab, return_inverse=True,
                                     return_counts=True)

@@ -392,3 +392,48 @@ def write_embedding_clusters(out_dir: str, n_groups: int = 40,
     with open(marker, "w") as fh:
         fh.write("ok")
     return {"embeddings": emb_path, "truth": truth_path}
+
+
+def write_embedding_corpus(out_dir: str, n_vecs: int = 500_000,
+                           dim: int = 32, dup_frac: float = 0.2,
+                           seed: int = 42,
+                           num_files: int = 16) -> dict[str, str]:
+    """Scale-probe embedding corpus (fully numpy-vectorized, no per-row
+    Python): ``dup_frac`` of the vectors are near-copies (tiny gaussian
+    perturbation, cosine ~0.999) of an earlier vector; the rest are
+    isotropic unit vectors (pairwise cosine ~N(0, 1/dim) — far below a
+    0.9 dedup threshold at this dim).  Idempotent via _SUCCESS marker.
+
+    Truth is implicit: vec i in the dup block copies vec (i - n_dups),
+    so expected deletes = n_dups = int(n_vecs * dup_frac)."""
+    import numpy as np
+    marker = os.path.join(out_dir,
+                          f"_SUCCESS.{n_vecs}.{dim}.{dup_frac}.{seed}")
+    emb_dir = os.path.join(out_dir, "embeddings")
+    n_dups = int(n_vecs * dup_frac)
+    if os.path.exists(marker):
+        return {"embeddings": emb_dir, "n_dups": str(n_dups)}
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n_vecs, dim)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    # last n_dups rows copy rows [0, n_dups) + tiny noise
+    if n_dups:
+        src = v[:n_dups]
+        noise = rng.standard_normal((n_dups, dim)).astype(np.float32) \
+            * np.float32(0.01 / np.sqrt(dim))
+        v[n_vecs - n_dups:] = src + noise
+    ids = np.arange(n_vecs, dtype=np.int64)
+    flat = pa.array(v.reshape(-1))
+    offsets = pa.array(np.arange(0, (n_vecs + 1) * dim, dim, dtype=np.int32))
+    emb = pa.ListArray.from_arrays(offsets, flat)
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()), "embedding": emb})
+    os.makedirs(emb_dir, exist_ok=True)
+    step = (n_vecs + num_files - 1) // num_files
+    for f in range(num_files):
+        chunk = t.slice(f * step, step)
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(emb_dir,
+                                               f"part-{f:05d}.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return {"embeddings": emb_dir, "n_dups": str(n_dups)}

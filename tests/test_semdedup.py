@@ -122,3 +122,39 @@ def test_dense_cc_matches_reference():
 def test_dense_cc_empty_and_singleton():
     assert _dense_cc(np.zeros((0, 0), dtype=bool)).shape == (0,)
     assert np.array_equal(_dense_cc(np.eye(1, dtype=bool)), [0])
+
+
+def test_screened_sim_kernels_bit_exact_vs_float64():
+    """The float32-screen / float64-confirm kernels must emit EXACTLY
+    the pure-float64 pair set and scores, including pairs engineered to
+    sit within one float32 ulp of the threshold."""
+    from dedup.ann import _sim_cross, _sim_edges
+    rng = np.random.default_rng(3)
+    thr = 0.9
+    X = rng.standard_normal((300, 24))
+    # plant near-threshold pairs: rows j = rotate(row i) mixed so that
+    # cosine lands in a tight band around thr
+    for i in range(0, 40, 2):
+        a = X[i] / np.linalg.norm(X[i])
+        b = rng.standard_normal(24)
+        b -= (b @ a) * a
+        b /= np.linalg.norm(b)
+        c = thr + rng.uniform(-1e-6, 1e-6)
+        X[i + 1] = c * a + np.sqrt(1 - c * c) * b
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    iu, ju, ex = _sim_edges(X, thr)
+    S = X @ X.T
+    ri, rj = np.nonzero(np.triu(S >= thr, k=1))
+    assert np.array_equal(iu, ri) and np.array_equal(ju, rj)
+    # einsum and BLAS GEMM may differ in the last ulp (different
+    # summation order — same slack the SQL oracle already tolerates);
+    # the e6-scaled integer contract must be identical
+    assert np.abs(ex - S[ri, rj]).max() < 1e-12
+    assert np.array_equal(np.rint(ex * 1e6), np.rint(S[ri, rj] * 1e6))
+    B = X[:50]
+    bi, aj, exc = _sim_cross(B, X, thr)
+    C = B @ X.T
+    ci, cj = np.nonzero(C >= thr)
+    assert np.array_equal(bi, ci) and np.array_equal(aj, cj)
+    assert np.abs(exc - C[ci, cj]).max() < 1e-12
+    assert np.array_equal(np.rint(exc * 1e6), np.rint(C[ci, cj] * 1e6))
