@@ -693,6 +693,26 @@ def _q_line_dedup_minlen(sf_dir: str):
     return line_dedup(corpus, min_line_chars=16).sort("doc_id")
 
 
+def _q_doc_line_dedup(sf_dir: str):
+    """WITHIN-document line dedup (RefinedWeb line-wise tier): each doc
+    keeps the first occurrence of each of its own lines — no shuffle,
+    one vectorized map_batches.  The derived corpus repeats the per-lang
+    banner line at top and bottom of every doc, so exactly the second
+    banner is removed everywhere."""
+    from dedup.corpus import doc_line_dedup
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        head = pc.binary_join_element_wise(
+            "banner", pc.fill_null(t["lang"], ""), " ")
+        full = pc.binary_join_element_wise(head, txt, head, "\n")
+        return pa.table({"doc_id": t["doc_id"], "text": full})
+
+    corpus = docs.map_batches(_mk, batch_format="pyarrow")
+    return doc_line_dedup(corpus).sort("doc_id")
+
+
 def _q_paragraph_dedup(sf_dir: str):
     """Paragraph-granularity global dedup (the Dolma-style tier between
     C4 line dedup and whole-document dedup): same first-occurrence-wins
@@ -1292,6 +1312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "line_dedup": _q_line_dedup,
         "paragraph_dedup": _q_paragraph_dedup,
+        "doc_line_dedup": _q_doc_line_dedup,
         "url_dedup": _q_url_dedup,
         "line_dedup_minlen": _q_line_dedup_minlen,
         "decontaminate": _q_decontaminate,
@@ -1852,6 +1873,28 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, i, line,
                      row_number() OVER (PARTITION BY line
                                         ORDER BY doc_id, i) = 1 AS keep
+              FROM ln)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+                   coalesce(string_agg(CASE WHEN keep THEN line END,
+                                       chr(10) ORDER BY i), '') AS text_dedup
+            FROM flag GROUP BY doc_id ORDER BY doc_id""",
+        "doc_line_dedup": r"""
+            WITH src AS (
+              SELECT doc_id,
+                     'banner ' || coalesce(lang, '') || chr(10) ||
+                     coalesce(text, '') || chr(10) ||
+                     'banner ' || coalesce(lang, '') AS t
+              FROM documents),
+            l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM src),
+            ln AS (
+              SELECT doc_id, ls[i] AS line, i
+              FROM l, unnest(generate_series(1, len(ls))) AS u(i)),
+            flag AS (
+              SELECT doc_id, i, line,
+                     row_number() OVER (PARTITION BY doc_id, line
+                                        ORDER BY i) = 1 AS keep
               FROM ln)
             SELECT doc_id,
                    CAST(count(*) AS BIGINT) AS n_lines,

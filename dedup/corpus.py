@@ -198,6 +198,47 @@ def line_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
     return groupapply(flagged, "dh", _rebuild, num_partitions)
 
 
+def doc_line_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   sep: str = "\n") -> ray.data.Dataset:
+    """WITHIN-document line dedup (the RefinedWeb line-wise-filter tier):
+    each document independently keeps only the first occurrence of every
+    distinct line.  Embarrassingly parallel — no shuffle at all, one
+    vectorized ``map_batches`` (the scale contrast to ``line_dedup``'s
+    corpus-wide first-occurrence rule).  Output: (id, n_lines, n_kept,
+    text_dedup), one row per doc, same schema as line_dedup."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        flat, parent, idx = _line_rows(t, id_col, text_col, sep)
+        codes = pc.dictionary_encode(_as_array(flat)).indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.num_rows
+        keep = np.zeros(len(codes), dtype=bool)
+        if len(codes):
+            order = np.lexsort((idx, codes, parent))
+            p_s, c_s = parent[order], codes[order]
+            first = np.concatenate(
+                [[True], (p_s[1:] != p_s[:-1]) | (c_s[1:] != c_s[:-1])])
+            keep[order[first]] = True
+        n_lines = np.bincount(parent, minlength=n).astype(np.int64)
+        n_kept = np.bincount(parent[keep], minlength=n).astype(np.int64)
+        # kept lines are already in (doc, line_idx) order in the flat
+        # explode layout, so one filter + list-wrap + join rebuilds texts
+        kept_flat = _as_array(flat).filter(pa.array(keep))
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(n_kept, out=offsets[1:])
+        lists = pa.ListArray.from_arrays(pa.array(offsets), kept_flat)
+        text_dedup = pc.binary_join(lists, sep)
+        return pa.table({
+            id_col: t[id_col],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "text_dedup": text_dedup,
+        })
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # n-gram decontamination (train vs benchmark)
 # ---------------------------------------------------------------------------

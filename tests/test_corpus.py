@@ -251,3 +251,38 @@ def test_line_dedup_min_line_chars_exempts_short_lines():
     assert out.loc[0, "text_dedup"] == texts[0]
     assert out.loc[1, "text_dedup"] == "short\nother tail line x"
     assert out["n_kept"].tolist() == [3, 2]
+
+
+def test_doc_line_dedup_matches_naive():
+    from dedup.corpus import doc_line_dedup
+    texts = [
+        "a\nb\na\nc\nb",          # dups of a and b
+        "x\nx\nx",                # all identical -> one survivor
+        "",                       # empty text -> one empty line, kept
+        "solo",                   # single line
+        None,                     # null -> treated as ''
+        "p\nq",                   # no dups
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": list(range(len(texts))),
+        "text": pa.array(texts, pa.string())}))
+    got = doc_line_dedup(ds).sort("doc_id").to_pandas()
+
+    def naive(t):
+        lines = (t or "").split("\n")
+        seen, kept = set(), []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        return len(lines), len(kept), "\n".join(kept)
+
+    want = [naive(t) for t in texts]
+    assert got["n_lines"].tolist() == [w[0] for w in want]
+    assert got["n_kept"].tolist() == [w[1] for w in want]
+    assert got["text_dedup"].tolist() == [w[2] for w in want]
+    # no shuffle: a doc's result must not depend on other docs — run the
+    # worst doc alone and compare
+    solo = doc_line_dedup(ray.data.from_arrow(pa.table(
+        {"doc_id": [1], "text": ["x\nx\nx"]}))).to_pandas()
+    assert solo["text_dedup"].tolist() == ["x"]
