@@ -76,6 +76,17 @@ def tune_context() -> None:
     quiet_empty_schema_warnings()
 
 
+def iter_blocks(ds: ray.data.Dataset):
+    """Driver-side iteration over a (bounded) dataset's blocks as
+    pyarrow Tables — the non-deprecated replacement for
+    ``get_internal_block_refs``.  Only for small-side collects (labels,
+    candidate arrays); corpus-sized data never takes this path."""
+    import ray
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref in bundle.block_refs:
+            yield ray.get(ref)
+
+
 def mix64(x: np.ndarray) -> np.ndarray:
     """splitmix64-style avalanche so ``% P`` on structured keys is uniform."""
     x = x.astype(np.uint64, copy=True)
@@ -202,8 +213,7 @@ def _local_union_find(pairs: ray.data.Dataset) -> ray.data.Dataset:
     component is its minimum node id — same contract as the rounds."""
     import ray
     eu_l, ev_l = [], []
-    for ref in pairs.get_internal_block_refs():
-        b = ray.get(ref)
+    for b in iter_blocks(pairs):
         if b.num_rows == 0 or "u" not in b.column_names:
             continue
         eu_l.append(b["u"].to_numpy(zero_copy_only=False).astype(np.uint64))

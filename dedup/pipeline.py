@@ -27,7 +27,7 @@ import ray
 import ray.data
 
 from .config import DedupConfig
-from .dist import groupapply, mix64, segments, union_find
+from .dist import groupapply, iter_blocks, mix64, segments, union_find
 from .ingest import prepare
 from .minhash import MinHashSigner
 from .simhash import SimHashSigner
@@ -697,8 +697,7 @@ def _candidate_nodes(pairs: ray.data.Dataset) -> np.ndarray:
     raw block refs; 8 bytes/node — at true web scale swap for a
     distributed semi-join / bloom filter)."""
     parts = [np.array([], dtype=np.uint64)]
-    for ref in pairs.get_internal_block_refs():
-        b = ray.get(ref)
+    for b in iter_blocks(pairs):
         if b.num_rows == 0 or "u" not in b.column_names:
             continue
         parts.append(b["u"].to_numpy(zero_copy_only=False).astype(np.uint64))
@@ -895,8 +894,7 @@ def _collect_payload(small: ray.data.Dataset, payload_col: str) -> tuple:
     + payload list (arrow array for generic payloads)."""
     nodes_l = [np.array([], dtype=np.uint64)]
     pay_l: list = []
-    for ref in small.get_internal_block_refs():
-        b = ray.get(ref)
+    for b in iter_blocks(small):
         if b.num_rows == 0 or "node" not in b.column_names:
             continue
         nodes_l.append(b["node"].to_numpy(zero_copy_only=False).astype(np.uint64))
@@ -1265,8 +1263,7 @@ def _attach_broadcast(prep: ray.data.Dataset,
     vectorized map_batches — no corpus-wide shuffle."""
     lab_nodes: list[np.ndarray] = [np.array([], dtype=np.uint64)]
     lab_comps: list[np.ndarray] = [np.array([], dtype=np.uint64)]
-    for ref in labels.get_internal_block_refs():
-        b = ray.get(ref)
+    for b in iter_blocks(labels):
         if b.num_rows == 0 or "node" not in b.column_names:
             continue
         lab_nodes.append(b["node"].to_numpy(zero_copy_only=False).astype(np.uint64))
