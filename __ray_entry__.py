@@ -879,6 +879,16 @@ def _q_semdedup(sf_dir: str):
     return ann.semdedup(_embs(sf_dir), threshold=0.40, n_centroids=8)
 
 
+def _q_semdedup_diverse(sf_dir: str):
+    """SemDeDup with the paper's keeper rule (keeper='diverse'): of each
+    near-dup group, keep the member with the LOWEST cosine to its cell
+    centroid — diversity-preserving survivor selection.  Cluster ids and
+    membership are identical to the default keeper; only keep/delete
+    roles differ (asserted by test_semdedup_diverse_keeper)."""
+    return ann.semdedup(_embs(sf_dir), threshold=0.40, n_centroids=8,
+                        keeper="diverse")
+
+
 def _q_semdedup_recall(sf_dir: str):
     """Planted-truth metric for semdedup: 40 tight embedding clusters +
     800 isotropic singletons (synth.write_embedding_clusters).  Reports
@@ -1336,6 +1346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_dedup": _q_embedding_dedup,
         "semdedup": _q_semdedup,
+        "semdedup_diverse": _q_semdedup_diverse,
         "semdedup_recall": _q_semdedup_recall,
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,

@@ -518,12 +518,20 @@ def semdedup(ds: ray.data.Dataset, threshold: float = 0.9,
              n_centroids: int | None = None, id_col: str = "vec_id",
              vec_col: str = "embedding", sample_size: int = 2048,
              seed: int = 42, num_partitions: int = 32,
-             target_cell: int = 4096) -> ray.data.Dataset:
+             target_cell: int = 4096,
+             keeper: str = "first") -> ray.data.Dataset:
     """SemDeDup: k-means cells over normalized embeddings, exact cosine
-    dedup WITHIN each cell (connected components at cosine >= threshold,
-    keeper = min id — the engine's assignment contract; the paper keeps
-    the member farthest from the centroid, an arbitrary-keeper variant
-    our keeper-policy knob models for text dedup).
+    dedup WITHIN each cell (connected components at cosine >= threshold).
+
+    ``keeper`` picks the cluster survivor — the semantic analogue of the
+    text engine's keeper-policy knob:
+      * ``first``   — min id (the engine's default assignment contract);
+      * ``diverse`` — the member with the LOWEST cosine to its cell
+        centroid (the SemDeDup paper's rule: of a near-dup group, keep
+        the example farthest from the cluster center to preserve
+        diversity), ties broken by min id, deterministic at any
+        parallelism.  ``cluster_id`` stays the min member id (cluster
+        identity) under both policies.
 
     Output: (id_col, state keep|delete|unique, cluster_id = min member
     id or -1, cluster_size, cell).  The corpus rides ONE hash shuffle
@@ -539,6 +547,9 @@ def semdedup(ds: ray.data.Dataset, threshold: float = 0.9,
     The count is parquet metadata (no data scan)."""
     from .dist import groupapply, segments
 
+    if keeper not in ("first", "diverse"):
+        raise ValueError(f"semdedup keeper must be 'first' or 'diverse', "
+                         f"got {keeper!r}")
     if n_centroids is None:
         n_centroids = max(8, -(-ds.count() // target_cell))
     sample = _id_sorted_sample(ds, id_col, vec_col, sample_size)
@@ -586,9 +597,21 @@ def semdedup(ds: ray.data.Dataset, threshold: float = 0.9,
             size = cnt[inv]
             dup = size > 1
             n = len(gids)
+            if keeper == "diverse" and n:
+                # paper keeper: per component, keep the member with the
+                # LOWEST cosine to the cell centroid (ties -> min id).
+                # One lexsort; component firsts are the keepers.
+                csim = X @ ray.get(ref)[int(cells[sel[0]])]
+                ord2 = np.lexsort((np.arange(n), csim, lab))
+                first = np.concatenate(
+                    [[True], lab[ord2][1:] != lab[ord2][:-1]])
+                is_keep = np.zeros(n, dtype=bool)
+                is_keep[ord2[first]] = True
+            else:
+                is_keep = gids == comp_id
             out_id[pos:pos + n] = gids
             out_state[pos:pos + n] = np.where(
-                ~dup, "unique", np.where(gids == comp_id, "keep", "delete"))
+                ~dup, "unique", np.where(is_keep, "keep", "delete"))
             out_comp[pos:pos + n] = np.where(dup, comp_id, -1)
             out_size[pos:pos + n] = size
             out_cell[pos:pos + n] = cells[sel].astype(np.int64)

@@ -158,3 +158,28 @@ def test_screened_sim_kernels_bit_exact_vs_float64():
     assert np.array_equal(bi, ci) and np.array_equal(aj, cj)
     assert np.abs(exc - C[ci, cj]).max() < 1e-12
     assert np.array_equal(np.rint(exc * 1e6), np.rint(C[ci, cj] * 1e6))
+
+
+def test_semdedup_diverse_keeper(fixture_paths):
+    """keeper='diverse' (the paper's rule): one keep per cluster, keeper
+    = member with the LOWEST cosine to its cell centroid; cluster ids
+    and membership identical to keeper='first'; deterministic."""
+    import pytest
+    a = _run(fixture_paths)                      # first (min id)
+    d = _run(fixture_paths, keeper="diverse")
+    d2 = _run(fixture_paths, keeper="diverse", num_partitions=5)
+    assert d.equals(d2)
+    # membership identical: only the keep/delete roles may differ
+    assert a["cluster_id"].tolist() == d["cluster_id"].tolist()
+    assert a["cluster_size"].tolist() == d["cluster_size"].tolist()
+    assert (a["state"] == "unique").equals(d["state"] == "unique")
+    clustered = d[d["cluster_id"] >= 0]
+    assert (clustered.groupby("cluster_id")["state"]
+            .apply(lambda s: (s == "keep").sum()) == 1).all()
+    # at least one cluster picks a different keeper than min-id (noise
+    # makes centroid distances distinct within planted groups)
+    ka = set(a[a["state"] == "keep"]["vec_id"])
+    kd = set(d[d["state"] == "keep"]["vec_id"])
+    assert ka != kd
+    with pytest.raises(ValueError):
+        _run(fixture_paths, keeper="bogus")
