@@ -153,7 +153,8 @@ def run_suite() -> dict:
              "top_tokens", "lang_group_stats", "lang_id", "doc_fingerprints",
              "knn_brute", "embedding_dup_pairs_lsh", "repetition_stats",
              "line_dedup", "decontaminate", "url_dedup", "span_dedup",
-             "incremental_dedup_bloom", "source_dup_report", "semdedup"]
+             "incremental_dedup_bloom", "source_dup_report", "semdedup",
+             "paragraph_dedup", "doc_line_dedup"]
     out: dict[str, float] = {}
     for name in picks:
         t0 = time.time()
