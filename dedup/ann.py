@@ -535,7 +535,8 @@ def semdedup(ds: ray.data.Dataset, threshold: float = 0.9,
 
     Output: (id_col, state keep|delete|unique, cluster_id = min member
     id or -1, cluster_size, cell).  The corpus rides ONE hash shuffle
-    keyed on cell; per-cell work is one (c, c) float64 matmul with
+    keyed on cell; per-cell work is one (c, c) screened matmul
+    (_sim_edges: float32 screen, float64 confirm) with
     c ~ n/k — size n_centroids so a cell fits a worker (the paper's own
     constraint).  Every emitted delete has a true cosine>=threshold
     neighbor, so precision vs the exact closure is 1.0 by construction;
