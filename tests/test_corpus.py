@@ -286,3 +286,34 @@ def test_doc_line_dedup_matches_naive():
     solo = doc_line_dedup(ray.data.from_arrow(pa.table(
         {"doc_id": [1], "text": ["x\nx\nx"]}))).to_pandas()
     assert solo["text_dedup"].tolist() == ["x"]
+
+
+def test_doc_line_dedup_property_random():
+    """Random corpora (empty lines, repeats, unicode, multi-char sep)
+    match the per-doc naive rule."""
+    import random
+    from dedup.corpus import doc_line_dedup
+    rng = random.Random(5)
+    pool = ["", "a", "b", "ab", "x y", "ü", "line-1", "\t"]
+    for sep in ("\n", "\n\n", "||"):
+        texts = []
+        for _ in range(40):
+            k = rng.randint(0, 6)
+            texts.append(sep.join(rng.choice(pool) for _ in range(k))
+                         if k else rng.choice(pool))
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": list(range(len(texts))),
+            "text": pa.array(texts, pa.string())}))
+        got = doc_line_dedup(ds, sep=sep).sort("doc_id").to_pandas()
+
+        for i, t in enumerate(texts):
+            lines = (t or "").split(sep)
+            seen, kept = set(), []
+            for ln in lines:
+                if ln not in seen:
+                    seen.add(ln)
+                    kept.append(ln)
+            row = got.iloc[i]
+            assert row["n_lines"] == len(lines), (sep, i, t)
+            assert row["n_kept"] == len(kept), (sep, i, t)
+            assert row["text_dedup"] == sep.join(kept), (sep, i, t)

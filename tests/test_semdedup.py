@@ -183,3 +183,28 @@ def test_semdedup_diverse_keeper(fixture_paths):
     assert ka != kd
     with pytest.raises(ValueError):
         _run(fixture_paths, keeper="bogus")
+
+
+def test_screened_sim_kernels_property_random():
+    """Property check over random thresholds/dims/sizes: screened pair
+    sets always equal the pure-float64 reference sets."""
+    from dedup.ann import _sim_cross, _sim_edges
+    rng = np.random.default_rng(11)
+    for trial in range(25):
+        n = int(rng.integers(0, 60))
+        d = int(rng.integers(1, 96))
+        thr = float(rng.uniform(-0.5, 0.999))
+        X = rng.standard_normal((n, d))
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300) \
+            if n else X
+        iu, ju, _ = _sim_edges(X, thr)
+        S = X @ X.T
+        ri, rj = np.nonzero(np.triu(S >= thr, k=1))
+        assert np.array_equal(iu, ri) and np.array_equal(ju, rj), \
+            (trial, n, d, thr)
+        m = int(rng.integers(0, n + 1))
+        bi, aj, _ = _sim_cross(X[:m], X, thr)
+        C = X[:m] @ X.T
+        ci, cj = np.nonzero(C >= thr)
+        assert np.array_equal(bi, ci) and np.array_equal(aj, cj), \
+            (trial, n, d, thr)
