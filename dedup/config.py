@@ -48,8 +48,11 @@ class DedupConfig:
     content_hash: str = "sha256"   # pluggable content-hash algorithm
                                    # (HashingAlgorithm enum CRC32/MD5/SHA1/SHA256,
                                    # MainViewModel.cs:25-38, FileEntryViewModel.cs:146-190);
-                                   # sha256|blake2b|sha1|md5 — the choice can never
-                                   # change assignments, only hash cost
+                                   # sha256|blake2b|sha1|md5|crc32 — the choice can
+                                   # never change assignments (absent collisions),
+                                   # only hash cost; crc32 mirrors the reference's
+                                   # cheapest option and carries its documented
+                                   # collision risk at corpus scale
     key_ts: bool = False           # CompareDateModified (MainViewModel.cs:1011-1014)
     key_lang: bool = False         # CompareExtension analogue (:1081-1085)
     byte_verify: bool = False      # M9 byte comparator analogue (:1094-1146); carries
@@ -148,9 +151,10 @@ class DedupConfig:
         if self.verify not in ("none", "signature", "jaccard"):
             raise ValueError(
                 f"verify must be 'none'|'signature'|'jaccard', got {self.verify!r}")
-        if self.content_hash not in ("sha256", "blake2b", "sha1", "md5"):
+        if self.content_hash not in ("sha256", "blake2b", "sha1", "md5",
+                                     "crc32"):
             raise ValueError(
-                "content_hash must be sha256|blake2b|sha1|md5, "
+                "content_hash must be sha256|blake2b|sha1|md5|crc32, "
                 f"got {self.content_hash!r}")
         if self.normalize not in ("none", "c4"):
             raise ValueError(

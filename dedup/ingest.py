@@ -76,8 +76,16 @@ class Preparer:
         self.check_html = check_html
         self.string_ids = None  # resolved on first batch
         # pluggable content hash (HashingAlgorithm analogue,
-        # MainViewModel.cs:25-38); any choice yields identical assignments
-        self._hash = getattr(hashlib, cfg.content_hash)
+        # MainViewModel.cs:25-38, dispatch FileEntryViewModel.cs:146-190);
+        # any choice yields identical assignments (absent collisions).
+        # crc32 is the reference's cheapest enum member — not in hashlib,
+        # so shim zlib.crc32 to the digest interface (4-byte big-endian).
+        if cfg.content_hash == "crc32":
+            import zlib
+            self._digest = lambda b: zlib.crc32(b).to_bytes(4, "big")
+        else:
+            _h = getattr(hashlib, cfg.content_hash)
+            self._digest = lambda b: _h(b).digest()
 
     def __call__(self, t: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -130,7 +138,7 @@ class Preparer:
                       else _scope_value(cfg, id_list[i]))
                 scope64[i] = _h64(sv.encode())
             txt = hash_texts[i]
-            shas.append(self._hash(txt.encode()).digest() if txt is not None else None)
+            shas.append(self._digest(txt.encode()) if txt is not None else None)
 
         n_chars = pc.fill_null(pc.utf8_length(t[cfg.text_col]), 0).cast(pa.int64())
         nc = n_chars.to_numpy(zero_copy_only=False)

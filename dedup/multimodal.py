@@ -13,11 +13,22 @@ layout, error routing — stays exactly as tested here.
 vector so the plumbing is testable end-to-end without media libs;
 ``MediaDecoder(strict=True)`` raises NotImplementedError at the decode
 step, marking the boundary explicitly.
+
+One modality IS decoded for real: ``WavFeatureExtractor`` parses
+RIFF/WAVE 16-bit PCM payloads with the stdlib ``wave`` module (header
+fields + a vectorized numpy frame scan for peak amplitude) — no media
+library needed — so the audio path is a genuine bytes-in/features-out
+decode stage, oracle-checkable end to end.  Malformed payloads route to
+``decoded = 0`` rows (per-row error tolerance, the reference's silent
+per-file catch analogue, MainViewModel.cs:932-935).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 
 import numpy as np
 import pyarrow as pa
@@ -104,6 +115,90 @@ def decode_features(ds: ray.data.Dataset, feature_dim: int = 64,
     return ds.map_batches(
         decoder_cls,
         fn_constructor_kwargs={"feature_dim": feature_dim},
+        batch_size=batch_size,
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
+
+
+def wav_bytes(sample_rate: int, n_channels: int, n_frames: int,
+              amplitude: int) -> bytes:
+    """Canonical 16-bit PCM RIFF/WAVE payload: ``n_frames`` frames of a
+    constant ``amplitude`` sample on every channel (stdlib ``wave``
+    writer, so the container is well-formed by construction).  Used by
+    tests/fixtures; the extractor below never sees this code path — it
+    parses the bytes."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack("<h", amplitude) * (n_frames * n_channels))
+    return buf.getvalue()
+
+
+class WavFeatureExtractor:
+    """Actor-pool ``map_batches`` stage decoding RIFF/WAVE 16-bit PCM
+    payloads into typed audio features — the REAL decode path (stdlib
+    ``wave`` header parse + numpy frame scan; no media libs required).
+
+    Input columns:  ``id_col`` (int64), ``payload`` (binary).
+    Output columns: id_col, sample_rate, n_channels, n_frames,
+    duration_us (integer floor of frames*1e6/rate), peak_amp
+    (max |sample| over all channels), decoded (1/0) — all int64 so a
+    DuckDB oracle hash-matches exactly.  Malformed / truncated / null
+    payloads yield a decoded=0 row with null features (never abort the
+    batch).  Decode is inherently per-payload; the numpy scan keeps the
+    per-frame work vectorized."""
+
+    def __init__(self, id_col: str = "doc_id") -> None:
+        self.id_col = id_col  # a real codec would load its context here
+
+    def _parse(self, payload: bytes) -> tuple[int, int, int, int, int]:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate = w.getframerate()
+            ch = w.getnchannels()
+            nf = w.getnframes()
+            if w.getsampwidth() != 2:
+                raise ValueError("only 16-bit PCM supported")
+            frames = w.readframes(nf)
+        if len(frames) < 2 * nf * ch:
+            raise ValueError("truncated frame data")
+        samples = np.frombuffer(frames, dtype="<i2")
+        peak = int(np.abs(samples.astype(np.int32)).max()) if samples.size else 0
+        return rate, ch, nf, nf * 1_000_000 // max(rate, 1), peak
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols: dict[str, list] = {k: [None] * n for k in
+                                 ("sample_rate", "n_channels", "n_frames",
+                                  "duration_us", "peak_amp")}
+        decoded = [0] * n
+        for i, payload in enumerate(t["payload"].to_pylist()):
+            if payload is None:
+                continue
+            try:
+                vals = self._parse(payload)
+            except (wave.Error, EOFError, ValueError, struct.error):
+                continue  # decoded stays 0, features stay null
+            for k, v in zip(cols, vals):
+                cols[k][i] = v
+            decoded[i] = 1
+        out = {self.id_col: t[self.id_col]}
+        out.update({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+        out["decoded"] = pa.array(decoded, pa.int64())
+        return pa.table(out)
+
+
+def wav_features(ds: ray.data.Dataset, id_col: str = "doc_id",
+                 batch_size: int = 64,
+                 concurrency=(1, 4)) -> ray.data.Dataset:
+    """(id, payload) media table -> typed audio features via the real
+    stdlib WAV decoder.  Small batch_size: payload bytes, not row count,
+    is the worker-heap unit."""
+    return ds.map_batches(
+        WavFeatureExtractor,
+        fn_constructor_kwargs={"id_col": id_col},
         batch_size=batch_size,
         concurrency=concurrency,
         batch_format="pyarrow",

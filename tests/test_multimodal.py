@@ -1,13 +1,17 @@
 """Multimodal decode plumbing: actor-pool stage, schema, error routing.
-The decode kernel is stubbed (no media libs in env) — these tests pin the
-Ray-side contract."""
+The image/video decode kernel is stubbed (no media libs in env); the
+AUDIO kernel is real (stdlib RIFF/WAVE parse) and tested bytes-in /
+features-out here."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 import ray.data
 
 from dedup.multimodal import (DeterministicFakeDecoder, MediaDecoder,
-                              decode_features, frame_sample_plan, synth_media)
+                              WavFeatureExtractor, decode_features,
+                              frame_sample_plan, synth_media, wav_bytes,
+                              wav_features)
 
 
 def test_fake_decode_end_to_end():
@@ -37,6 +41,62 @@ def test_strict_decoder_marks_boundary():
     d = MediaDecoder()
     with pytest.raises(NotImplementedError):
         d._decode_impl(b"x", "image")
+
+
+def test_wav_decode_recovers_parameters():
+    """The extractor recovers rate/channels/frames/duration/peak from the
+    BYTES alone, including multi-channel and zero-amplitude payloads."""
+    cases = [(8000, 1, 100, 500), (16000, 2, 401, -30000),
+             (44100, 2, 1, 0), (22050, 1, 44100, 12345)]
+    x = WavFeatureExtractor(id_col="mid")
+    t = pa.table({
+        "mid": pa.array(range(len(cases)), pa.int64()),
+        "payload": pa.array([wav_bytes(*c) for c in cases], pa.binary()),
+    })
+    out = x(t)
+    for i, (rate, ch, nf, amp) in enumerate(cases):
+        assert out["decoded"][i].as_py() == 1
+        assert out["sample_rate"][i].as_py() == rate
+        assert out["n_channels"][i].as_py() == ch
+        assert out["n_frames"][i].as_py() == nf
+        assert out["duration_us"][i].as_py() == nf * 1_000_000 // rate
+        assert out["peak_amp"][i].as_py() == abs(amp)
+
+
+def test_wav_decode_error_routing():
+    """Truncated / garbage / null payloads become decoded=0 rows with
+    null features — never an exception out of the batch."""
+    good = wav_bytes(16000, 1, 50, 7)
+    x = WavFeatureExtractor(id_col="mid")
+    t = pa.table({
+        "mid": pa.array([0, 1, 2, 3], pa.int64()),
+        "payload": pa.array([good, good[:20], b"not a wav", None],
+                            pa.binary()),
+    })
+    out = x(t)
+    assert out["decoded"].to_pylist() == [1, 0, 0, 0]
+    assert out["sample_rate"].to_pylist() == [16000, None, None, None]
+
+
+def test_wav_features_actor_pool():
+    """End-to-end through the Ray actor-pool stage."""
+    n = 40
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "payload": pa.array(
+            [wav_bytes(8000, 1, 10 + i, i) if i % 5 else b"junk"
+             for i in range(n)], pa.binary()),
+    })
+    out = wav_features(ray.data.from_arrow(t).repartition(4),
+                       batch_size=8, concurrency=(1, 2)) \
+        .sort("doc_id").take_all()
+    assert len(out) == n
+    for i, r in enumerate(out):
+        if i % 5:
+            assert r["decoded"] == 1 and r["n_frames"] == 10 + i \
+                and r["peak_amp"] == i
+        else:
+            assert r["decoded"] == 0 and r["n_frames"] is None
 
 
 def test_frame_sample_plan():

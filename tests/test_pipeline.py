@@ -395,7 +395,7 @@ def test_content_hash_choice_invariant():
     rows = _pages([("https://h/a", LONG), ("https://h/b", LONG),
                    ("https://h/c", "other text " * 5)])
     outs = [_run(rows, DedupConfig(content_hash=h, **EXACT))
-            for h in ("sha256", "blake2b", "sha1", "md5")]
+            for h in ("sha256", "blake2b", "sha1", "md5", "crc32")]
     assert all(o == outs[0] for o in outs[1:])
     with pytest.raises(ValueError):
         DedupConfig(content_hash="crc999")
