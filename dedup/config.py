@@ -96,12 +96,21 @@ class DedupConfig:
                                    # over texts — n-gram Jaccard dedup)
     verify_threshold: float = 0.5  # min agreement/Jaccard to keep a candidate pair
     pair_cap: int = 64             # buckets larger than this emit star edges (skew guard)
-    lsh_salt: int = 0              # >0: salt band keys with hash(node) %% S so one hot
+    lsh_salt: int = 8              # >0: salt band keys with hash(node) %% S so one hot
                                    # band spreads over S partitions (memory-level skew
                                    # guard for web-scale boilerplate); cross-salt
                                    # connectivity restored by a per-bucket rep pass.
-                                   # 0 (default) = unsalted; star-edge caps already
-                                   # bound compute at sandbox scale
+                                   # ON by default (S=8): the guard must hold without
+                                   # opt-in — the hot bucket only becomes observable
+                                   # AFTER the shuffle has already concentrated it, and
+                                   # any batch-local "salt only if locally hot" trigger
+                                   # would make pair emission depend on batch
+                                   # boundaries, breaking byte-identical-across-
+                                   # parallelism determinism (salt = mix64(node) %% S is
+                                   # content-only).  Cost: one extra 8-byte column on
+                                   # the band shuffle + a small rep-only second
+                                   # shuffle.  0 = unsalted opt-out for fixed
+                                   # known-clean corpora.
 
     # --- SimHash pass ------------------------------------------------
     simhash: bool = True

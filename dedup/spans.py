@@ -26,10 +26,32 @@ global suffix array:
 The 128-bit combined hash stands in for byte verification (collision
 odds ~2^-128 per pair — negligible at any corpus size; documented
 divergence from the carry-the-bytes alternative, which would multiply
-shuffle volume by L).  ``stride=1`` is exact per-window semantics (the
-SQL-checkable contract); ``stride=s`` > 1 samples window starts and
-still detects every duplicated run of length >= L + s - 1 — the
-documented web-scale setting that divides shuffle volume by s.
+shuffle volume by L).
+
+Window-emission modes (the shuffle-volume dial):
+
+* ``mode='winnow'`` (DEFAULT — the 100-TB-safe setting): emit only
+  winnowing-selected window starts — the rightmost-minimum ``h1`` in
+  every sliding window of ``winnow_window`` consecutive starts
+  (Schleimer, Karlin & Aiken 2003, "Winnowing: local algorithms for
+  document fingerprinting").  Selection is content-defined, so every
+  occurrence of a selected window value is selected wherever its
+  surrounding ``W-1`` starts are also shared — the standard guarantee:
+  any duplicated run of length >= L + winnow_window - 1 shares at
+  least one selected window in all its copies and gets cut.  Expected
+  emission density is 2/(winnow_window+1) rows per character
+  (~0.12 at the default W=16) instead of 1, bounding shuffle volume;
+  runs shorter than the guarantee threshold may survive (documented
+  approximation, same trade as Lee et al.'s min-length).
+* ``mode='exact'``: one row per window start (optionally strided) —
+  exact per-window semantics, the SQL-checkable contract; stride-1 is
+  the small-corpus exactness mode and the driver-oracle configuration.
+  ``stride=s > 1`` samples starts and still detects every duplicated
+  run of length >= L + s - 1, but sampling is position- (not content-)
+  defined, so winnow dominates it at equal density.
+
+Both modes are deterministic at any parallelism: selection depends only
+on each document's own text.
 """
 
 from __future__ import annotations
@@ -69,42 +91,77 @@ def _window_hashes(cp: np.ndarray, L: int,
     return (s[L:] - s[:-L]) * inv
 
 
+def _selected_starts(h1: np.ndarray, mode: str, stride: int,
+                     W: int) -> np.ndarray:
+    """Window starts to emit for one document.
+
+    'exact': every stride-th start.  'winnow': the argmin of h1 in
+    every sliding window of W consecutive starts (classic winnowing
+    selection; content-defined, so shared runs share selected starts).
+    Ties break LEFTMOST (argmin default) — a valid winnowing convention
+    with the same guarantee, and the contiguous-view argmin is ~10x
+    faster than the reversed-view rightmost variant; 64-bit hash ties
+    are ~impossible anyway.  O(m*W) vectorized — W is small."""
+    m = len(h1)
+    if mode == "exact":
+        return np.arange(0, m, stride)
+    if m <= W:
+        return np.array([int(h1.argmin())], dtype=np.int64)
+    sw = np.lib.stride_tricks.sliding_window_view(h1, W)
+    return np.unique(np.arange(len(sw), dtype=np.int64) +
+                     sw.argmin(axis=1))
+
+
+def _window_rows(t: pa.Table, id_col: str, text_col: str, L: int,
+                 mode: str, stride: int, W: int) -> pa.Table:
+    """Per-doc rolling hashes -> (h1, h2, d, o) rows for the selected
+    window starts (shared by span_dedup and top_spans)."""
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = t[text_col].to_pylist()
+    h1_l, h2_l, d_l, o_l = [], [], [], []
+    for i, txt in enumerate(texts):
+        if txt is None:
+            continue
+        cp = _codepoints(txt)
+        if len(cp) < L:
+            continue
+        h1 = _window_hashes(cp, L, _B1, _B1_INV)
+        h2 = _window_hashes(cp, L, _B2, _B2_INV)
+        sel = _selected_starts(h1, mode, stride, W)
+        h1_l.append(h1[sel])
+        h2_l.append(h2[sel])
+        d_l.append(np.full(len(sel), ids[i], dtype=np.int64))
+        o_l.append(sel.astype(np.int64))
+    if not h1_l:
+        return pa.table({"h1": pa.array([], pa.uint64()),
+                         "h2": pa.array([], pa.uint64()),
+                         "d": pa.array([], pa.int64()),
+                         "o": pa.array([], pa.int64())})
+    return pa.table({
+        "h1": pa.array(np.concatenate(h1_l), pa.uint64()),
+        "h2": pa.array(np.concatenate(h2_l), pa.uint64()),
+        "d": pa.array(np.concatenate(d_l), pa.int64()),
+        "o": pa.array(np.concatenate(o_l), pa.int64()),
+    })
+
+
 def span_dedup(ds: ray.data.Dataset, L: int = 50, stride: int = 1,
+               mode: str = "winnow", winnow_window: int = 16,
                id_col: str = "doc_id", text_col: str = "text",
                num_partitions: int = 32) -> ray.data.Dataset:
     """Corpus-wide duplicated-span removal.  Output one row per doc:
     (id, n_chars, n_removed, text_dedup), deterministic at any
-    parallelism (winner = min (doc_id, offset) per window value).
-    ``id_col`` must be integer."""
+    parallelism (winner = min (doc_id, offset) per selected window
+    value).  ``id_col`` must be integer.  ``mode`` picks the emission
+    density (module docstring): 'winnow' (default, web-scale) emits
+    ~2/(winnow_window+1) rows/char; 'exact' with stride=1 is the full
+    per-window SQL contract."""
+    if mode not in ("winnow", "exact"):
+        raise ValueError(f"mode must be 'winnow'|'exact', got {mode!r}")
 
     def _windows(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        texts = t[text_col].to_pylist()
-        h1_l, h2_l, d_l, o_l = [], [], [], []
-        for i, txt in enumerate(texts):
-            if txt is None:
-                continue
-            cp = _codepoints(txt)
-            if len(cp) < L:
-                continue
-            h1 = _window_hashes(cp, L, _B1, _B1_INV)
-            h2 = _window_hashes(cp, L, _B2, _B2_INV)
-            sel = np.arange(0, len(h1), stride)
-            h1_l.append(h1[sel])
-            h2_l.append(h2[sel])
-            d_l.append(np.full(len(sel), ids[i], dtype=np.int64))
-            o_l.append(sel.astype(np.int64))
-        if not h1_l:
-            return pa.table({"h1": pa.array([], pa.uint64()),
-                             "h2": pa.array([], pa.uint64()),
-                             "d": pa.array([], pa.int64()),
-                             "o": pa.array([], pa.int64())})
-        return pa.table({
-            "h1": pa.array(np.concatenate(h1_l), pa.uint64()),
-            "h2": pa.array(np.concatenate(h2_l), pa.uint64()),
-            "d": pa.array(np.concatenate(d_l), pa.int64()),
-            "o": pa.array(np.concatenate(o_l), pa.int64()),
-        })
+        return _window_rows(t, id_col, text_col, L, mode, stride,
+                            winnow_window)
 
     wins = ds.map_batches(_windows, batch_format="pyarrow")
 
@@ -202,6 +259,7 @@ def span_dedup(ds: ray.data.Dataset, L: int = 50, stride: int = 1,
 
 def top_spans(ds: ray.data.Dataset, L: int = 50, k: int = 20,
               min_count: int = 2, stride: int = 1,
+              mode: str = "winnow", winnow_window: int = 16,
               id_col: str = "doc_id", text_col: str = "text",
               num_partitions: int = 32) -> pa.Table:
     """Boilerplate discovery: the k most-duplicated length-L windows in
@@ -211,38 +269,18 @@ def top_spans(ds: ray.data.Dataset, L: int = 50, k: int = 20,
     and lets the span TEXT be recovered with one tiny second pass
     instead of carrying L chars per window through the shuffle.
 
-    Shape: the same sampled-window shuffle as span_dedup, a per-group
+    Shape: the same selected-window shuffle as span_dedup, a per-group
     count + per-partition top-k prune, a small global sort, then one
-    map over the corpus extracting the k spans from their rep docs."""
+    map over the corpus extracting the k spans from their rep docs.
+    Under mode='winnow' occurrence counts cover selected windows only
+    (the boilerplate ranking is over fingerprinted spans); mode='exact'
+    stride-1 counts every window — the SQL contract."""
+    if mode not in ("winnow", "exact"):
+        raise ValueError(f"mode must be 'winnow'|'exact', got {mode!r}")
 
     def _windows(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        texts = t[text_col].to_pylist()
-        h1_l, h2_l, d_l, o_l = [], [], [], []
-        for i, txt in enumerate(texts):
-            if txt is None:
-                continue
-            cp = _codepoints(txt)
-            if len(cp) < L:
-                continue
-            h1 = _window_hashes(cp, L, _B1, _B1_INV)
-            h2 = _window_hashes(cp, L, _B2, _B2_INV)
-            sel = np.arange(0, len(h1), stride)
-            h1_l.append(h1[sel])
-            h2_l.append(h2[sel])
-            d_l.append(np.full(len(sel), ids[i], dtype=np.int64))
-            o_l.append(sel.astype(np.int64))
-        if not h1_l:
-            return pa.table({"h1": pa.array([], pa.uint64()),
-                             "h2": pa.array([], pa.uint64()),
-                             "d": pa.array([], pa.int64()),
-                             "o": pa.array([], pa.int64())})
-        return pa.table({
-            "h1": pa.array(np.concatenate(h1_l), pa.uint64()),
-            "h2": pa.array(np.concatenate(h2_l), pa.uint64()),
-            "d": pa.array(np.concatenate(d_l), pa.int64()),
-            "o": pa.array(np.concatenate(o_l), pa.int64()),
-        })
+        return _window_rows(t, id_col, text_col, L, mode, stride,
+                            winnow_window)
 
     wins = ds.map_batches(_windows, batch_format="pyarrow")
 
