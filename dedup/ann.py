@@ -48,12 +48,19 @@ def _id_sorted_sample(ds: ray.data.Dataset, id_col: str, vec_col: str,
     """Bounded training sample for coarse quantizers, ID-SORTED so the
     fitted centroids are deterministic: ``limit()`` takes the same rows
     every run but block arrival order varies, and k-means is sensitive
-    to input order."""
+    to input order.  Unique ids are the caller contract; should a
+    corpus violate it, ties are broken by VECTOR CONTENT (a secondary
+    lexsort key on the raw bytes), so the order — and therefore the
+    fitted centroids — stays content-deterministic either way, never
+    arrival-order-dependent."""
     t = pa.concat_tables(list(
         ds.limit(sample_size).select_columns([id_col, vec_col])
         .iter_batches(batch_format="pyarrow")))
     mat = _batch_matrix(t, vec_col)
-    return mat[np.argsort(_ids_np(t, id_col))]
+    ids = _ids_np(t, id_col)
+    vec_key = np.frombuffer(np.ascontiguousarray(mat).tobytes(),
+                            dtype=f"V{mat.shape[1] * mat.itemsize}")
+    return mat[np.lexsort((vec_key, ids))]
 
 
 def _load_queries(ds: ray.data.Dataset, id_col: str, vec_col: str,
@@ -545,7 +552,10 @@ def semdedup(ds: ray.data.Dataset, threshold: float = 0.9,
     ``n_centroids=None`` auto-sizes k = ceil(n / target_cell) (min 8):
     cells stay ~target_cell rows as the corpus grows — k must scale
     with n or the per-cell O(c^2) matmul quietly reverts to all-pairs.
-    The count is parquet metadata (no data scan)."""
+    The count is parquet metadata (no data scan) ONLY when ``ds`` is a
+    fresh parquet read; for a lazy/derived dataset ``count()`` executes
+    the upstream pipeline an extra time — pass ``n_centroids``
+    explicitly (or materialize first) in that case."""
     from .dist import groupapply, segments
 
     if keeper not in ("first", "diverse"):

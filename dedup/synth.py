@@ -404,7 +404,8 @@ def write_embedding_corpus(out_dir: str, n_vecs: int = 500_000,
     isotropic unit vectors (pairwise cosine ~N(0, 1/dim) — far below a
     0.9 dedup threshold at this dim).  Idempotent via _SUCCESS marker.
 
-    Truth is implicit: vec i in the dup block copies vec (i - n_dups),
+    Truth is implicit: the dup block is the LAST n_dups rows, and dup
+    row i copies vec i - (n_vecs - n_dups) (rows [0, n_dups) in order),
     so expected deletes = n_dups = int(n_vecs * dup_frac)."""
     import numpy as np
     marker = os.path.join(out_dir,
