@@ -650,6 +650,43 @@ def _q_media_features(sf_dir: str):
     return feats.map_batches(_sentinel, batch_format="pyarrow").sort("doc_id")
 
 
+def _q_image_features(sf_dir: str):
+    """Multimodal image decode — REAL, oracle-checked (the second
+    decoded-for-real modality, after WAV): one binary netpbm payload per
+    document (PPM rgb / PGM gray alternating, 1-byte and 2-byte sample
+    widths, dimensions and fill value arithmetic functions of doc_id),
+    truncated every 23rd doc.  PpmImageDecoder parses the BYTES (header
+    tokens + numpy raster scan); the DuckDB oracle recomputes the
+    expected features from the same doc_id arithmetic — a hash match
+    proves the decode recovered geometry, sample depth, pixel sum and
+    peak from the binary payload, and that malformed payloads routed to
+    decoded=0 rows."""
+    from dedup.multimodal import image_features, ppm_bytes
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            p = ppm_bytes(width=4 + i % 13, height=3 + i % 7,
+                          value=(i * 29) % 256,
+                          channels=3 if i % 2 == 0 else 1,
+                          maxval=65535 if i % 5 == 0 else 255)
+            payloads.append(p[:10] if i % 23 == 0 else p)  # malformed rows
+        return pa.table({"doc_id": t["doc_id"].combine_chunks()
+                         .cast(pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    media = _docs(sf_dir, ["doc_id"]).map_batches(_mk, batch_format="pyarrow")
+    feats = image_features(media, id_col="doc_id", batch_size=64)
+
+    def _sentinel(t: pa.Table) -> pa.Table:
+        return pa.table({c: (pc.fill_null(t[c], -1)
+                             if c not in ("doc_id", "decoded") else t[c])
+                         for c in t.column_names})
+
+    return feats.map_batches(_sentinel, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_token_count(sf_dir: str):
     return textstats.token_count(_docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
 
@@ -1138,6 +1175,37 @@ def _q_knn_ivf_recall(sf_dir: str):
     })
 
 
+def _q_knn_ivfpq_recall(sf_dir: str):
+    """Recall@10 of the PQ-compressed scan (ann.knn_ivfpq, Jégou et al.
+    2011) against the brute-force exact top-k, at two operating points:
+    pure ADC (scan reads m=16 uint8 codes per vector instead of 64 * 4
+    raw float32 bytes — 16x compression) and ADC + exact re-rank of the
+    top-50 shortlist (the classic refine stage; scores then match brute
+    bit-exactly, pytest-asserted).  The fixture's vectors are largely
+    unstructured — the hardest case for residual quantization — so the
+    pure-ADC number is the honest floor; the exact-reconstruction
+    configuration is separately pytest-asserted equal to brute
+    (tests/test_ivfpq.py)."""
+    qids = [0, 1, 2, 3, 4]
+    exact = ann.knn_brute(_embs(sf_dir), query_ids=qids, k=10).to_pandas()
+    ek = set(zip(exact["q"], exact["vec_id"]))
+
+    def _rec(**kw):
+        a = ann.knn_ivfpq(_embs(sf_dir), query_ids=qids, k=10,
+                          n_centroids=8, n_probe=8, m=16, ks=256,
+                          **kw).to_pandas()
+        ak = set(zip(a["q"], a["vec_id"]))
+        return int(round(len(ek & ak) / len(ek) * 1e6)) if ek else -1
+
+    return pa.table({
+        "exact_rows": pa.array([len(ek)], pa.int64()),
+        "recall_adc_e6": pa.array([_rec()], pa.int64()),
+        "recall_rerank_e6": pa.array([_rec(rerank=50)], pa.int64()),
+        "raw_bytes_per_vec": pa.array([64 * 4], pa.int64()),
+        "code_bytes_per_vec": pa.array([16], pa.int64()),
+    })
+
+
 def _q_embedding_dup_pairs_lsh_recall(sf_dir: str):
     """Pair recall AND precision of the bucketed LSH path against the
     exact cosine pair set at the same threshold.  Precision must be 1.0
@@ -1371,7 +1439,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_byteverify": _q_exact_dedup_byteverify,
         "resume_dedup": _q_resume_dedup,
         "normalized_dedup": _q_normalized_dedup,
-        "normalized_dedup_longest": _q_normalized_dedup_longest,
         "events_dedup_newest": _q_events_dedup_newest,
         "events_dedup_props_ts": _q_events_dedup_props_ts,
         "source_dup_report": _q_source_dup_report,
@@ -1385,6 +1452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_bloom": _q_incremental_dedup_bloom,
         "incremental_dedup_cc": _q_incremental_dedup_cc,
         "media_features": _q_media_features,
+        "image_features": _q_image_features,
         "knn_ivf": _q_knn_ivf,
         "lang_id": _q_lang_id,
         "token_count": _q_token_count,
@@ -1415,6 +1483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": _q_embedding_dedup,
         # --- below the driver's 50-row cap: oracle-checked in-repo ----
         "exact_dedup_blake2b": _q_exact_dedup_blake2b,
+        "normalized_dedup_longest": _q_normalized_dedup_longest,
         "events_dedup_props": _q_events_dedup_props,
         "paragraph_dedup": _q_paragraph_dedup,
         "token_doc_freq": _q_token_doc_freq,
@@ -1445,6 +1514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_sa_recall": _q_substring_sa_recall,
         "ngram_jaccard_recall": _q_ngram_jaccard_recall,
         "knn_ivf_recall": _q_knn_ivf_recall,
+        "knn_ivfpq_recall": _q_knn_ivfpq_recall,
         "embedding_dup_pairs_lsh_recall": _q_embedding_dup_pairs_lsh_recall,
     }
 
@@ -1752,6 +1822,27 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN ok THEN CAST(abs((doc_id * 37) % 30000 - 15000)
                                           AS BIGINT)
                         ELSE -1 END AS peak_amp,
+                   CAST(ok AS BIGINT) AS decoded
+            FROM m ORDER BY doc_id""",
+        "image_features": """
+            WITH m AS (SELECT doc_id, doc_id % 23 <> 0 AS ok,
+                              4 + doc_id % 13 AS w,
+                              3 + doc_id % 7 AS h,
+                              CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1
+                                   END AS ch,
+                              (doc_id * 29) % 256 AS v,
+                              CASE WHEN doc_id % 5 = 0 THEN 65535
+                                   ELSE 255 END AS mx
+                       FROM documents)
+            SELECT doc_id,
+                   CASE WHEN ok THEN CAST(w AS BIGINT) ELSE -1 END AS width,
+                   CASE WHEN ok THEN CAST(h AS BIGINT) ELSE -1 END AS height,
+                   CASE WHEN ok THEN CAST(ch AS BIGINT)
+                        ELSE -1 END AS n_channels,
+                   CASE WHEN ok THEN CAST(mx AS BIGINT) ELSE -1 END AS maxval,
+                   CASE WHEN ok THEN CAST(v * w * h * ch AS BIGINT)
+                        ELSE -1 END AS pixel_sum,
+                   CASE WHEN ok THEN CAST(v AS BIGINT) ELSE -1 END AS peak_val,
                    CAST(ok AS BIGINT) AS decoded
             FROM m ORDER BY doc_id""",
         "survivors": f"""

@@ -637,3 +637,234 @@ def semdedup(ds: ray.data.Dataset, threshold: float = 0.9,
 
     return groupapply(withcell, "cell", _dedup_cells, num_partitions) \
         .sort(id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (Jégou, Douze, Schmid 2011, "Product quantization for nearest
+# neighbor search", IEEE TPAMI 33(1)): the MEMORY-scale path for top-k.
+# IVF bounds the scan (probe n_probe of k cells); product quantization
+# bounds the bytes — each vector is stored as m uint8 codes (one per
+# subspace, trained on cell residuals), so the scanned index is m bytes
+# per vector instead of dim*4.  At 10^12 vectors that is the difference
+# between an index that fits the cluster's RAM and one that cannot
+# exist.  Search uses asymmetric distance computation (ADC): per
+# (query, probed cell) a (m, ks) lookup table of exact sub-distances,
+# per candidate a gather+sum — no decode, no matmul on the scan side.
+# ---------------------------------------------------------------------------
+
+def _train_pq(resid: np.ndarray, m: int, ks: int,
+              seed: int = 42) -> np.ndarray:
+    """Per-subspace k-means codebooks over residual sub-vectors.
+    Returns (m, ks_eff, dsub); deterministic given the (id-sorted)
+    training sample."""
+    n, dim = resid.shape
+    dsub = dim // m
+    books = [_kmeans(np.ascontiguousarray(resid[:, j * dsub:(j + 1) * dsub]),
+                     ks, seed=seed + 1 + j) for j in range(m)]
+    ks_eff = min(ks, n)
+    return np.stack([b[:ks_eff] for b in books])
+
+
+def train_ivfpq(ds: ray.data.Dataset, n_centroids: int = 8, m: int = 8,
+                ks: int = 16, id_col: str = "vec_id",
+                vec_col: str = "embedding", sample_size: int = 2048,
+                seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Fit the IVF-PQ model on a bounded id-sorted sample: coarse
+    centroids (unit-normalized — cosine == L2 on the sphere) plus
+    per-subspace residual codebooks.  Driver-side by design: the sample
+    is <= sample_size rows and the model (k*dim + m*ks*dim/m floats) is
+    broadcast once via ray.put, never re-shipped per batch."""
+    sample = _id_sorted_sample(ds, id_col, vec_col, sample_size)
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"pq m={m} must divide dim={dim}")
+    sn = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-300)
+    cent = _kmeans(sn, n_centroids, seed=seed)
+    cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-300)
+    resid = sn - cn[(sn @ cn.T).argmax(axis=1)]
+    return cn, _train_pq(resid, m, ks, seed=seed)
+
+
+def pq_encode(ds: ray.data.Dataset, cn: np.ndarray, books: np.ndarray,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> ray.data.Dataset:
+    """Compress the corpus to its IVF-PQ index rows: (id, cell:int64,
+    code: fixed_size_list<uint8>[m]) — m bytes of payload per vector.
+    One broadcast-model map_batches; the encode itself is two small
+    matmuls per subspace (|r - c|^2 = |r|^2 - 2 r.c + |c|^2), never a
+    per-row loop."""
+    m, ks_eff, dsub = books.shape
+    ref = ray.put((cn, books))
+
+    def _enc(t: pa.Table) -> pa.Table:
+        cn_b, books_b = ray.get(ref)
+        X = _batch_matrix(t, vec_col)
+        n = X.shape[0]
+        if n == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "cell": pa.array([], pa.int64()),
+                "code": pa.array([], pa.list_(pa.uint8(), m)),
+            })
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        cell = (Xn @ cn_b.T).argmax(axis=1)
+        R = Xn - cn_b[cell]
+        codes = np.empty((n, m), dtype=np.uint8)
+        for j in range(m):
+            rj = R[:, j * dsub:(j + 1) * dsub]
+            bj = books_b[j]
+            d = (rj ** 2).sum(axis=1, keepdims=True) - 2.0 * (rj @ bj.T) \
+                + (bj ** 2).sum(axis=1)[None, :]
+            codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+        return pa.table({
+            id_col: t[id_col],
+            "cell": pa.array(cell.astype(np.int64), pa.int64()),
+            "code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), pa.uint8()), m),
+        })
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        _enc, batch_format="pyarrow")
+
+
+def knn_ivfpq(ds: ray.data.Dataset, query_ids: list[int], k: int = 10,
+              n_centroids: int = 8, n_probe: int = 4, m: int = 8,
+              ks: int = 16, id_col: str = "vec_id",
+              vec_col: str = "embedding", sample_size: int = 2048,
+              seed: int = 42, rerank: int = 0) -> ray.data.Dataset:
+    """Approximate top-k cosine over the PQ-compressed index via ADC.
+
+    Train (bounded sample) -> encode (streaming map_batches) -> scan:
+    per batch, per query, gather LUT sub-distances for rows whose cell
+    is probed and sum across subspaces — the scan touches only the m
+    uint8 codes, never the raw vectors.  Scores are the ADC cosine
+    estimate 1 - d^2/2 (unit sphere) as e6 ints; ranking error vs the
+    exact answer is quantization error, measured by knn_ivfpq_recall.
+    Deterministic at any parallelism: the LUT is fixed driver state,
+    per-batch pruning keeps every row tied with the k-th, and the final
+    per-query sort breaks ties by vec_id.
+
+    ``rerank=R > k`` adds the classic refine stage (IVF-PQ+R): the
+    compressed scan produces a top-R shortlist (bounded Q*R rows), then
+    ONE more pass over the raw vectors rescores only shortlisted ids
+    with exact float64 cosine — identical arithmetic to knn_brute, so
+    shortlisted true neighbours come back with their exact scores.
+    Recall@k then equals the shortlist's recall (near 1 for modest R)
+    while the scan side still reads m bytes per vector."""
+    cn, books = train_ivfpq(ds, n_centroids, m, ks, id_col, vec_col,
+                            sample_size, seed)
+    ks_eff = books.shape[1]
+    dsub = books.shape[2]
+    q_ids, q_mat = _load_queries(ds, id_col, vec_col, query_ids)
+    qn = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True),
+                            1e-300)
+    n_cent = cn.shape[0]
+    n_probe = min(n_probe, n_cent)
+    q_cells = np.argsort(-(qn @ cn.T), axis=1)[:, :n_probe]
+    # ADC lookup tables, probed cells only: lut[qi, cell, j, t] =
+    # ||q_sub - c_sub - book[j,t]||^2.  (Q * n_probe * m * ks floats —
+    # driver-bounded by the query-list contract, broadcast once.)
+    nq = len(q_ids)
+    lut = np.full((nq, n_cent, m, ks_eff), np.inf)
+    probe_mask = np.zeros((nq, n_cent), dtype=bool)
+    for qi in range(nq):
+        for c in q_cells[qi]:
+            diff = qn[qi] - cn[c]          # (dim,)
+            for j in range(m):
+                dj = diff[j * dsub:(j + 1) * dsub]
+                lut[qi, c, j] = ((dj[None, :] - books[j]) ** 2).sum(axis=1)
+        probe_mask[qi, q_cells[qi]] = True
+    ref = ray.put((q_ids, lut, probe_mask))
+
+    codes_ds = pq_encode(ds, cn, books, id_col, vec_col)
+
+    def _scan(t: pa.Table) -> pa.Table:
+        ids_b, lut_b, mask_b = ray.get(ref)
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"q": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "score_e6": pa.array([], pa.int64())})
+        vids = _ids_np(t, id_col)
+        cells = t["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        import pyarrow.compute as pc
+        codes = pc.list_flatten(t["code"].combine_chunks()).to_numpy(
+            zero_copy_only=False).reshape(n, -1)
+        jj = np.arange(codes.shape[1])[None, :]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(ids_b)):
+            rows = np.flatnonzero(mask_b[qi, cells] & (vids != ids_b[qi]))
+            if len(rows) == 0:
+                continue
+            d2 = lut_b[qi, cells[rows][:, None], jj, codes[rows]].sum(axis=1)
+            s = np.rint((1.0 - d2 / 2.0) * 1e6).astype(np.int64)
+            if len(rows) > k:
+                kth = np.partition(-s, k - 1)[k - 1]
+                keep = -s <= kth
+                rows, s = rows[keep], s[keep]
+            out_q.append(np.full(len(rows), ids_b[qi], dtype=np.int64))
+            out_v.append(vids[rows])
+            out_s.append(s)
+        if not out_q:
+            return pa.table({"q": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "score_e6": pa.array([], pa.int64())})
+        return pa.table({"q": np.concatenate(out_q),
+                         id_col: np.concatenate(out_v),
+                         "score_e6": np.concatenate(out_s)})
+
+    cand = codes_ds.map_batches(_scan, batch_format="pyarrow")
+
+    def _make_topk(kk: int):
+        def _topk(t: pa.Table) -> pa.Table:
+            qs = t["q"].to_numpy(zero_copy_only=False)
+            vs = t[id_col].to_numpy(zero_copy_only=False)
+            ss = t["score_e6"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((vs, -ss))[:kk]
+            return pa.table({"q": qs[order], id_col: vs[order],
+                             "score_e6": ss[order]})
+        return _topk
+
+    if rerank > k:
+        # refine: exact-rescore the bounded Q*R shortlist in one raw pass
+        short = pa.concat_tables(list(
+            cand.groupby("q").map_groups(_make_topk(rerank),
+                                         batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")))
+        allow: dict[int, np.ndarray] = {}
+        sq = short["q"].to_numpy(zero_copy_only=False)
+        sv = short[id_col].to_numpy(zero_copy_only=False)
+        for qi, qid in enumerate(q_ids):
+            allow[int(qid)] = np.sort(sv[sq == qid])
+        rref = ray.put((q_ids, qn, allow))
+
+        def _rescore(t: pa.Table) -> pa.Table:
+            ids_b, qn_b, allow_b = ray.get(rref)
+            X = _batch_matrix(t, vec_col)
+            if X.shape[0] == 0:
+                return pa.table({"q": pa.array([], pa.int64()),
+                                 id_col: pa.array([], pa.int64()),
+                                 "score_e6": pa.array([], pa.int64())})
+            vids = _ids_np(t, id_col)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                                1e-300)
+            sims = np.rint((Xn @ qn_b.T) * 1e6).astype(np.int64)
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(ids_b)):
+                rows = np.flatnonzero(
+                    np.isin(vids, allow_b[int(ids_b[qi])]))
+                out_q.append(np.full(len(rows), ids_b[qi], dtype=np.int64))
+                out_v.append(vids[rows])
+                out_s.append(sims[rows, qi])
+            return pa.table({"q": np.concatenate(out_q),
+                             id_col: np.concatenate(out_v),
+                             "score_e6": np.concatenate(out_s)})
+
+        cand = ds.select_columns([id_col, vec_col]).map_batches(
+            _rescore, batch_format="pyarrow")
+
+    return cand.groupby("q").map_groups(_make_topk(k),
+                                        batch_format="pyarrow") \
+               .sort(["q", "score_e6", id_col],
+                     descending=[False, True, False])

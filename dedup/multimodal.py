@@ -14,11 +14,14 @@ vector so the plumbing is testable end-to-end without media libs;
 ``MediaDecoder(strict=True)`` raises NotImplementedError at the decode
 step, marking the boundary explicitly.
 
-One modality IS decoded for real: ``WavFeatureExtractor`` parses
+Two modalities ARE decoded for real: ``WavFeatureExtractor`` parses
 RIFF/WAVE 16-bit PCM payloads with the stdlib ``wave`` module (header
-fields + a vectorized numpy frame scan for peak amplitude) — no media
-library needed — so the audio path is a genuine bytes-in/features-out
-decode stage, oracle-checkable end to end.  Malformed payloads route to
+fields + a vectorized numpy frame scan for peak amplitude), and
+``PpmImageDecoder`` / ``PpmResizer`` parse binary netpbm (PPM/PGM)
+image payloads (header tokens + numpy raster scan; nearest-neighbor
+resample for the resize stage) — no media library needed — so the audio
+and image paths are genuine bytes-in/features-out decode stages,
+oracle-checkable end to end.  Malformed payloads route to
 ``decoded = 0`` rows (per-row error tolerance, the reference's silent
 per-file catch analogue, MainViewModel.cs:932-935).
 """
@@ -199,6 +202,197 @@ def wav_features(ds: ray.data.Dataset, id_col: str = "doc_id",
     return ds.map_batches(
         WavFeatureExtractor,
         fn_constructor_kwargs={"id_col": id_col},
+        batch_size=batch_size,
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
+
+
+def ppm_bytes(width: int, height: int, value: int, channels: int = 3,
+              maxval: int = 255) -> bytes:
+    """Canonical binary PPM (P6, rgb) / PGM (P5, gray) payload: every
+    sample equal to ``value`` — well-formed by construction, with a
+    comment line in the header so parsers must handle them.  Used by
+    tests/fixtures; the decoder below parses the bytes, never this
+    code."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (PGM) or 3 (PPM)")
+    magic = b"P6" if channels == 3 else b"P5"
+    header = b"%s\n# synth\n%d %d\n%d\n" % (magic, width, height, maxval)
+    nsamp = width * height * channels
+    if maxval > 255:
+        body = struct.pack(">H", value) * nsamp
+    else:
+        body = bytes([value]) * nsamp
+    return header + body
+
+
+class PpmImageDecoder:
+    """Actor-pool ``map_batches`` stage decoding binary PPM (P6) / PGM
+    (P5) image payloads into typed features — the second REAL decode
+    path (pure header parse + numpy raster scan; no media libs).
+
+    Input columns:  ``id_col`` (int64), ``payload`` (binary).
+    Output columns: id_col, width, height, n_channels, maxval,
+    pixel_sum (sum of all samples), peak_val (max sample), decoded
+    (1/0) — all int64 so a DuckDB oracle hash-matches exactly.
+    Malformed / truncated / null payloads yield decoded=0 rows with
+    null features.  Handles 1- and 2-byte samples (maxval > 255 is
+    big-endian per the netpbm spec) and ``#`` header comments."""
+
+    _FEATS = ("width", "height", "n_channels", "maxval", "pixel_sum",
+              "peak_val")
+
+    def __init__(self, id_col: str = "doc_id") -> None:
+        self.id_col = id_col  # a real codec would load its context here
+
+    @staticmethod
+    def _header_tokens(payload: bytes, n: int) -> tuple[list[int], int]:
+        """Parse n whitespace-separated ASCII ints after the magic,
+        skipping '#' comments; returns (tokens, offset past the single
+        whitespace byte that terminates the last token)."""
+        toks: list[int] = []
+        i = 2  # past magic
+        cur = b""
+        while len(toks) < n:
+            if i >= len(payload):
+                raise ValueError("truncated header")
+            c = payload[i:i + 1]
+            if c == b"#":
+                while i < len(payload) and payload[i:i + 1] != b"\n":
+                    i += 1
+            elif c in b" \t\r\n":
+                if cur:
+                    toks.append(int(cur))
+                    cur = b""
+            elif c.isdigit():
+                cur += c
+            else:
+                raise ValueError(f"bad header byte {c!r}")
+            i += 1
+        return toks, i
+
+    def _parse(self, payload: bytes) -> tuple[int, ...]:
+        magic = payload[:2]
+        if magic == b"P6":
+            ch = 3
+        elif magic == b"P5":
+            ch = 1
+        else:
+            raise ValueError(f"unsupported magic {magic!r}")
+        (w, h, maxval), off = self._header_tokens(payload, 3)
+        if not (0 < maxval < 65536) or w <= 0 or h <= 0:
+            raise ValueError("bad dimensions")
+        nsamp = w * h * ch
+        dtype = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+        raster = payload[off:off + nsamp * dtype.itemsize]
+        if len(raster) < nsamp * dtype.itemsize:
+            raise ValueError("truncated raster")
+        samples = np.frombuffer(raster, dtype=dtype)
+        return (w, h, ch, maxval, int(samples.sum(dtype=np.int64)),
+                int(samples.max()) if samples.size else 0)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols: dict[str, list] = {k: [None] * n for k in self._FEATS}
+        decoded = [0] * n
+        for i, payload in enumerate(t["payload"].to_pylist()):
+            if payload is None:
+                continue
+            try:
+                vals = self._parse(payload)
+            except (ValueError, struct.error):
+                continue  # decoded stays 0, features stay null
+            for k, v in zip(cols, vals):
+                cols[k][i] = v
+            decoded[i] = 1
+        out = {self.id_col: t[self.id_col]}
+        out.update({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+        out["decoded"] = pa.array(decoded, pa.int64())
+        return pa.table(out)
+
+
+def image_features(ds: ray.data.Dataset, id_col: str = "doc_id",
+                   batch_size: int = 64,
+                   concurrency=(1, 4)) -> ray.data.Dataset:
+    """(id, payload) media table -> typed image features via the real
+    netpbm decoder.  Small batch_size: payload bytes, not row count, is
+    the worker-heap unit."""
+    return ds.map_batches(
+        PpmImageDecoder,
+        fn_constructor_kwargs={"id_col": id_col},
+        batch_size=batch_size,
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
+
+
+class PpmResizer(PpmImageDecoder):
+    """Actor-pool resize stage: decode netpbm payload, nearest-neighbor
+    resample to (out_w, out_h) with the classic integer grid map
+    src = floor(dst * in / out), re-encode as a minimal netpbm payload.
+    Output: id, payload (resized bytes), width, height, decoded —
+    malformed inputs route to decoded=0 with null payload.  The resample
+    itself is one numpy fancy-index per image; per-payload iteration is
+    inherent to opaque binary columns (same posture as the decoders)."""
+
+    def __init__(self, out_w: int = 32, out_h: int = 32,
+                 id_col: str = "doc_id") -> None:
+        super().__init__(id_col)
+        self.out_w, self.out_h = out_w, out_h
+
+    def _resize(self, payload: bytes) -> bytes:
+        magic = payload[:2]
+        ch = {b"P6": 3, b"P5": 1}.get(magic)
+        if ch is None:
+            raise ValueError(f"unsupported magic {magic!r}")
+        (w, h, maxval), off = self._header_tokens(payload, 3)
+        if not (0 < maxval < 65536) or w <= 0 or h <= 0:
+            raise ValueError("bad dimensions")
+        dtype = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+        nsamp = w * h * ch
+        raster = payload[off:off + nsamp * dtype.itemsize]
+        if len(raster) < nsamp * dtype.itemsize:
+            raise ValueError("truncated raster")
+        img = np.frombuffer(raster, dtype=dtype).reshape(h, w, ch)
+        ys = (np.arange(self.out_h) * h) // self.out_h
+        xs = (np.arange(self.out_w) * w) // self.out_w
+        out = img[ys[:, None], xs[None, :]]
+        header = b"%s\n%d %d\n%d\n" % (magic, self.out_w, self.out_h, maxval)
+        return header + out.tobytes()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        payloads: list[bytes | None] = [None] * n
+        decoded = [0] * n
+        for i, payload in enumerate(t["payload"].to_pylist()):
+            if payload is None:
+                continue
+            try:
+                payloads[i] = self._resize(payload)
+            except (ValueError, struct.error):
+                continue
+            decoded[i] = 1
+        return pa.table({
+            self.id_col: t[self.id_col],
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([self.out_w if d else None for d in decoded],
+                              pa.int64()),
+            "height": pa.array([self.out_h if d else None for d in decoded],
+                               pa.int64()),
+            "decoded": pa.array(decoded, pa.int64()),
+        })
+
+
+def resize_images(ds: ray.data.Dataset, out_w: int = 32, out_h: int = 32,
+                  id_col: str = "doc_id", batch_size: int = 64,
+                  concurrency=(1, 4)) -> ray.data.Dataset:
+    """(id, payload) -> (id, resized payload, width, height, decoded)
+    via nearest-neighbor netpbm resize (actor pool, small batches)."""
+    return ds.map_batches(
+        PpmResizer,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h,
+                               "id_col": id_col},
         batch_size=batch_size,
         concurrency=concurrency,
         batch_format="pyarrow",
