@@ -1103,6 +1103,23 @@ def _q_quota_sample(sf_dir: str):
     return textstats.quota_sample(_docs(sf_dir, ["doc_id", "lang"]), k=30)
 
 
+def _q_corpus_shuffle(sf_dir: str):
+    """Deterministic global training-order shuffle: shuffle_rank = the
+    row's position under the (md5(doc_id), doc_id) pseudo-random total
+    order — computed with the two-phase bucket scan (256 md5-prefix
+    buckets, driver cumsum of the tiny count table), never a global
+    sort.  Oracle = row_number() over the same order."""
+    return textstats.corpus_shuffle(_docs(sf_dir, ["doc_id"]))
+
+
+def _q_temperature_sample(sf_dir: str):
+    """Square-root temperature mixing (alpha=0.5 multilingual rebalance):
+    each lang downsampled to floor(budget * sqrt(n_g) / sum sqrt(n_h)),
+    accepting its quota of smallest-(md5, id) docs."""
+    return textstats.temperature_sample(
+        _docs(sf_dir, ["doc_id", "lang"]), budget=300)
+
+
 def _q_minhash_dedup(sf_dir: str):
     cfg = DOCUMENTS_CONFIG.with_(exact=False, simhash=False, substring=False,
                                  min_doc_bytes=_MIN)
@@ -1484,6 +1501,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- below the driver's 50-row cap: oracle-checked in-repo ----
         "exact_dedup_blake2b": _q_exact_dedup_blake2b,
         "normalized_dedup_longest": _q_normalized_dedup_longest,
+        "corpus_shuffle": _q_corpus_shuffle,
+        "temperature_sample": _q_temperature_sample,
         "events_dedup_props": _q_events_dedup_props,
         "paragraph_dedup": _q_paragraph_dedup,
         "token_doc_freq": _q_token_doc_freq,
@@ -2353,6 +2372,28 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
               FROM documents)
             WHERE rn <= 30 ORDER BY lang, doc_id""",
+        "corpus_shuffle": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+                     AS BIGINT) AS shuffle_rank
+            FROM documents ORDER BY doc_id""",
+        "temperature_sample": """
+            WITH cnt AS (SELECT lang, count(*) AS n
+                         FROM documents GROUP BY lang),
+            tot AS (SELECT sum(sqrt(CAST(n AS DOUBLE))) AS d FROM cnt),
+            q AS (SELECT lang,
+                         LEAST(n, CAST(floor(300 * sqrt(CAST(n AS DOUBLE))
+                                             / d) AS BIGINT)) AS m
+                  FROM cnt, tot),
+            r AS (SELECT doc_id, lang,
+                         row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                    doc_id) AS rn
+                  FROM documents)
+            SELECT r.lang, r.doc_id FROM r JOIN q USING (lang)
+            WHERE rn <= m ORDER BY lang, doc_id""",
         "embedding_dup_pairs": """
             SELECT a.vec_id AS a, b.vec_id AS b,
                    CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -577,3 +577,152 @@ def doc_fingerprints(ds: ray.data.Dataset, id_col: str = "doc_id",
                          "fingerprint": pa.array(fps, pa.uint64())})
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def corpus_shuffle(ds: ray.data.Dataset, id_col: str = "doc_id",
+                   carry_cols: tuple[str, ...] = (),
+                   num_partitions: int = 32) -> ray.data.Dataset:
+    """Deterministic global training-order shuffle: every row gets
+    ``shuffle_rank`` = its 0-based position under the pseudo-random
+    total order (md5(id) hex, id) — the content-independent permutation
+    a training run reads the corpus in, reproducible across engines
+    (DuckDB's row_number over the same md5 order matches exactly).
+
+    Scale shape — NO global sort: md5 is uniform, so the first hex byte
+    buckets the corpus into 256 balanced ranges; a combiner counts rows
+    per (batch, bucket), the driver cumsums the tiny 256-row table into
+    bucket offsets, and one groupapply per bucket assigns
+    rank = bucket_offset + local (h, id) sort index.  The shuffle
+    carries only (id, 32-byte hex, carry_cols); at any parallelism the
+    ranks are a permutation of [0, n)."""
+    import hashlib
+    from .dist import groupapply
+
+    def _hash(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        hx = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        bucket = np.array([int(h[:2], 16) for h in hx], dtype=np.uint64)
+        cols = {id_col: t[id_col], "h": pa.array(hx, pa.string()),
+                "bucket": pa.array(bucket, pa.uint64())}
+        for c in carry_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    hashed = ds.map_batches(_hash, batch_format="pyarrow")
+
+    def _counts(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(uniq, pa.int64()),
+                         "c": pa.array(cnt, pa.int64())})
+
+    totals = hashed.map_batches(_counts, batch_format="pyarrow") \
+                   .groupby("bucket").sum("c").sort("bucket")
+    bk_l, c_l = [], []
+    for b in totals.iter_batches(batch_format="pyarrow"):
+        bk_l.append(b["bucket"].to_numpy(zero_copy_only=False))
+        c_l.append(b["sum(c)"].to_numpy(zero_copy_only=False))
+    bks = np.concatenate(bk_l).astype(np.int64) if bk_l else \
+        np.zeros(0, np.int64)
+    cnts = np.concatenate(c_l).astype(np.int64) if c_l else \
+        np.zeros(0, np.int64)
+    offs = np.concatenate([[0], np.cumsum(cnts)[:-1]]) if len(cnts) \
+        else cnts
+    bcast = ray.put((bks, offs))
+
+    def _rank(t: pa.Table) -> pa.Table:
+        bks_b, offs_b = ray.get(bcast)
+        n = t.num_rows
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "shuffle_rank": pa.array([], pa.int64())})
+        idx = pc.sort_indices(t, sort_keys=[("bucket", "ascending"),
+                                            ("h", "ascending"),
+                                            (id_col, "ascending")])
+        t2 = t.take(idx)
+        b = t2["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        brk = np.concatenate([[0], np.flatnonzero(b[1:] != b[:-1]) + 1,
+                              [n]])
+        rank = np.empty(n, dtype=np.int64)
+        for s, e in zip(brk[:-1], brk[1:]):
+            off = offs_b[np.searchsorted(bks_b, b[s])]
+            rank[s:e] = off + np.arange(e - s)
+        out = {id_col: t2[id_col],
+               "shuffle_rank": pa.array(rank, pa.int64())}
+        for c in t2.column_names:
+            if c not in (id_col, "h", "bucket"):
+                out[c] = t2[c]
+        return pa.table(out)
+
+    return groupapply(hashed, "bucket", _rank, num_partitions) \
+        .sort(id_col)
+
+
+def temperature_sample(ds: ray.data.Dataset, budget: int,
+                       group_col: str = "lang", id_col: str = "doc_id",
+                       num_partitions: int = 32) -> ray.data.Dataset:
+    """Square-root temperature mixing (the multilingual-corpus rebalance
+    of Raffel et al. 2020 / Conneau & Lample 2019, at alpha = 0.5):
+    group g gets a target share proportional to sqrt(n_g), so
+    low-resource groups are upweighted relative to their raw share.
+    Each group is then downsampled deterministically to
+    m_g = floor(budget * sqrt(n_g) / sum_h sqrt(n_h)) capped at n_g,
+    accepting the docs whose md5(id) uint32 prefix clears the group's
+    integer cutoff — content-independent and engine-reproducible.
+
+    Exactness discipline: the only float math is sqrt (correctly
+    rounded IEEE in both numpy and DuckDB) and one mul/div chain in a
+    fixed order; the accept test itself is an integer compare of
+    md5-prefix * 2^32 against cutoff ranks, realized as "the m_g
+    smallest (md5, id) keys per group" so ties and boundaries are
+    unambiguous.  Scale shape = quota_sample's: per-batch prune to the
+    group quota BEFORE the exchange, so the shuffle carries
+    O(batches * groups * m_g) rows — except m_g here is data-derived
+    (one tiny count groupby) instead of a constant."""
+    import hashlib
+
+    counts = {}
+    for b in ds.groupby(group_col).count().iter_batches(
+            batch_format="pyarrow"):
+        for g_, c_ in zip(b[group_col].to_pylist(),
+                          b["count()"].to_pylist()):
+            counts[g_] = int(c_)
+    groups = sorted(counts)
+    denom = float(np.sum([np.sqrt(float(counts[g_])) for g_ in groups]))
+    quota = {g_: min(counts[g_],
+                     int(np.floor(budget * np.sqrt(float(counts[g_]))
+                                  / denom)))
+             for g_ in groups}
+
+    def _rank(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        h = pa.array([hashlib.md5(str(i).encode()).hexdigest()
+                      for i in ids], pa.string())
+        return pa.table({group_col: t[group_col], id_col: t[id_col],
+                         "h": h})
+
+    def _prune(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(group_col, "ascending"),
+                                            ("h", "ascending"),
+                                            (id_col, "ascending")])
+        t2 = t.take(idx)
+        g = t2[group_col].to_numpy(zero_copy_only=False)
+        brk = np.concatenate([[0], np.flatnonzero(g[1:] != g[:-1]) + 1,
+                              [len(g)]])
+        keep = np.concatenate(
+            [np.arange(s, min(s + quota.get(g[s], 0), e))
+             for s, e in zip(brk[:-1], brk[1:])]) \
+            if len(g) else np.zeros(0, dtype=np.int64)
+        return t2.take(pa.array(keep))
+
+    def _final(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("h", "ascending"),
+                                            (id_col, "ascending")])
+        k = quota.get(t[group_col][0].as_py(), 0) if t.num_rows else 0
+        return t.take(idx[:k]).drop_columns(["h"])
+
+    ranked = ds.select_columns([group_col, id_col]) \
+               .map_batches(_rank, batch_format="pyarrow") \
+               .map_batches(_prune, batch_format="pyarrow")
+    return ranked.groupby(group_col).map_groups(
+        _final, batch_format="pyarrow").sort([group_col, id_col])
