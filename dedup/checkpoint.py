@@ -67,14 +67,31 @@ class Runner:
         r.finish()
     """
 
-    def __init__(self, root: str, config_fingerprint: str) -> None:
+    def __init__(self, root: str, config_fingerprint: str,
+                 planned_stages: tuple[str, ...] = ()) -> None:
         self.dir = os.path.join(root, config_fingerprint)
         os.makedirs(self.dir, exist_ok=True)
         self.fingerprint = config_fingerprint
         self.metrics: dict[str, dict] = {}
+        self.planned = tuple(planned_stages)
+        self._t_start = time.time()
         cfg_path = os.path.join(self.dir, "config_fingerprint")
         with open(cfg_path, "w") as fh:
             fh.write(config_fingerprint)
+
+    def eta_sec(self) -> float | None:
+        """Remaining-time estimate after the stages recorded so far —
+        the reference's ETA rule elapsed * (1 - p) / p
+        (MainViewModel.cs:1580-1608) with p = completed / planned
+        stages.  None until progress is measurable or when no stage
+        plan was declared."""
+        if not self.planned or not self.metrics:
+            return None
+        p = min(1.0, len(self.metrics) / len(self.planned))
+        if p <= 0:
+            return None
+        elapsed = time.time() - self._t_start
+        return round(elapsed * (1.0 - p) / p, 3)
 
     # ------------------------------------------------------------------
     def _stage_dir(self, name: str) -> str:
@@ -151,6 +168,9 @@ class Runner:
             "wall_sec": round(wall, 3),
             "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
         }
+        eta = self.eta_sec()
+        if eta is not None:
+            self.metrics[name]["eta_sec"] = eta
         if rows == 0:
             return ray.data.from_arrow(schema.empty_table())
         return ray.data.read_parquet(data_dir)

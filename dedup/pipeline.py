@@ -1477,7 +1477,14 @@ def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig,
         iid = input_identity(ds)
         if iid:
             key = f"{key}-{iid}"
-        runner = Runner(cfg.checkpoint_dir, key)
+        planned = ["prepare"]
+        planned += [f"edges_{m}" for m, on in
+                    (("exact", cfg.exact), ("minhash", cfg.near),
+                     ("simhash", cfg.simhash),
+                     ("substring", cfg.substring)) if on]
+        planned += ["labels", "assignments"]
+        runner = Runner(cfg.checkpoint_dir, key,
+                        planned_stages=tuple(planned))
 
     def ck(name, fn, inputs=()):
         """Checkpoint a stage when a checkpoint dir is configured, else

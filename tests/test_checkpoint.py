@@ -122,3 +122,22 @@ def test_input_change_invalidates(tmp_path):
                                 check_html=False, num_partitions=4))
     assert set(out_a2) == set(out_b)
     assert len(os.listdir(str(tmp_path / "ckpt"))) == 3
+
+
+def test_eta_formula(tmp_path):
+    # reference rule: eta = elapsed * (1 - p) / p, p = done/planned
+    # (MainViewModel.cs:1580-1608 analogue)
+    import time
+    from dedup.checkpoint import Runner
+    r = Runner(str(tmp_path), "cfgX", planned_stages=("a", "b", "c", "d"))
+    assert r.eta_sec() is None          # nothing done yet
+    r._t_start = time.time() - 30.0     # pretend 30s elapsed
+    r.metrics["a"] = {"wall_sec": 30.0}
+    eta = r.eta_sec()
+    assert eta is not None and abs(eta - 90.0) < 1.0   # 30 * 0.75/0.25
+    r.metrics.update({"b": {}, "c": {}, "d": {}})
+    assert r.eta_sec() is not None and r.eta_sec() < 1.0
+    # no plan declared -> no estimate
+    r2 = Runner(str(tmp_path), "cfgY")
+    r2.metrics["a"] = {}
+    assert r2.eta_sec() is None
