@@ -861,11 +861,32 @@ def _paired_indices(t: pa.Table):
 
 
 #: Candidate-payload bytes under which verification broadcasts the
-#: filtered payload table once (ray.put, zero-copy plasma reads) and
-#: judges pairs in a single map pass — no payload ever enters a shuffle.
-#: Above it, the reduce-side attach_payloads path runs (scales with the
-#: corpus; payload volume through the shuffle is O(pairs)).
-VERIFY_BROADCAST_BYTES = 2 << 30
+#: filtered payload table once (ray.put) and judges pairs in a single
+#: map pass — no payload ever enters a shuffle.  Above it, the
+#: reduce-side attach_payloads path runs (scales with the corpus;
+#: payload volume through the shuffle is O(pairs)).  The bound is
+#: PER-WORKER heap (every map worker deserializes its own copy of the
+#: broadcast tuple), so it must stay small relative to worker heap x
+#: concurrency: 256 MB x 32 workers = 8 GB aggregate worst case.  The
+#: r3 substring scale probe showed why 2 GiB was wrong: 12 workers each
+#: held a multi-GB payload copy and the host OOM-killed tasks.
+VERIFY_BROADCAST_BYTES = 2 << 27
+
+#: Target candidate pairs per verify partition for the judge stages
+#: whose per-group cost is superlinear in group payload (the
+#: suffix-table judge) or per-pair Python (the generic verdict): the
+#: attach/judge shuffle is re-partitioned to
+#: max(P, n_pairs / VERIFY_PAIRS_PER_PART) so per-group text volume —
+#: and therefore the per-task suffix-table build — stays bounded no
+#: matter how large the candidate set grows.  Output is
+#: partition-count-independent (per-pair verdicts), so this only moves
+#: work, never answers.
+VERIFY_PAIRS_PER_PART = 10_000
+
+#: Extra broadcast gate for the suffix-table judge: above this many
+#: candidate pairs the per-batch table rebuilds dominate even when the
+#: payload bytes fit, so go reduce-side.
+SA_BROADCAST_PAIRS = 200_000
 
 
 def _filtered_payload(pairs: ray.data.Dataset, payload: ray.data.Dataset,
@@ -1003,7 +1024,8 @@ def verify_pairs(pairs: ray.data.Dataset, payload: ray.data.Dataset,
     judged in a single map pass; larger sets go through the reduce-side
     attach shuffle."""
     pairs = pairs.materialize()
-    if 2 * pairs.count() <= ATTACH_BROADCAST_THRESHOLD:
+    n_pairs = pairs.count()
+    if 2 * n_pairs <= ATTACH_BROADCAST_THRESHOLD:
         cand, small = _filtered_payload(pairs, payload, payload_col)
         if small.size_bytes() <= VERIFY_BROADCAST_BYTES:
             nodes, pays = _collect_payload(small, payload_col)
@@ -1028,6 +1050,8 @@ def verify_pairs(pairs: ray.data.Dataset, payload: ray.data.Dataset,
 
             return pairs.map_batches(_judge_bcast, batch_format="pyarrow")
         payload = small  # pre-filtered for the shuffle path
+    # bound per-group payload for the per-pair Python verdict
+    P = max(P, 1 + n_pairs // VERIFY_PAIRS_PER_PART)
     attached = attach_payloads(pairs, payload, payload_col, P)
 
     def _judge(t: pa.Table) -> pa.Table:
@@ -1080,9 +1104,11 @@ def verify_pairs_shared_run(pairs: ray.data.Dataset, payload: ray.data.Dataset,
         return keep
 
     pairs = pairs.materialize()
-    if 2 * pairs.count() <= ATTACH_BROADCAST_THRESHOLD:
+    n_pairs = pairs.count()
+    if 2 * n_pairs <= ATTACH_BROADCAST_THRESHOLD:
         cand, small = _filtered_payload(pairs, payload, payload_col)
-        if small.size_bytes() <= VERIFY_BROADCAST_BYTES:
+        if n_pairs <= SA_BROADCAST_PAIRS and \
+                small.size_bytes() <= VERIFY_BROADCAST_BYTES:
             nodes, pays = _collect_payload(small, payload_col)
             ref = ray.put((nodes, pays))
 
@@ -1104,6 +1130,9 @@ def verify_pairs_shared_run(pairs: ray.data.Dataset, payload: ray.data.Dataset,
 
             return pairs.map_batches(_judge_bcast, batch_format="pyarrow")
         payload = small  # pre-filtered for the shuffle path
+    # pair-count-aware verify partitioning: per-group text volume (and
+    # the per-group suffix-table build) stays bounded as pairs grow
+    P = max(P, 1 + n_pairs // VERIFY_PAIRS_PER_PART)
     attached = attach_payloads(pairs, payload, payload_col, P)
 
     def _judge(t: pa.Table) -> pa.Table:

@@ -74,18 +74,32 @@ def _codepoints(s: str) -> np.ndarray:
     return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
 
 
+#: per-process memo of geometric power arrays B^0..B^k — the cumprod
+#: chain is serial (non-SIMD) and was the hot spot of per-doc window
+#: hashing; powers depend only on the base, so each worker computes
+#: them once at the largest length seen and slices thereafter.
+_POW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _powers(base: np.uint64, n: int) -> np.ndarray:
+    arr = _POW_CACHE.get(int(base))
+    if arr is None or len(arr) < n:
+        size = n if arr is None else max(n, 2 * len(arr))
+        pw = np.ones(size, dtype=np.uint64)
+        pw[1:] = base
+        arr = np.cumprod(pw, dtype=np.uint64)
+        _POW_CACHE[int(base)] = arr
+    return arr[:n]
+
+
 def _window_hashes(cp: np.ndarray, L: int,
                    base: np.uint64, base_inv: np.uint64) -> np.ndarray:
     """Rolling hash of every length-L window (len(cp)-L+1 values),
     fully vectorized: S[k] = sum cp[t]*B^t, H[o] = (S[o+L]-S[o])*B^-o.
     uint64 arithmetic wraps mod 2^64 by construction."""
     n = len(cp)
-    pw = np.ones(n, dtype=np.uint64)
-    pw[1:] = base
-    pw = np.cumprod(pw, dtype=np.uint64)            # B^t
-    inv = np.ones(n - L + 1, dtype=np.uint64)
-    inv[1:] = base_inv
-    inv = np.cumprod(inv, dtype=np.uint64)          # B^-o
+    pw = _powers(base, n)                           # B^t (memoized)
+    inv = _powers(base_inv, n - L + 1)              # B^-o (memoized)
     s = np.zeros(n + 1, dtype=np.uint64)
     np.cumsum(cp.astype(np.uint64) * pw, out=s[1:])
     return (s[L:] - s[:-L]) * inv

