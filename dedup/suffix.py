@@ -162,10 +162,21 @@ def shared_run_pairs(node_ids: np.ndarray, texts: list[bytes], L: int,
     # segment boundaries of equal-class runs
     brk = np.concatenate(
         [[0], np.flatnonzero(h[1:] != h[:-1]) + 1, [len(h)]])
-    us, vs, pus, pvs = [], [], [], []
-    for s, e in zip(brk[:-1], brk[1:]):
-        if e - s < 2:
-            continue
+    seg_len = np.diff(brk)
+    multi = np.flatnonzero(seg_len >= 2)  # singleton classes dominate the
+    us, vs, pus, pvs = [], [], [], []     # class count; never loop them
+    two = multi[seg_len[multi] == 2]      # size-2 classes in one shot
+    if len(two):
+        s2 = brk[two]
+        a_nd, b_nd = node_ids[d[s2]], node_ids[d[s2 + 1]]
+        a_p, b_p = p[s2], p[s2 + 1]
+        swap = a_nd > b_nd
+        us.append(np.where(swap, b_nd, a_nd))
+        vs.append(np.where(swap, a_nd, b_nd))
+        pus.append(np.where(swap, b_p, a_p))
+        pvs.append(np.where(swap, a_p, b_p))
+    for si in multi[seg_len[multi] > 2]:
+        s, e = int(brk[si]), int(brk[si + 1])
         o = np.argsort(node_ids[d[s:e]], kind="stable")
         nd = node_ids[d[s:e]][o]
         ps = p[s:e][o]
