@@ -831,6 +831,34 @@ def _q_paragraph_dedup(sf_dir: str):
     return line_dedup(corpus, sep="\n\n").sort("doc_id")
 
 
+def _q_paragraph_quality(sf_dir: str):
+    """jusText-style paragraph boilerplate classification over the same
+    derived banner/footer corpus as paragraph_dedup (the raw fixture is
+    single-paragraph): per-doc counts of short / boilerplate / good
+    paragraphs + good-paragraph char volume, all-integer arithmetic."""
+    docs = _docs(sf_dir, ["doc_id", "text", "lang", "source"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        head = pc.binary_join_element_wise(
+            "banner", pc.fill_null(t["lang"], ""), " ")
+        foot = pc.binary_join_element_wise(
+            "footer", pc.fill_null(t["source"], ""), " ")
+        full = pc.binary_join_element_wise(head, txt, foot, "\n\n")
+        return pa.table({"doc_id": t["doc_id"], "text": full})
+
+    corpus = docs.map_batches(_mk, batch_format="pyarrow")
+    return textstats.paragraph_quality(corpus).sort("doc_id")
+
+
+def _q_unigram_surprisal(sf_dir: str):
+    """Per-doc mean unigram surprisal (CCNet-style LM-quality signal):
+    corpus unigram distribution -> per-token floor-e6 log-probs ->
+    integer per-doc mean; common-token docs score low."""
+    return textstats.unigram_surprisal(_docs(sf_dir, ["doc_id", "text"])) \
+        .sort("doc_id")
+
+
 def _q_url_dedup(sf_dir: str):
     """Canonical-URL crawl dedup over a derived URL corpus: every doc
     gets one of five URL spellings (https+www / http / bare+slash /
@@ -1506,6 +1534,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_supplier_stats": _q_region_supplier_stats,
         "events_dedup_props": _q_events_dedup_props,
         "paragraph_dedup": _q_paragraph_dedup,
+        "paragraph_quality": _q_paragraph_quality,
+        "unigram_surprisal": _q_unigram_surprisal,
         "token_doc_freq": _q_token_doc_freq,
         "lang_sources": _q_lang_sources,
         "top_customers": _q_top_customers,
@@ -2395,6 +2425,64 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             SELECT r.lang, r.doc_id FROM r JOIN q USING (lang)
             WHERE rn <= m ORDER BY lang, doc_id""",
+        "paragraph_quality": """
+            WITH corpus AS (
+              SELECT doc_id,
+                     'banner ' || coalesce(lang, '') || chr(10) || chr(10) ||
+                     coalesce(text, '') || chr(10) || chr(10) ||
+                     'footer ' || coalesce(source, '') AS fulltxt
+              FROM documents),
+            p AS (SELECT doc_id,
+                         unnest(string_split(fulltxt, chr(10) || chr(10)))
+                           AS para
+                  FROM corpus),
+            f AS (SELECT doc_id, length(para) AS n_chars,
+                         len(list_filter(string_split_regex(para, '\\s+'),
+                             x -> x <> '')) AS n_tokens,
+                         len(list_filter(string_split_regex(para, '\\s+'),
+                             x -> list_contains(
+                               ['an','and','are','as','at','be','by','for',
+                                'in','is','it','of','on','or','that','the',
+                                'this','to','was','with'], x))) AS n_stop
+                  FROM p),
+            c AS (SELECT doc_id, n_chars,
+                         CASE WHEN n_chars < 40 THEN 0
+                              WHEN n_stop * 4 < n_tokens THEN 1
+                              ELSE 2 END AS cls
+                  FROM f)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+                   CAST(sum(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_short,
+                   CAST(sum(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_boiler,
+                   CAST(sum(CASE WHEN cls = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_good,
+                   CAST(sum(CASE WHEN cls = 2 THEN n_chars ELSE 0 END)
+                     AS BIGINT) AS good_chars
+            FROM c GROUP BY doc_id ORDER BY doc_id""",
+        "unigram_surprisal": """
+            WITH toks AS (
+              SELECT doc_id, t AS tok FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(text, '\\s+')) AS t
+                FROM documents)
+              WHERE t <> ''),
+            tot AS (SELECT count(*) AS c FROM toks),
+            freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+            lp AS (SELECT tok,
+                          CAST(floor(ln(c / (SELECT c FROM tot)) * 1e6)
+                            AS BIGINT) AS lp6
+                   FROM freq),
+            d AS (SELECT t.doc_id, count(*) AS n_tokens,
+                         sum(l.lp6) AS s
+                  FROM toks t JOIN lp l ON l.tok = t.tok
+                  GROUP BY t.doc_id)
+            SELECT doc.doc_id,
+                   CAST(coalesce(d.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce((-d.s) // d.n_tokens, 0) AS BIGINT)
+                     AS surprisal_e6
+            FROM documents doc LEFT JOIN d ON d.doc_id = doc.doc_id
+            ORDER BY doc.doc_id""",
         "embedding_dup_pairs": """
             SELECT a.vec_id AS a, b.vec_id AS b,
                    CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -872,16 +872,36 @@ def _paired_indices(t: pa.Table):
 #: held a multi-GB payload copy and the host OOM-killed tasks.
 VERIFY_BROADCAST_BYTES = 2 << 27
 
-#: Target candidate pairs per verify partition for the judge stages
-#: whose per-group cost is superlinear in group payload (the
-#: suffix-table judge) or per-pair Python (the generic verdict): the
-#: attach/judge shuffle is re-partitioned to
-#: max(P, n_pairs / VERIFY_PAIRS_PER_PART) so per-group text volume —
-#: and therefore the per-task suffix-table build — stays bounded no
-#: matter how large the candidate set grows.  Output is
-#: partition-count-independent (per-pair verdicts), so this only moves
-#: work, never answers.
-VERIFY_PAIRS_PER_PART = 10_000
+#: Target ATTACHED-PAYLOAD BYTES per verify partition.  The judge
+#: working set is a constant multiple of its partition's text bytes
+#: (the suffix-table judge peaks at ~70-100 bytes of numpy arrays per
+#: text byte: two rolling-hash chains, the combined key, lexsort
+#: indices), so the attach/judge shuffle is re-partitioned to keep
+#: per-partition payload near this target — 8 MB of text ≈ ≤1 GB of
+#: working set per task, which 32 concurrent tasks survive on a
+#: 128 GB node (the r3 1M-doc substring probe OOMed the host at the
+#: previous 10k-PAIRS-per-partition bound: ~40 MB text → ~4 GB/task).
+#: Output is partition-count-independent (per-pair verdicts), so this
+#: only moves work, never answers.
+VERIFY_PART_BYTES = 8 << 20
+
+#: Fallback pairs-per-partition bound for the attach paths where the
+#: filtered payload table (and hence its measured byte size) is never
+#: materialized (candidate sets above the broadcast threshold).
+VERIFY_PAIRS_PER_PART = 2_000
+
+
+def _verify_parts(P: int, n_pairs: int, small=None) -> int:
+    """Partition count for the attach/judge shuffle: bound
+    per-partition attached-payload BYTES using the measured filtered
+    payload (``small``, materialized) when available; else the
+    conservative pair-count fallback."""
+    if small is not None:
+        n = small.count()
+        if n:
+            total = 2.0 * n_pairs * (small.size_bytes() / n)
+            return max(P, 1 + int(total // VERIFY_PART_BYTES))
+    return max(P, 1 + n_pairs // VERIFY_PAIRS_PER_PART)
 
 #: Extra broadcast gate for the suffix-table judge: above this many
 #: candidate pairs the per-batch table rebuilds dominate even when the
@@ -1050,8 +1070,9 @@ def verify_pairs(pairs: ray.data.Dataset, payload: ray.data.Dataset,
 
             return pairs.map_batches(_judge_bcast, batch_format="pyarrow")
         payload = small  # pre-filtered for the shuffle path
-    # bound per-group payload for the per-pair Python verdict
-    P = max(P, 1 + n_pairs // VERIFY_PAIRS_PER_PART)
+        P = _verify_parts(P, n_pairs, small)
+    else:
+        P = _verify_parts(P, n_pairs)
     attached = attach_payloads(pairs, payload, payload_col, P)
 
     def _judge(t: pa.Table) -> pa.Table:
@@ -1130,9 +1151,12 @@ def verify_pairs_shared_run(pairs: ray.data.Dataset, payload: ray.data.Dataset,
 
             return pairs.map_batches(_judge_bcast, batch_format="pyarrow")
         payload = small  # pre-filtered for the shuffle path
-    # pair-count-aware verify partitioning: per-group text volume (and
-    # the per-group suffix-table build) stays bounded as pairs grow
-    P = max(P, 1 + n_pairs // VERIFY_PAIRS_PER_PART)
+        # bytes-aware verify partitioning: per-partition text volume
+        # (and the per-task suffix-table working set) stays bounded no
+        # matter how large the candidate set grows
+        P = _verify_parts(P, n_pairs, small)
+    else:
+        P = _verify_parts(P, n_pairs)
     attached = attach_payloads(pairs, payload, payload_col, P)
 
     def _judge(t: pa.Table) -> pa.Table:

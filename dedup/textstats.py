@@ -726,3 +726,170 @@ def temperature_sample(ds: ray.data.Dataset, budget: int,
                .map_batches(_prune, batch_format="pyarrow")
     return ranked.groupby(group_col).map_groups(
         _final, batch_format="pyarrow").sort([group_col, id_col])
+
+
+# ---------------------------------------------------------------------------
+# paragraph-granularity boilerplate classification (jusText-style tier)
+# ---------------------------------------------------------------------------
+
+def paragraph_quality(ds: ray.data.Dataset, id_col: str = "doc_id",
+                      text_col: str = "text", sep: str = "\n\n",
+                      short_chars: int = 40,
+                      stop_density_denom: int = 4) -> ray.data.Dataset:
+    """Per-document paragraph-class counts — the jusText-style
+    boilerplate tier (Pomikalek 2011) between line dedup and document
+    filtering: each ``sep``-separated paragraph is classified
+
+    * ``short``        — fewer than ``short_chars`` codepoints,
+    * ``boilerplate``  — stopword count * ``stop_density_denom`` <
+      token count (low function-word density = navigation / banner /
+      footer matter), else
+    * ``good``.
+
+    Output: (id, n_paras, n_short, n_boiler, n_good, good_chars) where
+    good_chars is the total codepoint length of good paragraphs — the
+    quantity a cleaning pass would keep.  All-integer arithmetic so the
+    DuckDB oracle hashes bit-identically.
+
+    Scale shape: ONE map_batches, no shuffle — a doc's paragraphs never
+    leave its batch, so per-doc aggregation is batch-local (same
+    contract as doc_line_dedup).  Everything is arrow/numpy vectorized:
+    one split per level + is_in + three bincounts."""
+    sw = pa.array(_QUALITY_STOPWORDS)
+
+    def _f(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        txt = pc.fill_null(t[text_col], "")
+        paras = pc.split_pattern(txt, pattern=sep)
+        nper = pc.list_value_length(paras).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(paras)
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) \
+            else flat
+        doc_of = np.repeat(np.arange(n), nper)
+        m = len(flat)
+        n_chars = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_tokens = pc.count_substring_regex(flat, pattern=r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.split_pattern_regex(flat, pattern=r"\s+")
+        tper = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tflat = pc.list_flatten(toks)
+        tflat = tflat.combine_chunks() if isinstance(tflat, pa.ChunkedArray) \
+            else tflat
+        para_of = np.repeat(np.arange(m), tper)
+        is_sw = (pc.is_in(tflat, value_set=sw)
+                 .to_numpy(zero_copy_only=False)
+                 & pc.not_equal(tflat, "").to_numpy(zero_copy_only=False))
+        n_stop = np.bincount(para_of, weights=is_sw.astype(np.float64),
+                             minlength=m).astype(np.int64)
+        short = n_chars < short_chars
+        boiler = ~short & (n_stop * stop_density_denom < n_tokens)
+        good = ~short & ~boiler
+
+        def per_doc(mask: np.ndarray, w: np.ndarray | None = None) -> pa.Array:
+            wts = mask.astype(np.float64) if w is None else mask * w
+            return pa.array(np.bincount(doc_of, weights=wts.astype(np.float64),
+                                        minlength=n).astype(np.int64),
+                            pa.int64())
+
+        ones = np.ones(m, dtype=np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            "n_paras": per_doc(ones.astype(bool)),
+            "n_short": per_doc(short),
+            "n_boiler": per_doc(boiler),
+            "n_good": per_doc(good),
+            "good_chars": per_doc(good, n_chars),
+        })
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM surprisal (CCNet-style perplexity-bucket stand-in)
+# ---------------------------------------------------------------------------
+
+def unigram_surprisal(ds: ray.data.Dataset, id_col: str = "doc_id",
+                      text_col: str = "text") -> ray.data.Dataset:
+    """Per-document mean unigram surprisal — the CCNet-style (Wenzek et
+    al. 2020) LM-quality signal with the n-gram LM reduced to the
+    corpus' own unigram distribution: documents made of globally-common
+    tokens score LOW (head boilerplate), rare-token documents score
+    HIGH.
+
+    Two phases:
+
+    1. corpus token counts: per-batch ``value_counts`` partials →
+       ``groupby(token).sum`` → collected to the driver.  The collect is
+       VOCABULARY-bounded, not corpus-bounded (same bound as
+       top_tokens' aggregate — web vocab is millions of rows where the
+       corpus is billions of docs); per-token log-probs are quantized to
+       integers once here, ``lp6 = floor(ln(c / total) * 1e6)``.
+    2. one broadcast (``ray.put`` of the token→lp6 map, read once per
+       task) + one vectorized map_batches: per-doc
+       ``surprisal_e6 = (-sum lp6) // n_tokens`` — integer arithmetic
+       end-to-end after the per-UNIQUE-token ln, so the DuckDB oracle
+       (same floor-e6 quantization in SQL) hashes bit-identically.
+
+    Output: (id, n_tokens, surprisal_e6); empty docs score 0."""
+    import math
+
+    def _counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(t[text_col], ""),
+                                      pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+
+    freq = ds.map_batches(_counts, batch_format="pyarrow") \
+             .groupby("token").sum("cnt")
+    # vocabulary-bounded driver collect (see docstring): one row per
+    # distinct token, NOT per occurrence
+    batches = list(freq.iter_batches(batch_format="pyarrow"))
+    ftab = pa.concat_tables(batches) if batches else \
+        pa.table({"token": pa.array([], pa.string()),
+                  "sum(cnt)": pa.array([], pa.int64())})
+    tokens = ftab["token"].to_pylist()
+    counts = ftab["sum(cnt)"].to_numpy(zero_copy_only=False)
+    total = int(counts.sum()) if len(counts) else 1
+    # per-unique-token scalar math.log (glibc libm — the same ln DuckDB
+    # calls), quantized once; everything after this is integer-exact
+    lp6 = {tok: math.floor(math.log(int(c) / total) * 1e6)
+           for tok, c in zip(tokens, counts)}
+    ref = ray.put(lp6)
+
+    def _score(t: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        n = t.num_rows
+        toks = pc.split_pattern_regex(pc.fill_null(t[text_col], ""),
+                                      pattern=r"\s+")
+        nper = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) \
+            else flat
+        parent = np.repeat(np.arange(n), nper)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        d = pc.dictionary_encode(flat)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # bounded Python loop: one lookup per UNIQUE token in the batch
+        uval = np.array([lut.get(u, 0) for u in d.dictionary.to_pylist()],
+                        dtype=np.int64) if len(d.dictionary) else \
+            np.zeros(0, dtype=np.int64)
+        tok_lp = np.where(nonempty, uval[codes] if len(uval) else 0, 0)
+        n_tok = np.bincount(parent, weights=nonempty.astype(np.float64),
+                            minlength=n).astype(np.int64)
+        s = np.bincount(parent, weights=tok_lp.astype(np.float64),
+                        minlength=n).astype(np.int64)
+        surp = np.where(n_tok > 0, (-s) // np.maximum(n_tok, 1), 0)
+        return pa.table({
+            id_col: t[id_col],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "surprisal_e6": pa.array(surp.astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(_score, batch_format="pyarrow")
