@@ -687,6 +687,86 @@ def _q_image_features(sf_dir: str):
     return feats.map_batches(_sentinel, batch_format="pyarrow").sort("doc_id")
 
 
+def _image_corpus(sf_dir: str):
+    """Planted perceptual-dup image corpus derived from doc_id
+    arithmetic: group g = doc_id // 5, role r = doc_id % 5 — r0 base
+    (seeded random raster), r1 = +25 brightness offset, r2 = 5/4 gain
+    (both monotone maps, so dHash-identical to the base by math), r3 an
+    independent random raster (unique), r4 a truncated payload (error
+    row).  Truth: {5g, 5g+1, 5g+2} cluster together; nothing else
+    does."""
+    def _mk(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            g, r = divmod(i, 5)
+            if r == 4:
+                payloads.append(b"P5\n36 24\n255\n\x01\x02")  # truncated
+                continue
+            seed = 7000 + g if r < 3 else 90000 + i
+            img = np.random.default_rng(seed).integers(
+                20, 200, size=(24, 36), dtype=np.int64)
+            if r == 1:
+                img = img + 25
+            elif r == 2:
+                img = img * 5 // 4
+            payloads.append(b"P5\n36 24\n255\n"
+                            + img.astype(np.uint8).tobytes())
+        return pa.table({"doc_id": t["doc_id"].combine_chunks()
+                         .cast(pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(_mk, batch_format="pyarrow")
+
+
+def _q_image_dedup(sf_dir: str):
+    """Perceptual (dHash) image near-dup dedup over the planted netpbm
+    corpus — the multimodal dedup tier.  No SQL analogue (the hash is a
+    binary-decode function), so this is a rows-only driver check; the
+    planted-truth metrics live in image_dedup_recall."""
+    from dedup.multimodal import image_dedup
+
+    return image_dedup(_image_corpus(sf_dir), hamming=2).sort("doc_id")
+
+
+def _q_image_dedup_recall(sf_dir: str):
+    """Planted dup-pair recall AND precision of the dHash tier: truth
+    pairs come from the _image_corpus arithmetic (3 pairs per group of
+    {base, +offset, xgain}); expected 1.0 / 1.0.  The pandas pass is
+    driver-side on the bounded fixture (<= sf docs); the dedup run
+    stays distributed."""
+    import numpy as np
+
+    from dedup.multimodal import image_dedup
+
+    out = image_dedup(_image_corpus(sf_dir), hamming=2).to_pandas()
+    ids = out["doc_id"].to_numpy()
+    tg = np.where(ids % 5 < 3, ids // 5, -1)
+    out["tg"] = tg
+
+    def _pairs(sizes) -> int:
+        return int((sizes * (sizes - 1) // 2).sum())
+
+    truth = out[out["tg"] >= 0]
+    total = _pairs(truth.groupby("tg").size().to_numpy())
+    clustered = out[out["cluster_id"] >= 0]
+    out_pairs = _pairs(clustered.groupby("cluster_id").size().to_numpy())
+    hit = truth[truth["cluster_id"] >= 0]
+    tp = _pairs(hit.groupby(["tg", "cluster_id"]).size().to_numpy())
+    return pa.table({
+        "truth_pairs": pa.array([total], pa.int64()),
+        "tp_pairs": pa.array([tp], pa.int64()),
+        "out_pairs": pa.array([out_pairs], pa.int64()),
+        "recall_e6": pa.array(
+            [int(round(tp / total * 1e6)) if total else -1], pa.int64()),
+        "precision_e6": pa.array(
+            [int(round(tp / out_pairs * 1e6)) if out_pairs else -1],
+            pa.int64()),
+    })
+
+
 def _q_token_count(sf_dir: str):
     return textstats.token_count(_docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
 
@@ -1551,6 +1631,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_dedup": _q_full_dedup,
         "doc_fingerprints": _q_fingerprints,
         "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
+        "image_dedup": _q_image_dedup,
+        "image_dedup_recall": _q_image_dedup_recall,
         "pages_dedup": _q_pages_dedup,
         "pages_dedup_same_host": _q_pages_dedup_same_host,
         "pages_dedup_recall": _q_pages_dedup_recall,

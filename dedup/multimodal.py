@@ -429,3 +429,209 @@ def synth_media(n: int, seed: int = 42) -> pa.Table:
         rows["duration_ms"].append(rng.randint(1000, 60000)
                                    if kind != "image" else None)
     return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual-hash (dHash) near-duplicate tier: the multimodal analogue
+# of the SimHash text tier — a 64-bit gradient fingerprint per image, then
+# Hamming-block candidate buckets (Manku et al. 2007 pigeonhole) and a
+# distributed union-find, so no all-pairs image comparison exists anywhere.
+# ---------------------------------------------------------------------------
+
+#: dHash grid — 8x8 horizontal gradients over a 9x8 grayscale thumbnail
+_DH_W, _DH_H = 8, 8
+
+
+class ImageDHasher(PpmImageDecoder):
+    """Actor-pool stage computing a 64-bit dHash (difference hash) per
+    netpbm image payload: decode, channel-sum to grayscale, nearest-
+    neighbor resample to a (9 x 8) thumbnail, then bit (y*8+x) = 1 iff
+    thumb[y, x] < thumb[y, x+1].  The hash depends only on the ORDERING
+    of neighboring luminances, so any monotone brightness change (gain,
+    offset, gamma) maps to the identical hash, and small local edits
+    flip only the few bits whose comparisons they touch — near-dup
+    images land within a small Hamming distance (Krawetz 2013,
+    "Kind of Like That", the public dHash description).
+
+    Output columns: id_col, ``dhash`` (uint64) and ``decoded`` (int64);
+    malformed / null payloads route to decoded=0, dhash=0 (excluded from
+    candidate generation downstream, same error posture as the feature
+    decoders / MainViewModel.cs:932-935's silent per-file catch)."""
+
+    def _dhash(self, payload: bytes) -> int:
+        magic = payload[:2]
+        ch = {b"P6": 3, b"P5": 1}.get(magic)
+        if ch is None:
+            raise ValueError(f"unsupported magic {magic!r}")
+        (w, h, maxval), off = self._header_tokens(payload, 3)
+        if not (0 < maxval < 65536) or w <= 0 or h <= 0:
+            raise ValueError("bad dimensions")
+        dtype = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+        nsamp = w * h * ch
+        raster = payload[off:off + nsamp * dtype.itemsize]
+        if len(raster) < nsamp * dtype.itemsize:
+            raise ValueError("truncated raster")
+        img = np.frombuffer(raster, dtype=dtype).reshape(h, w, ch)
+        # channel SUM is a monotone map of the mean — same comparisons,
+        # no float division
+        gray = img.astype(np.int64).sum(axis=2)
+        ys = (np.arange(_DH_H) * h) // _DH_H
+        xs = (np.arange(_DH_W + 1) * w) // (_DH_W + 1)
+        thumb = gray[ys[:, None], xs[None, :]]
+        bits = (thumb[:, 1:] < thumb[:, :-1]).ravel()
+        return int.from_bytes(np.packbits(bits).tobytes(), "big")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        hashes = [0] * n
+        decoded = [0] * n
+        for i, payload in enumerate(t["payload"].to_pylist()):
+            if payload is None:
+                continue
+            try:
+                hashes[i] = self._dhash(payload)
+            except (ValueError, struct.error):
+                continue
+            decoded[i] = 1
+        return pa.table({
+            self.id_col: t[self.id_col],
+            "dhash": pa.array(hashes, pa.uint64()),
+            "decoded": pa.array(decoded, pa.int64()),
+        })
+
+
+def image_dhash(ds: ray.data.Dataset, id_col: str = "doc_id",
+                batch_size: int = 64,
+                concurrency=(1, 8)) -> ray.data.Dataset:
+    """(id, payload) -> (id, dhash, decoded) via the dHash actor pool.
+    Small batch_size: payload bytes, not row count, is the heap unit."""
+    return ds.map_batches(
+        ImageDHasher,
+        fn_constructor_kwargs={"id_col": id_col},
+        batch_size=batch_size,
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
+
+
+def image_dedup(ds: ray.data.Dataset, hamming: int = 2,
+                id_col: str = "doc_id",
+                num_partitions: int = 32) -> ray.data.Dataset:
+    """Perceptual near-duplicate image DEDUP: dHash fingerprints ->
+    Hamming-block candidate buckets -> verified edges (popcount <=
+    ``hamming``) -> connected components -> keep/delete/unique states
+    with cluster_id = min member id — the text pipelines' assignment
+    contract over the image modality.
+
+    Scale shape (mirrors the SimHash text tier, pipeline.py
+    simhash_edges): each fingerprint explodes into ``hamming+1``
+    disjoint bit-block keys; two hashes within Hamming distance t agree
+    on at least one of t+1 blocks (pigeonhole), so candidates come from
+    a plain hash-partitioned groupby — never an all-pairs image scan.
+    Within-bucket verification is a vectorized uint64 XOR+popcount over
+    the (small) bucket; undecoded rows are excluded from matching and
+    surface as state='error'."""
+    from .dist import groupapply, mix64, union_find
+
+    hashes = image_dhash(ds, id_col=id_col).materialize()
+    n_blocks = hamming + 1
+    width = 64 // n_blocks
+    mask = np.uint64((1 << width) - 1)
+
+    def _explode(t: pa.Table) -> pa.Table:
+        keep = t.filter(pa.compute.equal(t["decoded"], 1))
+        fp = keep["dhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = keep[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        o_key, o_id, o_fp = [], [], []
+        for b in range(n_blocks):
+            blk = (fp >> np.uint64(b * width)) & mask
+            # mix block id into the key so identical values in different
+            # blocks land in distinct buckets (collisions only add
+            # popcount-verified candidates)
+            with np.errstate(over="ignore"):
+                o_key.append(mix64(blk + np.uint64(0x9E3779B97F4A7C15) *
+                                   np.uint64(b + 1)))
+            o_id.append(ids)
+            o_fp.append(fp)
+        return pa.table({
+            "bkey": pa.array(np.concatenate(o_key), pa.uint64()),
+            "node": pa.array(np.concatenate(o_id), pa.uint64()),
+            "dhash": pa.array(np.concatenate(o_fp), pa.uint64()),
+        })
+
+    rows = hashes.map_batches(_explode, batch_format="pyarrow")
+
+    def _part(t: pa.Table) -> pa.Table:
+        from .dist import segments
+        k = t["bkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        fps = t["dhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order, starts, _ = segments(k)
+        out_u, out_v = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            if e - s < 2:
+                continue
+            seg = order[s:e]
+            nn, ff = nodes[seg], fps[seg]
+            # in-bucket repeat suppression: one row per (node) suffices
+            # since fp is a function of node
+            nn, first = np.unique(nn, return_index=True)
+            ff = ff[first]
+            if len(nn) < 2:
+                continue
+            iu, iv = np.triu_indices(len(nn), k=1)
+            x = ff[iu] ^ ff[iv]
+            # vectorized 64-bit popcount via 8x uint8 view
+            pc = np.unpackbits(x.view(np.uint8)).reshape(len(x), 64) \
+                .sum(axis=1)
+            ok = pc <= hamming
+            out_u.append(nn[iu[ok]])
+            out_v.append(nn[iv[ok]])
+        if not out_u:
+            return pa.table({"u": pa.array([], pa.uint64()),
+                             "v": pa.array([], pa.uint64())})
+        return pa.table({"u": pa.array(np.concatenate(out_u), pa.uint64()),
+                         "v": pa.array(np.concatenate(out_v), pa.uint64())})
+
+    edges = groupapply(rows, "bkey", _part, num_partitions)
+    labels = union_find(edges, num_partitions).materialize()
+
+    # labels are O(matched images) — bounded — so one broadcast join
+    # assigns states (same posture as ann.embedding_dedup)
+    ln_l = [np.array([], dtype=np.uint64)]
+    lc_l = [np.array([], dtype=np.uint64)]
+    for b in labels.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0 or "node" not in b.column_names:
+            continue
+        ln_l.append(b["node"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        lc_l.append(b["comp"].to_numpy(zero_copy_only=False).astype(np.uint64))
+    ln, lc = np.concatenate(ln_l), np.concatenate(lc_l)
+    o = np.argsort(ln)
+    ln, lc = ln[o], lc[o]
+    _, inv_c, cnt_c = np.unique(lc, return_inverse=True, return_counts=True)
+    lsz = cnt_c[inv_c] if len(lc) else np.zeros(0, dtype=np.int64)
+    import ray as _ray
+    ref = _ray.put((ln, lc, lsz))
+
+    def _assign(t: pa.Table) -> pa.Table:
+        la, co, sz = _ray.get(ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        dec = t["decoded"].to_numpy(zero_copy_only=False)
+        u = ids.astype(np.uint64)
+        pos = np.clip(np.searchsorted(la, u), 0, max(len(la) - 1, 0))
+        hit = (la[pos] == u) if len(la) else np.zeros(len(u), dtype=bool)
+        comp = np.where(hit, co[pos] if len(co) else 0, 0).astype(np.int64)
+        state = np.where(dec == 0, "error",
+                         np.where(~hit, "unique",
+                                  np.where(ids == comp, "keep", "delete")))
+        csize = np.where(hit, sz[pos] if len(sz) else 0, 1)
+        csize = np.where(dec == 0, 0, csize)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "state": pa.array(state.tolist(), pa.string()),
+            "cluster_id": pa.array(np.where(hit, comp, -1), pa.int64()),
+            "cluster_size": pa.array(csize.astype(np.int64), pa.int64()),
+        })
+
+    return hashes.select_columns([id_col, "decoded"]).map_batches(
+        _assign, batch_format="pyarrow").sort(id_col)

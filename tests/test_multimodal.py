@@ -158,3 +158,101 @@ def test_ppm_resize_nearest_neighbor():
     assert body == ref.tobytes()
     # resized output is itself decodable (round-trip through the parser)
     assert got[4] == int(ref.sum())
+
+
+# ---------------------------------------------------------------------------
+# dHash perceptual image tier
+# ---------------------------------------------------------------------------
+
+def _pgm(img: np.ndarray) -> bytes:
+    """Minimal P5 payload from a 2-D uint8 array."""
+    h, w = img.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def _rand_img(seed: int, w: int = 36, h: int = 24) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(20, 200, size=(h, w), dtype=np.int64).astype(np.uint8)
+
+
+def test_dhash_monotone_brightness_invariance():
+    from dedup.multimodal import ImageDHasher
+
+    hasher = ImageDHasher()
+    base = _rand_img(7)
+    h0 = hasher._dhash(_pgm(base))
+    assert h0 == hasher._dhash(_pgm(base + 30))          # offset
+    assert h0 == hasher._dhash(_pgm(base // 2 * 2))      # even-floor (monotone, ties only where equal)
+    # gain: values <= 200 so 1.25x stays in range and order is preserved
+    assert h0 == hasher._dhash(_pgm((base.astype(np.int64) * 5) // 4))
+
+
+def test_dhash_single_cell_edit_flips_few_bits():
+    from dedup.multimodal import ImageDHasher, _DH_H, _DH_W
+
+    hasher = ImageDHasher()
+    # 9x8 image == the thumbnail grid exactly, so one pixel touches at
+    # most its two horizontal comparisons
+    base = _rand_img(11, w=_DH_W + 1, h=_DH_H)
+    # pin the edited cell's neighborhood: bit(3,3) = (100 < 200) = 1,
+    # bit(3,4) = (150 < 100) = 0 before the edit
+    base[3, 3], base[3, 4], base[3, 5] = 200, 100, 150
+    h0 = hasher._dhash(_pgm(base))
+    edited = base.copy()
+    edited[3, 4] = 255  # -> bit(3,3) = 0, bit(3,4) = 1: exactly 2 flips
+    h1 = hasher._dhash(_pgm(edited))
+    assert bin(h0 ^ h1).count("1") == 2
+
+
+def test_image_dedup_planted_clusters():
+    from dedup.multimodal import image_dedup
+
+    rows_id, rows_pay = [], []
+    n_clusters = 12
+    for c in range(n_clusters):
+        base = _rand_img(1000 + c)
+        rows_id += [c * 10, c * 10 + 1, c * 10 + 2]
+        rows_pay += [_pgm(base), _pgm(base + 25),
+                     _pgm((base.astype(np.int64) * 5) // 4)]
+    # uniques: independent random images
+    for u in range(200, 220):
+        rows_id.append(u * 10)
+        rows_pay.append(_pgm(_rand_img(5000 + u)))
+    # one malformed payload and one null
+    rows_id += [9001, 9002]
+    rows_pay += [b"P5\n4 4\n255\n\x00", None]
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(rows_id, pa.int64()),
+        "payload": pa.array(rows_pay, pa.binary()),
+    }))
+    out = image_dedup(ds, hamming=2, num_partitions=4).to_pandas()
+    by_id = out.set_index("doc_id")
+
+    for c in range(n_clusters):
+        members = [c * 10, c * 10 + 1, c * 10 + 2]
+        cids = {by_id.loc[m, "cluster_id"] for m in members}
+        assert cids == {c * 10}, f"cluster {c} fractured: {cids}"
+        assert by_id.loc[c * 10, "state"] == "keep"
+        assert {by_id.loc[m, "state"] for m in members[1:]} == {"delete"}
+        assert all(by_id.loc[m, "cluster_size"] == 3 for m in members)
+    for u in range(200, 220):
+        assert by_id.loc[u * 10, "state"] == "unique"
+        assert by_id.loc[u * 10, "cluster_id"] == -1
+    assert by_id.loc[9001, "state"] == "error"
+    assert by_id.loc[9002, "state"] == "error"
+
+
+def test_image_dedup_deterministic_across_partitions():
+    from dedup.multimodal import image_dedup
+
+    rows_id, rows_pay = [], []
+    for c in range(6):
+        base = _rand_img(300 + c)
+        rows_id += [c * 2, c * 2 + 1]
+        rows_pay += [_pgm(base), _pgm(base + 10)]
+    t = pa.table({"doc_id": pa.array(rows_id, pa.int64()),
+                  "payload": pa.array(rows_pay, pa.binary())})
+    a = image_dedup(ray.data.from_arrow(t), num_partitions=2).to_pandas()
+    b = image_dedup(ray.data.from_arrow(t), num_partitions=7).to_pandas()
+    assert a.equals(b)
