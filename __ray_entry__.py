@@ -1051,6 +1051,35 @@ def _q_user_sessions(sf_dir: str):
     return W.user_sessions(ds, gap_minutes=30)
 
 
+def _q_events_asof(sf_dir: str):
+    """As-of (backward) join, driver-checked: each event attaches the
+    latest order of the same customer (user_id = o_custkey) placed at
+    or before the event timestamp; ties on o_orderdate break to the
+    greatest o_orderkey; unmatched events carry -1.  Prices go through
+    the scaled-integer cents discipline on BOTH sides so the hash
+    matches exactly."""
+    events = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_id", "user_id", "ts"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
+
+    def _proj(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0)))
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "o_orderdate": t["o_orderdate"],
+            "order_key": t["o_orderkey"].cast(pa.int64()),
+            "order_total_cents": cents.cast(pa.int64()),
+        })
+
+    return W.asof_join(
+        events, orders.map_batches(_proj, batch_format="pyarrow"),
+        on_key=("user_id", "o_custkey"), on_ts=("ts", "o_orderdate"),
+        id_col="event_id",
+        value_cols=("order_key", "order_total_cents")).sort("event_id")
+
+
 def _q_embedding_norms(sf_dir: str):
     return ann.embedding_norms(_embs(sf_dir)).sort("vec_id")
 
@@ -1561,8 +1590,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_lang": _q_exact_dedup_lang,
         "exact_dedup_crc32": _q_exact_dedup_crc32,
         "exact_dedup_same_source": _q_exact_dedup_same_source,
-        "exact_dedup_diff_source": _q_exact_dedup_diff_source,
         "exact_dedup_byteverify": _q_exact_dedup_byteverify,
+        "events_asof": _q_events_asof,
         "resume_dedup": _q_resume_dedup,
         "normalized_dedup": _q_normalized_dedup,
         "events_dedup_newest": _q_events_dedup_newest,
@@ -1608,6 +1637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_dedup": _q_embedding_dedup,
         # --- below the driver's 50-row cap: oracle-checked in-repo ----
+        "exact_dedup_diff_source": _q_exact_dedup_diff_source,
         "exact_dedup_blake2b": _q_exact_dedup_blake2b,
         "normalized_dedup_longest": _q_normalized_dedup_longest,
         "line_dedup_minlen": _q_line_dedup_minlen,
@@ -2391,6 +2421,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(round(sum(value) * 100) AS BIGINT) AS total_value_cents
             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "events_asof": """
+            WITH o AS (
+              SELECT o_custkey, o_orderdate, o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders),
+            cand AS (
+              SELECT e.event_id, o.o_orderkey, o.cents,
+                     row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e
+              JOIN o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+            SELECT e.event_id,
+                   coalesce(c.o_orderkey, -1) AS order_key,
+                   coalesce(c.cents, -1) AS order_total_cents
+            FROM events e
+            LEFT JOIN cand c ON e.event_id = c.event_id AND c.rn = 1
+            ORDER BY e.event_id""",
         "user_sessions": """
             WITH e AS (
               SELECT user_id, ts, event_id,

@@ -104,3 +104,92 @@ def user_sessions(events: ray.data.Dataset, gap_minutes: int = 30,
                          "max_session_events": pa.array(o_max, pa.int64())})
 
     return groupapply(rows, "skey", _part, num_partitions).sort("user_id")
+
+
+def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
+              on_key: tuple[str, str], on_ts: tuple[str, str],
+              id_col: str, value_cols: tuple[str, ...],
+              num_partitions: int = 16) -> ray.data.Dataset:
+    """As-of (backward) join — the classic operator Ray Data lacks: for
+    each left row, attach the right row of the same key with the
+    greatest timestamp <= the left timestamp (ties on the right
+    timestamp broken by the greatest first value column, so the result
+    is total-order deterministic).  Unmatched left rows carry -1.
+
+    ``value_cols`` must already be int64 on the right side (pre-project
+    prices to cents etc. — the scaled-integer float discipline).
+
+    Scale shape: ONE hash shuffle on the join key (groupapply), then a
+    per-partition vectorized merge — union-tag both sides, lexsort by
+    (key, ts, side, tiebreak) with right rows ordered before left rows
+    at equal timestamps (backward-inclusive semantics), forward-fill the
+    last-seen right row position with ``np.maximum.accumulate``, and
+    invalidate fills that crossed a key boundary.  No per-key Python
+    loop, no per-row search.  Partitioning assumption (SURVEY.md
+    custom-operator rule): all rows of one key — both sides — fit one
+    partition, same contract as ``user_sessions``."""
+    lk, rk = on_key
+    lts, rts = on_ts
+    n_val = len(value_cols)
+
+    def _lrows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        base = {
+            "skey": t[lk].cast(pa.uint64()),
+            "k": t[lk].cast(pa.int64()),
+            "ts": t[lts].cast(pa.int64()),
+            "src": pa.array(np.ones(n, dtype=np.int8)),
+            "id": t[id_col].cast(pa.int64()),
+        }
+        for c in value_cols:  # placeholders, never read for left rows
+            base[c] = pa.array(np.zeros(n, dtype=np.int64))
+        return pa.table(base)
+
+    def _rrows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        base = {
+            "skey": t[rk].cast(pa.uint64()),
+            "k": t[rk].cast(pa.int64()),
+            "ts": t[rts].cast(pa.int64()),
+            "src": pa.array(np.zeros(n, dtype=np.int8)),
+            "id": pa.array(np.zeros(n, dtype=np.int64)),
+        }
+        for c in value_cols:
+            base[c] = t[c].cast(pa.int64())
+        return pa.table(base)
+
+    rows = left.map_batches(_lrows, batch_format="pyarrow").union(
+        right.map_batches(_rrows, batch_format="pyarrow"))
+
+    empty_schema = {id_col: pa.array([], pa.int64())}
+    empty_schema.update({c: pa.array([], pa.int64()) for c in value_cols})
+
+    def _part(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(dict(empty_schema))
+        k = t["k"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        vals = [t[c].to_numpy(zero_copy_only=False) for c in value_cols]
+        # right tie-break: first value column; left rows use id (total
+        # order only — their relative order never affects the fill)
+        tb = np.where(src == 0, vals[0] if n_val else ids, ids)
+        order = np.lexsort((tb, src, ts, k))
+        ks, tss, srcs = k[order], ts[order], src[order]
+        pos = np.arange(n, dtype=np.int64)
+        rpos = np.where(srcs == 0, pos, np.int64(-1))
+        filled = np.maximum.accumulate(rpos)
+        safe = np.clip(filled, 0, n - 1)
+        valid = (filled >= 0) & (ks[safe] == ks)
+        take = srcs == 1
+        m_idx, m_ok = safe[take], valid[take]
+        out = {id_col: pa.array(ids[order][take], pa.int64())}
+        for c, v in zip(value_cols, vals):
+            vs = v[order]
+            out[c] = pa.array(np.where(m_ok, vs[m_idx], np.int64(-1)),
+                              pa.int64())
+        return pa.table(out)
+
+    return groupapply(rows, "skey", _part, num_partitions)
