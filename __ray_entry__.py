@@ -767,6 +767,93 @@ def _q_image_dedup_recall(sf_dir: str):
     })
 
 
+def _audio_corpus(sf_dir: str):
+    """Planted perceptual-dup audio corpus from doc_id arithmetic:
+    group g = doc_id // 5, role r = doc_id % 5 — r0 base (seeded random
+    16-bit waveform), r1 = 2x gain, r2 = mono->stereo (both
+    envelope-hash invariant by math), r3 independent waveform (unique),
+    r4 truncated payload (error)."""
+    def _mk(t: pa.Table) -> pa.Table:
+        import io
+        import wave as _wave
+
+        import numpy as np
+
+        def _wav(samples, ch=1):
+            buf = io.BytesIO()
+            with _wave.open(buf, "wb") as w:
+                w.setnchannels(ch)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                if ch > 1:
+                    samples = np.repeat(samples[:, None], ch, axis=1).ravel()
+                w.writeframes(samples.astype("<i2").tobytes())
+            return buf.getvalue()
+
+        ids = t["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            g, r = divmod(i, 5)
+            seed = 8000 + g if r < 3 else 91000 + i
+            base = np.random.default_rng(seed).integers(
+                -12000, 12000, size=2000).astype(np.int64)
+            if r == 4:
+                payloads.append(_wav(base)[:30])  # truncated
+            elif r == 1:
+                payloads.append(_wav(base * 2))
+            elif r == 2:
+                payloads.append(_wav(base, ch=2))
+            else:
+                payloads.append(_wav(base))
+        return pa.table({"doc_id": t["doc_id"].combine_chunks()
+                         .cast(pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(_mk, batch_format="pyarrow")
+
+
+def _q_audio_dedup(sf_dir: str):
+    """Perceptual (envelope-hash) audio near-dup dedup over the planted
+    RIFF/WAVE corpus — the audio dedup tier.  Rows-only driver check
+    (the hash is a binary-decode function, not SQL-expressible)."""
+    from dedup.multimodal import audio_dedup
+
+    return audio_dedup(_audio_corpus(sf_dir), hamming=2).sort("doc_id")
+
+
+def _q_audio_dedup_recall(sf_dir: str):
+    """Planted dup-pair recall AND precision of the audio tier (truth =
+    _audio_corpus arithmetic, 3 pairs per {base, gain, stereo} group);
+    expected 1.0 / 1.0."""
+    import numpy as np
+
+    from dedup.multimodal import audio_dedup
+
+    out = audio_dedup(_audio_corpus(sf_dir), hamming=2).to_pandas()
+    ids = out["doc_id"].to_numpy()
+    out["tg"] = np.where(ids % 5 < 3, ids // 5, -1)
+
+    def _pairs(sizes) -> int:
+        return int((sizes * (sizes - 1) // 2).sum())
+
+    truth = out[out["tg"] >= 0]
+    total = _pairs(truth.groupby("tg").size().to_numpy())
+    clustered = out[out["cluster_id"] >= 0]
+    out_pairs = _pairs(clustered.groupby("cluster_id").size().to_numpy())
+    hit = truth[truth["cluster_id"] >= 0]
+    tp = _pairs(hit.groupby(["tg", "cluster_id"]).size().to_numpy())
+    return pa.table({
+        "truth_pairs": pa.array([total], pa.int64()),
+        "tp_pairs": pa.array([tp], pa.int64()),
+        "out_pairs": pa.array([out_pairs], pa.int64()),
+        "recall_e6": pa.array(
+            [int(round(tp / total * 1e6)) if total else -1], pa.int64()),
+        "precision_e6": pa.array(
+            [int(round(tp / out_pairs * 1e6)) if out_pairs else -1],
+            pa.int64()),
+    })
+
+
 def _q_token_count(sf_dir: str):
     return textstats.token_count(_docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
 
@@ -1663,6 +1750,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
         "image_dedup": _q_image_dedup,
         "image_dedup_recall": _q_image_dedup_recall,
+        "audio_dedup": _q_audio_dedup,
+        "audio_dedup_recall": _q_audio_dedup_recall,
         "pages_dedup": _q_pages_dedup,
         "pages_dedup_same_host": _q_pages_dedup_same_host,
         "pages_dedup_recall": _q_pages_dedup_recall,

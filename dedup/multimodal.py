@@ -518,29 +518,119 @@ def image_dedup(ds: ray.data.Dataset, hamming: int = 2,
                 id_col: str = "doc_id",
                 num_partitions: int = 32) -> ray.data.Dataset:
     """Perceptual near-duplicate image DEDUP: dHash fingerprints ->
+    Hamming-block clustering (see ``_phash_cluster``) -> the text
+    pipelines' keep/delete/unique assignment contract over the image
+    modality."""
+    return _phash_cluster(image_dhash(ds, id_col=id_col), hamming,
+                          id_col, "dhash", num_partitions)
+
+
+class AudioEnvelopeHasher:
+    """Actor-pool stage computing a 64-bit energy-envelope difference
+    hash per RIFF/WAVE 16-bit PCM payload: decode (stdlib ``wave``),
+    channel-sum to mono, split into 65 equal frame windows, sum |sample|
+    per window (one cumsum, no per-window loop), then bit i = 1 iff
+    window i+1's energy < window i's.  The hash depends only on the
+    ORDERING of adjacent window energies, so any positive gain change
+    (volume) maps to the identical hash — the audio analogue of the
+    image dHash (same public difference-hash construction).
+
+    Output columns: id_col, ``ahash`` (uint64), ``decoded`` (int64);
+    malformed / null payloads route to decoded=0 (state='error'
+    downstream)."""
+
+    def __init__(self, id_col: str = "doc_id") -> None:
+        self.id_col = id_col
+
+    def _ahash(self, payload: bytes) -> int:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            ch = w.getnchannels()
+            nf = w.getnframes()
+            if w.getsampwidth() != 2:
+                raise ValueError("only 16-bit PCM supported")
+            frames = w.readframes(nf)
+        if len(frames) < 2 * nf * ch:
+            raise ValueError("truncated frame data")
+        samples = np.abs(np.frombuffer(frames, dtype="<i2")
+                         .astype(np.int64))
+        if ch > 1:
+            samples = samples.reshape(nf, ch).sum(axis=1)
+        cum = np.concatenate([[0], np.cumsum(samples)])
+        bounds = (np.arange(_DH_W * _DH_H + 2, dtype=np.int64) * nf) \
+            // (_DH_W * _DH_H + 1)
+        env = cum[bounds[1:]] - cum[bounds[:-1]]
+        bits = env[1:] < env[:-1]
+        return int.from_bytes(np.packbits(bits).tobytes(), "big")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        hashes = [0] * n
+        decoded = [0] * n
+        for i, payload in enumerate(t["payload"].to_pylist()):
+            if payload is None:
+                continue
+            try:
+                hashes[i] = self._ahash(payload)
+            except (wave.Error, EOFError, ValueError, struct.error):
+                continue
+            decoded[i] = 1
+        return pa.table({
+            self.id_col: t[self.id_col],
+            "ahash": pa.array(hashes, pa.uint64()),
+            "decoded": pa.array(decoded, pa.int64()),
+        })
+
+
+def audio_envelope_hash(ds: ray.data.Dataset, id_col: str = "doc_id",
+                        batch_size: int = 64,
+                        concurrency=(1, 8)) -> ray.data.Dataset:
+    """(id, payload) -> (id, ahash, decoded) via the envelope-hash actor
+    pool.  Small batch_size: payload bytes, not rows, is the heap unit."""
+    return ds.map_batches(
+        AudioEnvelopeHasher,
+        fn_constructor_kwargs={"id_col": id_col},
+        batch_size=batch_size,
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
+
+
+def audio_dedup(ds: ray.data.Dataset, hamming: int = 2,
+                id_col: str = "doc_id",
+                num_partitions: int = 32) -> ray.data.Dataset:
+    """Perceptual near-duplicate audio DEDUP: envelope hashes ->
+    Hamming-block clustering -> keep/delete/unique assignments — the
+    audio analogue of ``image_dedup``."""
+    return _phash_cluster(audio_envelope_hash(ds, id_col=id_col), hamming,
+                          id_col, "ahash", num_partitions)
+
+
+def _phash_cluster(hashes: ray.data.Dataset, hamming: int, id_col: str,
+                   hash_col: str,
+                   num_partitions: int) -> ray.data.Dataset:
+    """Shared perceptual-hash clustering core: 64-bit fingerprints ->
     Hamming-block candidate buckets -> verified edges (popcount <=
     ``hamming``) -> connected components -> keep/delete/unique states
-    with cluster_id = min member id — the text pipelines' assignment
-    contract over the image modality.
+    with cluster_id = min member id.
 
     Scale shape (mirrors the SimHash text tier, pipeline.py
     simhash_edges): each fingerprint explodes into ``hamming+1``
     disjoint bit-block keys; two hashes within Hamming distance t agree
     on at least one of t+1 blocks (pigeonhole), so candidates come from
-    a plain hash-partitioned groupby — never an all-pairs image scan.
+    a plain hash-partitioned groupby — never an all-pairs scan.
     Within-bucket verification is a vectorized uint64 XOR+popcount over
     the (small) bucket; undecoded rows are excluded from matching and
     surface as state='error'."""
     from .dist import groupapply, mix64, union_find
 
-    hashes = image_dhash(ds, id_col=id_col).materialize()
+    hashes = hashes.materialize()
     n_blocks = hamming + 1
     width = 64 // n_blocks
     mask = np.uint64((1 << width) - 1)
 
     def _explode(t: pa.Table) -> pa.Table:
         keep = t.filter(pa.compute.equal(t["decoded"], 1))
-        fp = keep["dhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        fp = keep[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = keep[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         o_key, o_id, o_fp = [], [], []
         for b in range(n_blocks):
@@ -556,7 +646,7 @@ def image_dedup(ds: ray.data.Dataset, hamming: int = 2,
         return pa.table({
             "bkey": pa.array(np.concatenate(o_key), pa.uint64()),
             "node": pa.array(np.concatenate(o_id), pa.uint64()),
-            "dhash": pa.array(np.concatenate(o_fp), pa.uint64()),
+            "fp64": pa.array(np.concatenate(o_fp), pa.uint64()),
         })
 
     rows = hashes.map_batches(_explode, batch_format="pyarrow")
@@ -565,7 +655,7 @@ def image_dedup(ds: ray.data.Dataset, hamming: int = 2,
         from .dist import segments
         k = t["bkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
         nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        fps = t["dhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        fps = t["fp64"].to_numpy(zero_copy_only=False).astype(np.uint64)
         order, starts, _ = segments(k)
         out_u, out_v = [], []
         for s, e in zip(starts[:-1], starts[1:]):

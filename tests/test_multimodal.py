@@ -256,3 +256,68 @@ def test_image_dedup_deterministic_across_partitions():
     a = image_dedup(ray.data.from_arrow(t), num_partitions=2).to_pandas()
     b = image_dedup(ray.data.from_arrow(t), num_partitions=7).to_pandas()
     assert a.equals(b)
+
+
+# ---------------------------------------------------------------------------
+# Audio envelope-hash tier
+# ---------------------------------------------------------------------------
+
+def _wav(samples: np.ndarray, ch: int = 1, rate: int = 16000) -> bytes:
+    import io
+    import wave as _wave
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        if ch > 1:
+            samples = np.repeat(samples[:, None], ch, axis=1).ravel()
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _rand_wave(seed: int, n: int = 2000) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(-12000, 12000, size=n).astype(np.int64)
+
+
+def test_audio_hash_gain_and_channel_invariance():
+    from dedup.multimodal import AudioEnvelopeHasher
+
+    hasher = AudioEnvelopeHasher()
+    base = _rand_wave(5)
+    h0 = hasher._ahash(_wav(base))
+    assert h0 == hasher._ahash(_wav(base * 2))       # volume gain
+    assert h0 == hasher._ahash(_wav(base, ch=2))     # mono -> stereo
+    assert h0 != hasher._ahash(_wav(_rand_wave(6)))  # different content
+
+
+def test_audio_dedup_planted_clusters():
+    from dedup.multimodal import audio_dedup
+
+    rows_id, rows_pay = [], []
+    for c in range(8):
+        base = _rand_wave(900 + c)
+        rows_id += [c * 10, c * 10 + 1, c * 10 + 2]
+        rows_pay += [_wav(base), _wav(base * 2), _wav(base, ch=2)]
+    for u in range(100, 110):
+        rows_id.append(u * 10)
+        rows_pay.append(_wav(_rand_wave(7000 + u)))
+    rows_id += [9001, 9002]
+    rows_pay += [_wav(_rand_wave(1))[:30], None]  # truncated + null
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(rows_id, pa.int64()),
+        "payload": pa.array(rows_pay, pa.binary()),
+    }))
+    out = audio_dedup(ds, hamming=2, num_partitions=4).to_pandas()
+    by_id = out.set_index("doc_id")
+    for c in range(8):
+        members = [c * 10, c * 10 + 1, c * 10 + 2]
+        assert {by_id.loc[m, "cluster_id"] for m in members} == {c * 10}
+        assert by_id.loc[c * 10, "state"] == "keep"
+        assert {by_id.loc[m, "state"] for m in members[1:]} == {"delete"}
+    for u in range(100, 110):
+        assert by_id.loc[u * 10, "state"] == "unique"
+    assert by_id.loc[9001, "state"] == "error"
+    assert by_id.loc[9002, "state"] == "error"
