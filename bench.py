@@ -280,7 +280,8 @@ def run_suite() -> dict:
              "knn_brute", "embedding_dup_pairs_lsh", "repetition_stats",
              "line_dedup", "decontaminate", "url_dedup", "span_dedup",
              "incremental_dedup_bloom", "source_dup_report", "semdedup",
-             "paragraph_dedup", "doc_line_dedup"]
+             "paragraph_dedup", "doc_line_dedup", "sliding_windows",
+             "heavy_hitters", "tfidf_top_terms"]
     out: dict[str, float] = {}
     for name in picks:
         t0 = time.time()

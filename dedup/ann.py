@@ -868,3 +868,69 @@ def knn_ivfpq(ds: ray.data.Dataset, query_ids: list[int], k: int = 10,
                                         batch_format="pyarrow") \
                .sort(["q", "score_e6", id_col],
                      descending=[False, True, False])
+
+
+def group_centroids(ds: ray.data.Dataset, group_col: str = "label",
+                    vec_col: str = "embedding") -> ray.data.Dataset:
+    """Group-wise vector centroid — the list-typed-column aggregate: per
+    (group, dimension), the component mean over all of the group's
+    vectors, emitted as scalar rows ``(group, dim, n_vecs,
+    centroid_e6)`` so the result is SQL-comparable and shuffle-friendly.
+
+    Float discipline: each float32 component is quantized ONCE to an e6
+    integer (``round(x * 1e6)``); all summation is int64 and therefore
+    exact and order-insensitive under any blocking/merge order, and the
+    mean is ``floor(sum_e6 / n)`` computed identically in SQL.  (At
+    fixture scale the double division is exact; a 100 TB run keeping
+    |sum_e6| near 2^53 would emit the (sum_e6, n) pair instead — same
+    shuffle, division deferred to the consumer.)
+
+    Scale shape: per-batch segment-sum combiner (np.add.reduceat over a
+    label argsort) emits one row per (group, dim) per block, so the
+    single groupby shuffle moves combiner output, never vectors."""
+    import pyarrow.compute as pc
+
+    def _partial(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t, vec_col)
+        if m.size == 0:
+            return pa.table({
+                "label": pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sum_e6": pa.array([], pa.int64()),
+            })
+        e6 = np.round(m * 1e6).astype(np.int64)
+        labs = t[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(labs, kind="stable")
+        sl = labs[order]
+        starts = np.concatenate([[0], np.flatnonzero(sl[1:] != sl[:-1]) + 1])
+        sums = np.add.reduceat(e6[order], starts, axis=0)
+        counts = np.diff(np.concatenate([starts, [len(sl)]]))
+        ug = sl[starts]
+        d = m.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(ug, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(ug)),
+                            pa.int64()),
+            "n": pa.array(np.repeat(counts.astype(np.int64), d), pa.int64()),
+            "sum_e6": pa.array(sums.reshape(-1), pa.int64()),
+        })
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow") \
+            .groupby(["label", "dim"]).aggregate(
+        ray.data.aggregate.Sum("n"), ray.data.aggregate.Sum("sum_e6"))
+
+    def _final(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["label", "dim", "n_vecs", "sum_e6"])
+        mean = np.floor(
+            t["sum_e6"].to_numpy(zero_copy_only=False).astype(np.float64)
+            / t["n_vecs"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table({
+            "label": t["label"],
+            "dim": t["dim"],
+            "n_vecs": t["n_vecs"].cast(pa.int64()),
+            "centroid_e6": pa.array(mean, pa.int64()),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow") \
+              .sort(["label", "dim"])

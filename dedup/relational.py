@@ -157,3 +157,54 @@ def region_supplier_stats(supplier: ray.data.Dataset,
         })
 
     return agg.map_batches(_final, batch_format="pyarrow").sort("r_name")
+
+
+def range_join(ds: ray.data.Dataset, intervals: pa.Table,
+               value_col: str, lo_col: str = "lo", hi_col: str = "hi",
+               label_col: str = "band",
+               keep_cols: tuple[str, ...] = ()) -> ray.data.Dataset:
+    """Broadcast range (interval) join — the classic operator Ray Data
+    lacks: attach to each row the label of the interval containing its
+    ``value_col`` under half-open ``lo <= v < hi`` semantics; rows in no
+    interval carry a null label (LEFT-join semantics).
+
+    Scale shape: the interval table is the SMALL side by contract
+    (config-sized — size bands, rate tiers, date ranges); it is sorted
+    and validated once on the driver, shipped once via ``ray.put``, and
+    probed per batch with two vectorized ``np.searchsorted`` calls — no
+    shuffle at all, the big side streams.  Intervals must be
+    non-overlapping (validated; overlapping tiers would need a
+    flat_map-style multi-emit variant instead).
+    """
+    itab = intervals.combine_chunks()
+    lo = itab[lo_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    hi = itab[hi_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    labels = itab[label_col]
+    order = np.argsort(lo, kind="stable")
+    lo, hi = lo[order], hi[order]
+    labels = labels.take(pa.array(order))
+    if np.any(hi <= lo):
+        raise ValueError("each interval needs lo < hi")
+    if np.any(lo[1:] < hi[:-1]):
+        raise ValueError("intervals overlap; range_join requires disjoint "
+                         "intervals")
+    ref = ray.put({"lo": lo, "hi": hi, "labels": labels})
+
+    def _probe(t: pa.Table) -> pa.Table:
+        iv = ray.get(ref)
+        if len(iv["lo"]) == 0:
+            lab = pa.nulls(t.num_rows, pa.string())
+        else:
+            v = t[value_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(iv["lo"], v, side="right") - 1
+            safe = np.clip(idx, 0, len(iv["lo"]) - 1)
+            ok = (idx >= 0) & (v < iv["hi"][safe])
+            lab = iv["labels"].take(pa.array(safe))
+            lab = pc.if_else(pa.array(ok), lab,
+                             pa.nulls(t.num_rows, lab.type))
+        out = {c: t[c] for c in keep_cols} if keep_cols else \
+            {c: t[c] for c in t.column_names}
+        out[label_col] = lab
+        return pa.table(out)
+
+    return ds.map_batches(_probe, batch_format="pyarrow")

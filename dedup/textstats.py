@@ -893,3 +893,216 @@ def unigram_surprisal(ds: ray.data.Dataset, id_col: str = "doc_id",
         })
 
     return ds.map_batches(_score, batch_format="pyarrow")
+
+
+def heavy_hitters(ds: ray.data.Dataset, capacity: int = 64,
+                  text_col: str = "text") -> ray.data.Dataset:
+    """Heavy hitters with EXACT counts via a bounded-state sketch pass:
+    all tokens whose corpus frequency is strictly greater than
+    n_total / capacity, with their exact counts, sorted
+    (cnt desc, token asc).
+
+    Two phases (the classic sketch-then-verify shape):
+
+    1. candidate pass — per block, tokens with block frequency
+       > block_total / capacity (the Misra-Gries guarantee specialized
+       to pre-counted blocks: if a token's GLOBAL frequency exceeds
+       n/capacity then by pigeonhole it exceeds the local threshold in
+       at least one block, so the union of per-block survivors is a
+       provable superset of the true heavy hitters).  Per-block state is
+       bounded by capacity-1 rows no matter the vocabulary size — THIS
+       is what replaces top_tokens' vocabulary-sized shuffle at web
+       scale.  The driver collect is bounded by capacity * n_blocks
+       rows (a second sketch tier would bound it further; documented).
+    2. exact pass — broadcast the candidate set (``ray.put``, read once
+       per task), count ONLY candidate tokens per batch, one small
+       groupby, threshold ``cnt * capacity > n_total``.
+
+    Because phase 2 is exact and phase 1 is a guaranteed superset, the
+    output equals the exact SQL answer (HAVING cnt * capacity > n) and
+    is deterministic regardless of blocking or merge order."""
+
+    def _cands(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(t[text_col], ""),
+                                      pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        cnts = vc.field("counts").cast(pa.int64())
+        n_b = int(len(flat))
+        keep = pc.greater(pc.multiply(cnts, pa.scalar(capacity, pa.int64())),
+                          pa.scalar(n_b, pa.int64()))
+        cand = vc.field("values").filter(keep)
+        # sentinel row carries this block's token total ("" is never a
+        # token: empty strings are filtered from the stream above)
+        return pa.table({
+            "token": pa.concat_arrays([cand.combine_chunks()
+                                       if isinstance(cand, pa.ChunkedArray)
+                                       else cand,
+                                       pa.array([""], pa.string())]),
+            "n_b": pa.array([0] * len(cand) + [n_b], pa.int64()),
+        })
+
+    # bounded driver collect: <= capacity rows per block (see docstring)
+    cand_tokens: set[str] = set()
+    n_total = 0
+    for b in ds.map_batches(_cands, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for tok, nb in zip(b["token"].to_pylist(), b["n_b"].to_pylist()):
+            if tok == "":
+                n_total += nb
+            else:
+                cand_tokens.add(tok)
+    _schema = pa.schema([("token", pa.string()), ("cnt", pa.int64())])
+    if not cand_tokens:
+        # no block produced a local heavy hitter -> provably no global
+        # one; keep the declared schema (Ray drops columns on an empty
+        # groupby result)
+        return ray.data.from_arrow(_schema.empty_table())
+    cand_arr = pa.array(sorted(cand_tokens), pa.string())
+    ref = ray.put(cand_arr)
+
+    def _exact(t: pa.Table) -> pa.Table:
+        cands = ray.get(ref)
+        toks = pc.split_pattern_regex(pc.fill_null(t[text_col], ""),
+                                      pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.is_in(flat, value_set=cands))
+        vc = flat.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+
+    agg = ds.map_batches(_exact, batch_format="pyarrow") \
+            .groupby("token").sum("cnt")
+
+    def _final(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["token", "cnt"])
+        keep = pc.greater(
+            pc.multiply(t["cnt"], pa.scalar(capacity, pa.int64())),
+            pa.scalar(n_total, pa.int64()))
+        return t.filter(keep)
+
+    return agg.map_batches(_final, batch_format="pyarrow") \
+              .sort(["cnt", "token"], descending=[True, False])
+
+
+def tfidf_top_terms(ds: ray.data.Dataset, k: int = 3,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> ray.data.Dataset:
+    """Per-document top-k terms by TF-IDF (whitespace tokens, natural-log
+    idf): output (id, token, tf, tfidf_e6) with
+    ``tfidf_e6 = tf * floor(ln(n_docs / df) * 1e6)`` — idf quantized to
+    an integer once per UNIQUE token (the unigram_surprisal float
+    discipline), so scores are integer-exact and the DuckDB oracle
+    hashes bit-identically.
+
+    Scale shape: document frequencies come from token_doc_freq's
+    dedupe-inside-the-batch partial (one shuffle, one row per distinct
+    token per block); the df table is VOCABULARY-bounded and collected
+    once on the driver (same bound as unigram_surprisal — web vocab is
+    millions where the corpus is billions), then broadcast via
+    ``ray.put``.  The per-doc top-k is one vectorized pass per batch
+    (lexsort runs, no per-row Python), no doc-keyed shuffle at all —
+    a doc's rows never span batches."""
+    import math
+
+    def _df_partial(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t[text_col], "")
+        toks = pc.split_pattern_regex(txt, pattern=r"\s+")
+        nper = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(toks)
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) \
+            else flat
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(t.num_rows), nper)[keep]
+        d = pc.dictionary_encode(flat.filter(pa.array(keep)))
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(codes):
+            order = np.lexsort((parent, codes))
+            cs, ps = codes[order], parent[order]
+            first = np.concatenate([[True], (cs[1:] != cs[:-1])
+                                    | (ps[1:] != ps[:-1])])
+            df = np.bincount(cs[first], minlength=len(d.dictionary))
+        else:
+            df = np.zeros(len(d.dictionary), dtype=np.int64)
+        # sentinel "" row carries this block's DOC count (n_docs term)
+        return pa.table({
+            "token": pa.concat_arrays([
+                d.dictionary.combine_chunks()
+                if isinstance(d.dictionary, pa.ChunkedArray)
+                else d.dictionary, pa.array([""], pa.string())]),
+            "df": pa.array(list(df.astype(np.int64)) + [t.num_rows],
+                           pa.int64()),
+        })
+
+    dftab_batches = list(ds.map_batches(_df_partial, batch_format="pyarrow")
+                         .groupby("token").sum("df")
+                         .iter_batches(batch_format="pyarrow"))
+    dftab = pa.concat_tables(dftab_batches) if dftab_batches else \
+        pa.table({"token": pa.array([], pa.string()),
+                  "sum(df)": pa.array([], pa.int64())})
+    toks = dftab["token"].to_pylist()
+    dfs = dftab["sum(df)"].to_numpy(zero_copy_only=False)
+    n_docs = 0
+    for tok, d_ in zip(toks, dfs):
+        if tok == "":
+            n_docs = int(d_)
+    idf6 = {tok: math.floor(math.log(n_docs / int(d_)) * 1e6)
+            for tok, d_ in zip(toks, dfs) if tok != ""} if n_docs else {}
+    ref = ray.put(idf6)
+
+    def _topk(t: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        n = t.num_rows
+        txt = pc.fill_null(t[text_col], "")
+        tok_lists = pc.split_pattern_regex(txt, pattern=r"\s+")
+        nper = pc.list_value_length(tok_lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(tok_lists)
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) \
+            else flat
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(n), nper)[keep]
+        d = pc.dictionary_encode(flat.filter(pa.array(keep)))
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(d.dictionary.to_pylist(), dtype=object)
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "token": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "tfidf_e6": pa.array([], pa.int64()),
+        })
+        if not len(codes):
+            return empty
+        # (doc, token) run-length counts -> tf
+        order = np.lexsort((codes, parent))
+        cs, ps = codes[order], parent[order]
+        first = np.concatenate([[True], (cs[1:] != cs[:-1])
+                                | (ps[1:] != ps[:-1])])
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.concatenate([starts, [len(cs)]])).astype(np.int64)
+        run_doc, run_code = ps[starts], cs[starts]
+        # bounded Python: one idf lookup per unique token in the batch
+        uidf = np.array([lut.get(u, 0) for u in vocab], dtype=np.int64)
+        score = tf * uidf[run_code]
+        run_tok = vocab[run_code].astype("U")
+        # rank within doc by (score desc, token asc); keep rank < k
+        r_order = np.lexsort((run_tok, -score, run_doc))
+        rd = run_doc[r_order]
+        doc_first = np.concatenate([[True], rd[1:] != rd[:-1]])
+        idx = np.arange(len(rd), dtype=np.int64)
+        start_of_doc = np.maximum.accumulate(np.where(doc_first, idx, 0))
+        rank = idx - start_of_doc
+        sel = r_order[rank < k]
+        ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ids[run_doc[sel]], pa.int64()),
+            "token": pa.array(run_tok[sel].astype(object), pa.string()),
+            "tf": pa.array(tf[sel], pa.int64()),
+            "tfidf_e6": pa.array(score[sel], pa.int64()),
+        })
+
+    return ds.map_batches(_topk, batch_format="pyarrow") \
+             .sort([id_col, "tfidf_e6", "token"],
+                   descending=[False, True, False])

@@ -57,6 +57,67 @@ def hourly_aggregate(events: ray.data.Dataset,
               .sort(["window_start", "event_type"])
 
 
+def sliding_aggregate(events: ray.data.Dataset,
+                      window_minutes: int = 60, slide_minutes: int = 15,
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      value_col: str = "value") -> ray.data.Dataset:
+    """Sliding-window aggregate: per (window_start, event_type), count and
+    value total over windows of ``window_minutes`` sliding every
+    ``slide_minutes`` (window_minutes must be a multiple — each event
+    lands in exactly window/slide windows).  Generalizes
+    ``hourly_aggregate`` (tumbling = window == slide).
+
+    Scale shape: the window replication happens INSIDE map_batches
+    (vectorized ``np.repeat`` + tiled offsets) and is immediately
+    combined per (window, type) per batch, so the shuffle moves one row
+    per distinct (window, type) per block — the windows/event blow-up
+    never rides the wire.  Values go through the scaled-integer cents
+    discipline PER EVENT (``round(value*100)`` before summation), so
+    totals are integer-exact and order-insensitive regardless of
+    parallelism or merge order."""
+    if window_minutes % slide_minutes:
+        raise ValueError("window_minutes must be a multiple of "
+                         "slide_minutes")
+    n_w = window_minutes // slide_minutes
+    slide_us = np.int64(slide_minutes * 60 * 1_000_000)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = pc.round(pc.multiply(t[value_col], pa.scalar(100.0))) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (ts // slide_us) * slide_us
+        # each event -> n_w window starts: base - k*slide_us, k in [0, n_w)
+        starts = np.repeat(base, n_w) - np.tile(
+            np.arange(n_w, dtype=np.int64) * slide_us, n)
+        etype = t[type_col].take(pa.array(np.repeat(
+            np.arange(n, dtype=np.int64), n_w)))
+        tmp = pa.table({
+            "ws": pa.array(starts, pa.int64()),
+            "event_type": etype,
+            "cents": pa.array(np.repeat(cents, n_w), pa.int64()),
+        })
+        g = tmp.group_by(["ws", "event_type"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["ws", "event_type", "cents", "n"])
+
+    agg = events.map_batches(_partial, batch_format="pyarrow") \
+                .groupby(["ws", "event_type"]).aggregate(
+        ray.data.aggregate.Sum("cents"), ray.data.aggregate.Sum("n"))
+
+    def _final(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["ws", "event_type", "total_value_cents", "n"])
+        return pa.table({
+            "window_start": t["ws"].cast(pa.timestamp("us")),
+            "event_type": t["event_type"],
+            "n_events": t["n"].cast(pa.int64()),
+            "total_value_cents": t["total_value_cents"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow") \
+              .sort(["window_start", "event_type"])
+
+
 def user_sessions(events: ray.data.Dataset, gap_minutes: int = 30,
                   num_partitions: int = 16,
                   user_col: str = "user_id", ts_col: str = "ts",
