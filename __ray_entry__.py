@@ -1026,6 +1026,37 @@ def _q_unigram_surprisal(sf_dir: str):
         .sort("doc_id")
 
 
+def _q_bigram_surprisal(sf_dir: str):
+    """Per-doc mean BIGRAM surprisal — the order-2 LM-quality signal
+    (CCNet shape, model = the corpus' own MLE bigram distribution):
+    -mean ln P(w_i | w_{i-1}) with per-unique-bigram floor-e6
+    quantization, so the DuckDB oracle hashes bit-identically."""
+    return textstats.bigram_surprisal(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_approx_distinct(sf_dir: str):
+    """HyperLogLog distinct-count estimate vs the exact distinct count
+    over ``lineitem.l_orderkey`` (~15k distinct at sf0.01 — above the
+    p=12 linear-counting threshold, so the raw-HLL estimator path is
+    exercised).  The sketch itself has no SQL analogue; the row carries
+    its own ground truth: rel error must sit inside
+    3 sigma = 3 * 1.04 / sqrt(2^p) (~4.9 % at p=12)."""
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_orderkey"])
+    p = 12
+    est = textstats.approx_distinct(li, "l_orderkey", precision=p)
+    exact = li.groupby("l_orderkey").count().count()
+    rel_err_e6 = abs(est - exact) * 1_000_000 // max(exact, 1)
+    bound_e6 = int(3 * 1.04 / (1 << p) ** 0.5 * 1e6)
+    return pa.table({
+        "n_exact": pa.array([exact], pa.int64()),
+        "n_est": pa.array([est], pa.int64()),
+        "rel_err_e6": pa.array([rel_err_e6], pa.int64()),
+        "within_3sigma": pa.array([int(rel_err_e6 <= bound_e6)],
+                                   pa.int64()),
+    })
+
+
 def _q_url_dedup(sf_dir: str):
     """Canonical-URL crawl dedup over a derived URL corpus: every doc
     gets one of five URL spellings (https+www / http / bare+slash /
@@ -1377,6 +1408,25 @@ def _q_length_quantiles(sf_dir: str):
     quantile_disc rule."""
     return textstats.exact_quantiles(_docs(sf_dir, ["doc_id", "n_chars"]),
                                      "n_chars")
+
+
+def _q_grouped_length_quantiles(sf_dir: str):
+    """Per-language EXACT doc-length order statistics — the grouped
+    generalization of ``length_quantiles`` (per-lang corpus length
+    profile): one row per lang with n / min / max / p25..p99 under the
+    DuckDB quantile_disc rule."""
+    return textstats.grouped_quantiles(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]), "lang", "n_chars")
+
+
+def _q_user_event_deltas(sf_dir: str):
+    """Per-user lag window — ``ts - lag(ts) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id)`` in microseconds, -1 sentinel for each
+    user's first event.  One hash shuffle on user, vectorized
+    sorted-run diff per partition."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id"])
+    return W.user_event_deltas(ds)
 
 
 def _q_quota_sample(sf_dir: str):
@@ -1731,9 +1781,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     top_tokens (by heavy_hitters), events_hourly (by its
     generalization sliding_windows), cluster_size_hist (a trivial
     GROUP BY over embedding_dedup, which keeps its in-cap row; slot
-    given to the range-join query doc_size_bands), and quota_sample
+    given to the range-join query doc_size_bands), quota_sample
     (quota machinery subsumed by temperature_sample; slot given to
-    group_centroids)) are rotated below the cap —
+    group_centroids), length_quantiles (generalized by
+    grouped_length_quantiles, which takes the slot), doc_stats
+    (count machinery redundantly covered by quality_score +
+    token_count; slot given to bigram_surprisal), and corpus_shuffle
+    (same md5-order machinery as the in-cap hash_split; slot given
+    to the lag-window query user_event_deltas)) are rotated below
+    the cap —
     they remain fully oracle-checked in-repo via
     scripts/check_queries.py — followed by the planted-truth/recall
     queries that have no SQL analogue."""
@@ -1764,19 +1820,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "lang_id": _q_lang_id,
         "tfidf_top_terms": _q_tfidf_top_terms,
-        "doc_stats": _q_doc_stats,
+        "bigram_surprisal": _q_bigram_surprisal,
         "heavy_hitters": _q_heavy_hitters,
         "quality_score": _q_quality_score,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "line_dedup": _q_line_dedup,
-        "corpus_shuffle": _q_corpus_shuffle,
+        "user_event_deltas": _q_user_event_deltas,
         "doc_line_dedup": _q_doc_line_dedup,
         "url_dedup": _q_url_dedup,
         "decontaminate": _q_decontaminate,
         "group_centroids": _q_group_centroids,
         "doc_size_bands": _q_doc_size_bands,
-        "length_quantiles": _q_length_quantiles,
+        "grouped_length_quantiles": _q_grouped_length_quantiles,
         "pack_sequences": _q_pack_sequences,
         "curation_pipeline": _q_curation_pipeline,
         "hash_split": _q_hash_split,
@@ -1790,6 +1846,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_dedup": _q_embedding_dedup,
         # --- below the driver's 50-row cap: oracle-checked in-repo ----
+        "length_quantiles": _q_length_quantiles,
+        "doc_stats": _q_doc_stats,
+        "corpus_shuffle": _q_corpus_shuffle,
         "token_count": _q_token_count,
         "top_tokens": _q_top_tokens,
         "cluster_size_hist": _q_cluster_size_hist,
@@ -1838,6 +1897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_recall": _q_knn_ivf_recall,
         "knn_ivfpq_recall": _q_knn_ivfpq_recall,
         "embedding_dup_pairs_lsh_recall": _q_embedding_dup_pairs_lsh_recall,
+        "approx_distinct": _q_approx_distinct,
     }
 
 
@@ -2753,6 +2813,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(n_chars, 0.90) AS BIGINT) AS p90,
                    CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
             FROM documents""",
+        "grouped_length_quantiles": """
+            SELECT lang,
+                   CAST(count(n_chars) AS BIGINT) AS n,
+                   CAST(min(n_chars) AS BIGINT) AS min_value,
+                   CAST(max(n_chars) AS BIGINT) AS max_value,
+                   CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
+                   CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50,
+                   CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75,
+                   CAST(quantile_disc(n_chars, 0.90) AS BIGINT) AS p90,
+                   CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
+            FROM documents GROUP BY lang ORDER BY lang""",
+        "user_event_deltas": """
+            SELECT event_id, user_id, ts,
+                   coalesce(date_diff('microsecond',
+                            lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), ts),
+                            -1) AS prev_gap_us
+            FROM events ORDER BY user_id, ts, event_id""",
+        "bigram_surprisal": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                         coalesce(text, ''), '\s+'), x -> x <> '') AS ts
+              FROM documents),
+            bg AS (
+              SELECT doc_id, ts[i] || chr(31) || ts[i + 1] AS bg
+              FROM tok, unnest(generate_series(1, len(ts) - 1)) AS u(i)),
+            freq AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+            pref AS (SELECT string_split(bg, chr(31))[1] AS w1,
+                            sum(c) AS cp
+                     FROM freq GROUP BY 1),
+            lp AS (SELECT f.bg,
+                          CAST(floor(ln(f.c / p.cp) * 1e6) AS BIGINT) AS lp6
+                   FROM freq f
+                   JOIN pref p ON string_split(f.bg, chr(31))[1] = p.w1),
+            d AS (SELECT b.doc_id, count(*) AS nb, sum(l.lp6) AS s
+                  FROM bg b JOIN lp l ON l.bg = b.bg GROUP BY b.doc_id)
+            SELECT doc.doc_id,
+                   CAST(coalesce(d.nb, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce((-d.s) // d.nb, 0) AS BIGINT)
+                     AS surprisal2_e6
+            FROM documents doc LEFT JOIN d ON d.doc_id = doc.doc_id
+            ORDER BY doc.doc_id""",
         "quota_sample": """
             SELECT lang, doc_id FROM (
               SELECT lang, doc_id,

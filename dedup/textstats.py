@@ -1106,3 +1106,410 @@ def tfidf_top_terms(ds: ray.data.Dataset, k: int = 3,
     return ds.map_batches(_topk, batch_format="pyarrow") \
              .sort([id_col, "tfidf_e6", "token"],
                    descending=[False, True, False])
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog approximate distinct count (Flajolet et al. 2007)
+# ---------------------------------------------------------------------------
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length of uint64 values (no float log2 —
+    log2 loses integer precision above 2**53)."""
+    bl = np.zeros(len(w), np.int64)
+    v = w.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        hi = v >> np.uint64(s)
+        has = hi > 0
+        bl += np.where(has, s, 0)
+        v = np.where(has, hi, v)
+    return bl + (v > 0)
+
+
+def approx_distinct(ds: ray.data.Dataset, col: str,
+                    precision: int = 12,
+                    pre_split: bool = False) -> int:
+    """HyperLogLog approximate distinct count over a string column — the
+    sketch that replaces a vocabulary-sized ``unique`` shuffle with a
+    fixed 2**precision-register table (16 KiB at p=12) when the corpus
+    is too big to count exactly (distinct urls / tokens / shingles at
+    100 TB).
+
+    Scale shape: per batch, values are md5-hashed per UNIQUE value
+    (dictionary-encode first — the same bounded-loop discipline as
+    ``_TokenHasher``) and folded into a local register array via
+    ``np.maximum.at``; each block emits at most 2**precision
+    (register, rho) rows.  The one shuffle is
+    ``groupby(register).max(rho)`` over those bounded partials, and the
+    driver reduces the <= 2**precision final registers to the estimate.
+    Register maxima are order- and blocking-insensitive, so the
+    estimate is DETERMINISTIC for a given input set regardless of
+    parallelism — tested.  Standard error ~= 1.04 / sqrt(2**precision)
+    (~1.6 % at p=12); linear-counting correction applied below 2.5m.
+
+    ``pre_split=True`` treats ``col`` as whitespace-separated text and
+    counts distinct TOKENS instead of distinct rows."""
+    import hashlib
+    if not 4 <= precision <= 18:
+        raise ValueError("precision must be in [4, 18]")
+    p = precision
+    m = 1 << p
+    width = 64 - p  # bits hashed into the rho field
+
+    def _partial(t: pa.Table) -> pa.Table:
+        vals = t[col]
+        if pre_split:
+            toks = pc.split_pattern_regex(pc.fill_null(vals, ""),
+                                          pattern=r"\s+")
+            vals = pc.list_flatten(toks)
+            vals = vals.filter(pc.not_equal(vals, ""))
+        else:
+            vals = vals.cast(pa.string()).drop_null()
+        d = pc.dictionary_encode(
+            vals.combine_chunks() if isinstance(vals, pa.ChunkedArray)
+            else vals)
+        uniq = d.dictionary.to_pylist()
+        if not uniq:
+            return pa.table({"register": pa.array([], pa.int32()),
+                             "rho": pa.array([], pa.int64())})
+        # bounded loop: one md5 per unique value in the batch
+        h = np.array([int.from_bytes(
+            hashlib.md5(u.encode("utf-8", "surrogatepass")).digest()[:8],
+            "big") for u in uniq], dtype=np.uint64)
+        idx = (h >> np.uint64(width)).astype(np.int64)
+        w = h & np.uint64((1 << width) - 1)
+        rho = np.where(w == 0, width + 1, width - _bit_length_u64(w) + 1)
+        reg = np.zeros(m, np.int64)
+        np.maximum.at(reg, idx, rho)
+        nz = np.flatnonzero(reg)
+        return pa.table({"register": pa.array(nz.astype(np.int32)),
+                         "rho": pa.array(reg[nz], pa.int64())})
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow") \
+            .groupby("register").max("rho")
+    reg = np.zeros(m, np.int64)
+    # bounded collect: <= 2**precision rows by construction
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        reg[b["register"].to_numpy(zero_copy_only=False)] = \
+            b["max(rho)"].to_numpy(zero_copy_only=False)
+    alpha = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else \
+        {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    est = alpha * m * m / float(np.sum(np.ldexp(1.0, -reg)))
+    zeros = int(np.sum(reg == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)  # linear counting, small range
+    return int(round(est))
+
+
+def grouped_quantiles(ds: ray.data.Dataset, group_col: str,
+                      value_col: str, qs=QUANTILES) -> pa.Table:
+    """Per-group EXACT order statistics (per-language length profiles —
+    the grouped form of ``exact_quantiles``).  One row per group:
+    (group, n, min/max, one column per quantile).
+
+    Scale shape: per-batch (group, value) value-count combine →
+    ``groupby(group, value).sum`` — the shuffle carries one row per
+    distinct (group, value) per batch, never the corpus.  The final
+    scan runs on the aggregated distinct-(group, value) table (bounded
+    by n_groups × distinct values; a continuous value column needs a
+    sketch instead, as documented on exact_quantiles).  Quantile rule =
+    DuckDB quantile_disc: index ceil(q*n)-1 in integer arithmetic."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        sub = pa.table({"g": t[group_col],
+                        "value": t[value_col].cast(pa.int64())})
+        g = sub.group_by(["g", "value"]).aggregate([("value", "count")])
+        return g.rename_columns(["g", "value", "cnt"])
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow") \
+            .groupby(["g", "value"]).sum("cnt")
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["g", "value", "cnt"])
+
+    small = agg.map_batches(_rename, batch_format="pyarrow") \
+               .sort(["g", "value"])
+    gs, vs, cs = [], [], []
+    # bounded collect: one row per distinct (group, value) — see docstring
+    for b in small.iter_batches(batch_format="pyarrow"):
+        gs.append(b["g"].to_numpy(zero_copy_only=False))
+        vs.append(b["value"].to_numpy(zero_copy_only=False))
+        cs.append(b["cnt"].to_numpy(zero_copy_only=False))
+    if not gs:
+        cols = {group_col: pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "min_value": pa.array([], pa.int64()),
+                "max_value": pa.array([], pa.int64())}
+        for label, _, _ in qs:
+            cols[label] = pa.array([], pa.int64())
+        return pa.table(cols)
+    g = np.concatenate(gs)
+    v = np.concatenate(vs)
+    c = np.concatenate(cs)
+    brk = np.flatnonzero(g[1:] != g[:-1]) + 1
+    starts = np.concatenate([[0], brk, [len(g)]]).astype(np.int64)
+    out_g, out_n, out_min, out_max = [], [], [], []
+    out_q = {label: [] for label, _, _ in qs}
+    for s, e in zip(starts[:-1], starts[1:]):
+        cnts = c[s:e]
+        n = int(cnts.sum())
+        cum = np.cumsum(cnts)
+        out_g.append(g[s])
+        out_n.append(n)
+        out_min.append(int(v[s]))
+        out_max.append(int(v[e - 1]))
+        for label, num, den in qs:
+            idx = max((num * n + den - 1) // den - 1, 0)
+            pos = int(np.searchsorted(cum, idx, side="right"))
+            out_q[label].append(int(v[s + pos]))
+    cols = {group_col: pa.array(list(out_g)),
+            "n": pa.array(out_n, pa.int64()),
+            "min_value": pa.array(out_min, pa.int64()),
+            "max_value": pa.array(out_max, pa.int64())}
+    for label, _, _ in qs:
+        cols[label] = pa.array(out_q[label], pa.int64())
+    return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM surprisal (CCNet-style quality signal, order-2 model)
+# ---------------------------------------------------------------------------
+
+#: bigram key separator — ASCII unit separator; tokens are produced by a
+#: \s+ split so they can in principle contain it, in which case two
+#: different bigrams could alias (documented limitation, matched by the
+#: SQL oracle which uses the same chr(31) join).
+_BG_SEP = "\x1f"
+
+
+def _bigram_partials(t: pa.Table, text_col: str) -> pa.Table:
+    """Per-batch (bigram, count) partials: whitespace-split, drop empty
+    tokens, pair consecutive tokens WITHIN each doc (list_flatten
+    preserves order, so consecutive flat entries with the same parent
+    are consecutive tokens), value-count the joined keys."""
+    toks = pc.split_pattern_regex(pc.fill_null(t[text_col], ""),
+                                  pattern=r"\s+")
+    nper = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) \
+        else flat
+    parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), nper)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat, parent = flat.filter(pa.array(keep)), parent[keep]
+    if len(parent) < 2:
+        return pa.table({"bg": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    pair = parent[1:] == parent[:-1]
+    w1 = flat.slice(0, len(flat) - 1).filter(pa.array(pair))
+    w2 = flat.slice(1).filter(pa.array(pair))
+    bg = pc.binary_join_element_wise(w1, w2, _BG_SEP)
+    vc = bg.value_counts()
+    return pa.table({"bg": vc.field("values"),
+                     "cnt": vc.field("counts").cast(pa.int64())})
+
+
+def _doc_bigrams(t: pa.Table, id_col: str, text_col: str) -> tuple:
+    """(ids int64 array, parent idx per bigram, bigram StringArray) for a
+    batch — shared by both scoring paths."""
+    n = t.num_rows
+    toks = pc.split_pattern_regex(pc.fill_null(t[text_col], ""),
+                                  pattern=r"\s+")
+    nper = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) \
+        else flat
+    parent = np.repeat(np.arange(n, dtype=np.int64), nper)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat, parent = flat.filter(pa.array(keep)), parent[keep]
+    ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if len(parent) < 2:
+        return ids, np.zeros(0, np.int64), pa.array([], pa.string())
+    pair = parent[1:] == parent[:-1]
+    w1 = flat.slice(0, len(flat) - 1).filter(pa.array(pair))
+    w2 = flat.slice(1).filter(pa.array(pair))
+    bg = pc.binary_join_element_wise(w1, w2, _BG_SEP)
+    return ids, parent[:-1][pair], bg
+
+
+def bigram_surprisal(ds: ray.data.Dataset, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     mode: str = "broadcast") -> ray.data.Dataset:
+    """Per-document mean bigram surprisal — the order-2 upgrade of
+    ``unigram_surprisal`` (CCNet / Wenzek et al. 2020 LM-quality signal
+    with the LM trained on the corpus itself): per bigram position,
+    -ln P(w_i | w_{i-1}) under the corpus MLE bigram model
+    (count(w1,w2) / count(w1 as a bigram prefix)).  Training on the
+    scored corpus itself means every bigram is in-model — no backoff
+    needed, and the whole signal is integer-exact after one
+    per-unique-bigram ln quantization (lp6 = floor(ln(c/cp) * 1e6)).
+
+    ``mode='broadcast'`` (default): bigram→lp6 table collected once on
+    the driver and ``ray.put`` — the collect is DISTINCT-BIGRAM bounded
+    (web-scale distinct bigrams run ~10-100× unigram vocab; beyond
+    broadcast reach, use ``mode='reduce'``).  Scoring is one vectorized
+    map_batches with a per-unique-bigram lookup per batch.
+
+    ``mode='reduce'``: nothing on the driver — unbounded vocabulary.
+    Four hash shuffles, every one the repo's ``groupapply`` /
+    ``groupby`` primitive (NOT ``Dataset.join``, which spawns
+    ``num_partitions`` aggregator actors per join — three chained
+    joins deadlock a small cluster and oversubscribe a big one):
+    (1) bigram-count combine, (2) colocate by hash(w1) to quantize
+    lp6 per bigram, (3) colocate doc-bigram rows with their lp6 row
+    by hash(bigram) — a reduce-side join in one map_groups, partials
+    pre-summed per (partition, doc), (4) per-doc sum.  Byte-identical
+    outputs to broadcast (tested).
+
+    Output: (id, n_bigrams, surprisal2_e6); docs with < 2 tokens score
+    0."""
+    import math
+    if mode not in ("broadcast", "reduce"):
+        raise ValueError("mode must be broadcast|reduce")
+
+    freq = ds.map_batches(
+        lambda t: _bigram_partials(t, text_col),
+        batch_format="pyarrow").groupby("bg").sum("cnt")
+    freq = freq.map_batches(
+        lambda t: t.rename_columns(["bg", "cnt"]), batch_format="pyarrow")
+
+    if mode == "broadcast":
+        # distinct-bigram bounded collect (see docstring)
+        batches = list(freq.iter_batches(batch_format="pyarrow"))
+        ftab = pa.concat_tables(batches) if batches else \
+            pa.table({"bg": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+        bgs = ftab["bg"].to_pylist()
+        cnts = ftab["cnt"].to_numpy(zero_copy_only=False)
+        pref: dict = {}
+        for b, c in zip(bgs, cnts):
+            w1 = b.split(_BG_SEP, 1)[0]
+            pref[w1] = pref.get(w1, 0) + int(c)
+        lp6 = {b: math.floor(math.log(int(c) / pref[b.split(_BG_SEP, 1)[0]])
+                             * 1e6) for b, c in zip(bgs, cnts)}
+        ref = ray.put(lp6)
+
+        def _score(t: pa.Table) -> pa.Table:
+            lut = ray.get(ref)
+            ids, parent, bg = _doc_bigrams(t, id_col, text_col)
+            n = len(ids)
+            d = pc.dictionary_encode(bg)
+            codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64) \
+                if len(bg) else np.zeros(0, np.int64)
+            # bounded loop: one lookup per unique bigram in the batch
+            uval = np.array([lut.get(u, 0) for u in d.dictionary.to_pylist()],
+                            dtype=np.int64) if len(bg) else np.zeros(0, np.int64)
+            s = np.bincount(parent, weights=(uval[codes] if len(bg) else
+                            np.zeros(0)).astype(np.float64),
+                            minlength=n).astype(np.int64)
+            nb = np.bincount(parent, minlength=n).astype(np.int64)
+            surp = np.where(nb > 0, (-s) // np.maximum(nb, 1), 0)
+            return pa.table({
+                id_col: pa.array(ids, pa.int64()),
+                "n_bigrams": pa.array(nb, pa.int64()),
+                "surprisal2_e6": pa.array(surp.astype(np.int64), pa.int64()),
+            })
+
+        return ds.map_batches(_score, batch_format="pyarrow").sort(id_col)
+
+    # mode == 'reduce': fully distributed, no driver-side model
+    from .corpus import _hash64_strings
+    from .dist import groupapply
+    num_partitions = 16
+
+    def _w1key(t: pa.Table) -> pa.Table:
+        w1 = pc.list_element(pc.split_pattern(t["bg"], _BG_SEP), 0)
+        return pa.table({
+            "skey": pa.array(_hash64_strings(w1), pa.uint64()),
+            "w1": w1, "bg": t["bg"], "cnt": t["cnt"]})
+
+    def _lp_part(t: pa.Table) -> pa.Table:
+        """All bigrams sharing a w1 colocate (routed by hash(w1));
+        regroup EXACTLY by the w1 string, sum cnt per group → cp, then
+        the same floor-e6 ln quantization as broadcast (IEEE double
+        division both sides)."""
+        w1 = t["w1"]
+        d = pc.dictionary_encode(
+            w1.combine_chunks() if isinstance(w1, pa.ChunkedArray) else w1)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        acc = np.zeros(len(d.dictionary), np.int64)
+        np.add.at(acc, codes, c)
+        lp = np.floor(np.log(c / acc[codes]) * 1e6).astype(np.int64)
+        return pa.table({"bg": t["bg"], "lp6": pa.array(lp, pa.int64())})
+
+    lp_ds = groupapply(freq.map_batches(_w1key, batch_format="pyarrow"),
+                       "skey", _lp_part, num_partitions)
+
+    # reduce-side join: lp rows and doc-bigram rows union under one
+    # schema, colocate by hash(bigram), match on the true string inside
+    # the partition (hash collisions only cost skew, never correctness)
+    def _tag_lp(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "skey": pa.array(_hash64_strings(t["bg"]), pa.uint64()),
+            "bg": t["bg"], "lp6": t["lp6"],
+            "doc": pa.nulls(t.num_rows, pa.int64())})
+
+    def _tag_doc(t: pa.Table) -> pa.Table:
+        ids, parent, bg = _doc_bigrams(t, id_col, text_col)
+        docs = ids[parent] if len(parent) else np.zeros(0, np.int64)
+        return pa.table({
+            "skey": pa.array(_hash64_strings(bg), pa.uint64()),
+            "bg": bg, "lp6": pa.nulls(len(bg), pa.int64()),
+            "doc": pa.array(docs, pa.int64())})
+
+    tagged = lp_ds.map_batches(_tag_lp, batch_format="pyarrow").union(
+        ds.map_batches(_tag_doc, batch_format="pyarrow"))
+
+    def _score_part(t: pa.Table) -> pa.Table:
+        """Within one bigram partition: build the code→lp6 table from
+        the lp rows, score the doc rows through it, and pre-sum per doc
+        so the final shuffle carries one row per (partition, doc)."""
+        bg = t["bg"]
+        d = pc.dictionary_encode(
+            bg.combine_chunks() if isinstance(bg, pa.ChunkedArray) else bg)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        is_lp = pc.is_valid(t["lp6"]).to_numpy(zero_copy_only=False)
+        lut = np.zeros(len(d.dictionary), np.int64)
+        lp_vals = t["lp6"].fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lut[codes[is_lp]] = lp_vals[is_lp]
+        docs = t["doc"].fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)[~is_lp]
+        vals = lut[codes[~is_lp]]
+        u, inv = np.unique(docs, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, vals)
+        nb = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        return pa.table({id_col: pa.array(u, pa.int64()),
+                         "s": pa.array(s, pa.int64()),
+                         "nb": pa.array(nb, pa.int64())})
+
+    partials = groupapply(tagged, "skey", _score_part, num_partitions)
+
+    # zero rows give every doc (incl. < 2 tokens) an output row without
+    # a left-outer join
+    def _zeros(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        z = pa.array(np.zeros(n, np.int64), pa.int64())
+        return pa.table({id_col: t[id_col].cast(pa.int64()),
+                         "s": z, "nb": z})
+
+    per_doc = partials.union(
+        ds.select_columns([id_col]).map_batches(
+            _zeros, batch_format="pyarrow")) \
+        .groupby(id_col).aggregate(ray.data.aggregate.Sum("s"),
+                                   ray.data.aggregate.Sum("nb"))
+
+    def _final(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([id_col, "s", "nb"])
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        surp = np.where(nb > 0, (-s) // np.maximum(nb, 1), 0)
+        return pa.table({
+            id_col: t[id_col].cast(pa.int64()),
+            "n_bigrams": pa.array(nb, pa.int64()),
+            "surprisal2_e6": pa.array(surp.astype(np.int64), pa.int64()),
+        })
+
+    return per_doc.map_batches(_final, batch_format="pyarrow").sort(id_col)

@@ -254,3 +254,67 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
         return pa.table(out)
 
     return groupapply(rows, "skey", _part, num_partitions)
+
+
+def user_event_deltas(events: ray.data.Dataset,
+                      num_partitions: int = 16,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id") -> ray.data.Dataset:
+    """Per-user lag delta — the window-function surface (``ts -
+    lag(ts) OVER (PARTITION BY user ORDER BY ts, id)``): for every
+    event, microseconds since that user's previous event; a user's
+    first event gets the -1 sentinel (NOT null — int64-with-null
+    round-trips to float64 NaN in pandas, where NaN != NaN breaks the
+    driver's value compare).  Deterministic under ties via the id
+    tiebreak.
+
+    Scale shape: ONE hash shuffle on user (same ``groupapply``
+    machinery as sessionization); per-partition work is one lexsort +
+    one vectorized diff over (user, ts, id)-sorted runs — no per-user
+    Python loop, n rows out for n rows in."""
+
+    def _rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "skey": t[user_col].cast(pa.uint64()),
+            "user_id": t[user_col].cast(pa.int64()),
+            "ts": t[ts_col].cast(pa.int64()),
+            "eid": t[id_col].cast(pa.int64()),
+        })
+
+    rows = events.map_batches(_rows, batch_format="pyarrow")
+
+    def _part(t: pa.Table) -> pa.Table:
+        users = t["user_id"].to_numpy(zero_copy_only=False)
+        tss = t["ts"].to_numpy(zero_copy_only=False)
+        eids = t["eid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eids, tss, users))
+        u, ts, ei = users[order], tss[order], eids[order]
+        if len(u) == 0:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.int64()),
+                "prev_gap_us": pa.array([], pa.int64())})
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        gap = np.empty(len(u), np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        return pa.table({
+            "event_id": pa.array(ei, pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
+            "ts": pa.array(ts, pa.int64()),
+            "prev_gap_us": pa.array(np.where(first, -1, gap), pa.int64()),
+        })
+
+    out = groupapply(rows, "skey", _part, num_partitions)
+
+    def _ts_back(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts": t["ts"].cast(pa.timestamp("us")),
+            "prev_gap_us": t["prev_gap_us"],
+        })
+
+    return out.map_batches(_ts_back, batch_format="pyarrow") \
+              .sort(["user_id", "ts", "event_id"])

@@ -255,3 +255,165 @@ def test_group_centroids_deterministic_across_blocking():
     a = group_centroids(ray.data.from_arrow(t)).to_pandas()
     b = group_centroids(ray.data.from_arrow(t).repartition(9)).to_pandas()
     assert a.equals(b)
+
+
+# ------------------------------------------------- HyperLogLog distinct
+
+def test_approx_distinct_accuracy_and_blocking_invariance():
+    from dedup.textstats import approx_distinct
+    rng = np.random.default_rng(31)
+    true_n = 5000
+    vals = [f"key-{i}" for i in rng.integers(0, true_n, 20000)]
+    # ensure every key appears so the true distinct count is exact
+    vals += [f"key-{i}" for i in range(true_n)]
+    t = pa.table({"v": pa.array(vals)})
+    a = approx_distinct(ray.data.from_arrow(t), "v", precision=12)
+    b = approx_distinct(ray.data.from_arrow(t).repartition(13), "v",
+                        precision=12)
+    assert a == b  # register maxima are blocking-insensitive
+    assert abs(a - true_n) / true_n <= 3 * 1.04 / (1 << 12) ** 0.5
+
+
+def test_approx_distinct_small_range_linear_counting():
+    from dedup.textstats import approx_distinct
+    t = pa.table({"v": pa.array([f"x{i % 40}" for i in range(500)])})
+    est = approx_distinct(ray.data.from_arrow(t), "v", precision=12)
+    assert est == 40  # linear counting is exact this far below m
+
+
+def test_approx_distinct_pre_split_tokens():
+    from dedup.textstats import approx_distinct
+    t = pa.table({"text": pa.array(["a b  c", "b c d", "", None])})
+    est = approx_distinct(ray.data.from_arrow(t), "text", precision=12,
+                          pre_split=True)
+    assert est == 4
+
+
+# ------------------------------------------------- grouped quantiles
+
+def test_grouped_quantiles_matches_duckdb():
+    import duckdb
+    from dedup.textstats import grouped_quantiles
+    rng = np.random.default_rng(33)
+    g = rng.choice(["en", "de", "fr"], 900).tolist()
+    v = rng.integers(0, 250, 900).astype(np.int64)
+    t = pa.table({"lang": pa.array(g), "n": pa.array(v, pa.int64())})
+    out = grouped_quantiles(ray.data.from_arrow(t).repartition(7),
+                            "lang", "n").to_pandas()
+    want = duckdb.connect().execute("""
+        SELECT lang, CAST(count(n) AS BIGINT) AS n,
+               CAST(min(n) AS BIGINT) AS min_value,
+               CAST(max(n) AS BIGINT) AS max_value,
+               CAST(quantile_disc(n, 0.25) AS BIGINT) AS p25,
+               CAST(quantile_disc(n, 0.50) AS BIGINT) AS p50,
+               CAST(quantile_disc(n, 0.75) AS BIGINT) AS p75,
+               CAST(quantile_disc(n, 0.90) AS BIGINT) AS p90,
+               CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99
+        FROM t GROUP BY lang ORDER BY lang""").df()
+    assert out.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_grouped_quantiles_empty():
+    from dedup.textstats import grouped_quantiles
+    t = pa.table({"lang": pa.array([], pa.string()),
+                  "n": pa.array([], pa.int64())})
+    out = grouped_quantiles(ray.data.from_arrow(t), "lang", "n")
+    assert out.num_rows == 0
+    assert "p99" in out.column_names
+
+
+# ------------------------------------------------- bigram surprisal
+
+def _naive_bigram_surprisal(texts):
+    """Pure-Python reference: corpus MLE bigram model, floor-e6 per
+    unique bigram, per-doc integer mean."""
+    docs = [[w for w in (t or "").split() if w] for t in texts]
+    bgs = [list(zip(ws, ws[1:])) for ws in docs]
+    cnt = collections.Counter(b for d in bgs for b in d)
+    pref = collections.Counter()
+    for (w1, _), c in cnt.items():
+        pref[w1] += c
+    lp6 = {b: math.floor(math.log(c / pref[b[0]]) * 1e6)
+           for b, c in cnt.items()}
+    out = []
+    for d in bgs:
+        nb = len(d)
+        s = sum(lp6[b] for b in d)
+        out.append((nb, (-s) // nb if nb else 0))
+    return out
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "reduce"])
+def test_bigram_surprisal_matches_naive(mode):
+    from dedup.textstats import bigram_surprisal
+    rng = np.random.default_rng(35)
+    vocab = ["the", "cat", "sat", "on", "mat", "dog", "ran"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 12)))
+             for _ in range(80)] + ["", "one"]
+    t = pa.table({"doc_id": pa.array(range(82), pa.int64()),
+                  "text": pa.array(texts)})
+    out = bigram_surprisal(ray.data.from_arrow(t).repartition(6),
+                           mode=mode).to_pandas()
+    want = _naive_bigram_surprisal(texts)
+    assert out["doc_id"].tolist() == list(range(82))
+    assert out["n_bigrams"].tolist() == [w[0] for w in want]
+    assert out["surprisal2_e6"].tolist() == [w[1] for w in want]
+
+
+def test_bigram_surprisal_modes_byte_identical():
+    from dedup.textstats import bigram_surprisal
+    rng = np.random.default_rng(36)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(2, 20)))
+             for _ in range(60)]
+    t = pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                  "text": pa.array(texts)})
+    a = bigram_surprisal(ray.data.from_arrow(t), mode="broadcast") \
+        .to_pandas()
+    b = bigram_surprisal(ray.data.from_arrow(t).repartition(5),
+                         mode="reduce").to_pandas()
+    assert a.equals(b)
+
+
+# ------------------------------------------------- user event deltas
+
+def test_user_event_deltas_matches_naive():
+    from dedup.windows import user_event_deltas
+    rng = np.random.default_rng(37)
+    n = 300
+    users = rng.integers(0, 12, n).astype(np.int64)
+    base = np.int64(1_700_000_000_000_000)
+    ts = base + rng.integers(0, 10**7, n).astype(np.int64)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+    })
+    out = user_event_deltas(ray.data.from_arrow(t).repartition(7)) \
+        .to_pandas()
+    rows = sorted(zip(users.tolist(), ts.tolist(), range(n)))
+    want = {}
+    prev_user, prev_ts = None, None
+    for u, s, e in rows:
+        want[e] = -1 if u != prev_user else s - prev_ts
+        prev_user, prev_ts = u, s
+    assert len(out) == n
+    got = dict(zip(out["event_id"], out["prev_gap_us"]))
+    assert got == want
+    # output is (user, ts, id)-sorted
+    key = list(zip(out["user_id"], out["ts"], out["event_id"]))
+    assert key == sorted(key)
+
+
+def test_user_event_deltas_tie_break_on_event_id():
+    from dedup.windows import user_event_deltas
+    ts0 = np.int64(1_700_000_000_000_000)
+    t = pa.table({
+        "event_id": pa.array([5, 2, 9], pa.int64()),
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "ts": pa.array([ts0, ts0, ts0], pa.int64()).cast(
+            pa.timestamp("us")),
+    })
+    out = user_event_deltas(ray.data.from_arrow(t)).to_pandas()
+    assert out["event_id"].tolist() == [2, 5, 9]
+    assert out["prev_gap_us"].tolist() == [-1, 0, 0]
