@@ -1392,6 +1392,48 @@ def _q_token_doc_freq(sf_dir: str):
     return textstats.token_doc_freq(_docs(sf_dir, ["doc_id", "text"]), k=25)
 
 
+def _q_postings(sf_dir: str):
+    """Inverted-index build: (token, df, first-10 containing doc ids as
+    CSV) for every token appearing in >= 5 docs — one token-hash
+    shuffle, per-partition sort + run-length df + vectorized CSV
+    assembly (ListArray offsets + binary_join)."""
+    return textstats.postings(_docs(sf_dir, ["doc_id", "text"]),
+                              cap=10, min_df=5)
+
+
+def _q_weighted_sample(sf_dir: str):
+    """Integer-exact weighted sampling (priority = md5_u64(id) //
+    weight, k smallest): 50 docs sampled ~proportionally to length.
+    Per-batch prune to k before the exchange."""
+    return textstats.weighted_sample(
+        _docs(sf_dir, ["doc_id", "n_chars"]), k=50)
+
+
+def _q_cms_token_freq(sf_dir: str):
+    """Count-min sketch point-frequency estimates for the exact top-15
+    tokens (the sketch row carries its own ground truth like
+    approx_distinct: overcount = est - exact >= 0 always, and
+    within_bound flags est <= exact + e*N/width).  depth=4, width=2^14."""
+    import numpy as np
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    sk = textstats.cms_build(docs, "text", depth=4, width=1 << 14,
+                             pre_split=True)
+    top = textstats.top_tokens(docs, k=15).to_pandas()
+    toks = top["token"].tolist()
+    exact = top["cnt"].to_numpy().astype("int64")
+    est = textstats.cms_query(sk, toks)
+    n_total = int(sk[0].sum())  # row 0 sums every occurrence once
+    bound = int(np.e * n_total / sk.shape[1]) + 1
+    return pa.table({
+        "token": pa.array(toks, pa.string()),
+        "n_exact": pa.array(exact, pa.int64()),
+        "n_est": pa.array(est, pa.int64()),
+        "overcount": pa.array(est - exact, pa.int64()),
+        "within_bound": pa.array(
+            (est - exact <= bound).astype("int64"), pa.int64()),
+    })
+
+
 def _q_pack_sequences(sf_dir: str):
     """Sequence packing (distributed prefix scan): docs in id order cut
     into 256-token context windows; each doc gets the (pack_id,
@@ -1867,6 +1909,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_sources": _q_lang_sources,
         "top_customers": _q_top_customers,
         "embedding_norms": _q_embedding_norms,
+        "postings": _q_postings,
+        "weighted_sample": _q_weighted_sample,
         # --- planted-truth / metric queries (no SQL analogue) ---------
         "semdedup": _q_semdedup,
         "semdedup_diverse": _q_semdedup_diverse,
@@ -1898,6 +1942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivfpq_recall": _q_knn_ivfpq_recall,
         "embedding_dup_pairs_lsh_recall": _q_embedding_dup_pairs_lsh_recall,
         "approx_distinct": _q_approx_distinct,
+        "cms_token_freq": _q_cms_token_freq,
     }
 
 
@@ -2789,6 +2834,32 @@ def oracle_sql() -> dict[str, str]:
                            x -> x <> '')) AS token
                   FROM documents)
             GROUP BY token ORDER BY df DESC, token LIMIT 25""",
+        "postings": r"""
+            WITH tok AS (
+              SELECT DISTINCT doc_id, u.token
+              FROM documents, unnest(list_filter(regexp_split_to_array(
+                       coalesce(text, ''), '\s+'), x -> x <> ''))
+                   AS u(token)),
+            ranked AS (
+              SELECT token, doc_id,
+                     row_number() OVER (PARTITION BY token
+                                        ORDER BY doc_id) AS rn,
+                     count(*) OVER (PARTITION BY token) AS df
+              FROM tok)
+            SELECT token, CAST(max(df) AS BIGINT) AS df,
+                   string_agg(CASE WHEN rn <= 10
+                              THEN CAST(doc_id AS VARCHAR) END,
+                              ',' ORDER BY doc_id) AS doc_csv
+            FROM ranked GROUP BY token HAVING max(df) >= 5
+            ORDER BY token""",
+        "weighted_sample": """
+            SELECT doc_id, n_chars FROM (
+              SELECT doc_id, n_chars,
+                     row_number() OVER (ORDER BY
+                       md5_number_upper(CAST(doc_id AS VARCHAR))
+                         // CAST(GREATEST(n_chars, 1) AS UBIGINT),
+                       doc_id) AS rn
+              FROM documents) WHERE rn <= 50 ORDER BY doc_id""",
         "pack_sequences": r"""
             WITH tc AS (
               SELECT doc_id,

@@ -1513,3 +1513,240 @@ def bigram_surprisal(ds: ray.data.Dataset, id_col: str = "doc_id",
         })
 
     return per_doc.map_batches(_final, batch_format="pyarrow").sort(id_col)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+def cms_build(ds: ray.data.Dataset, col: str, depth: int = 4,
+              width: int = 1 << 14, pre_split: bool = False) -> np.ndarray:
+    """Count-min sketch over a string column — the point-frequency
+    sketch that completes the family (HyperLogLog = distinct count,
+    Misra-Gries = heavy hitters, CMS = per-key count estimates) when
+    the vocabulary is too big for an exact groupby at 100 TB.
+
+    Scale shape: per batch, counts are accumulated per UNIQUE value
+    (value_counts first), hashed into a local (depth, width) table via
+    Kirsch-Mitzenmacher double hashing (h1 + i*h2 over the two md5
+    halves) and ``np.add.at``; each block emits at most depth*width
+    nonzero (cell, cnt) rows.  The one shuffle is
+    ``groupby(cell).sum`` over those bounded partials; the driver
+    assembles the <= depth*width final cells.  Cell sums are order-
+    and blocking-insensitive, so the sketch is DETERMINISTIC for a
+    given multiset regardless of parallelism (tested).  Guarantees:
+    est >= true always; est <= true + e*N/width with prob 1-exp(-depth)
+    per query (N = total occurrences).
+
+    ``pre_split=True`` treats ``col`` as whitespace-separated text and
+    counts token occurrences."""
+    import hashlib
+    d, w = depth, width
+    if d < 1 or w < 2:
+        raise ValueError("depth >= 1 and width >= 2 required")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        vals = t[col]
+        if pre_split:
+            toks = pc.split_pattern_regex(pc.fill_null(vals, ""),
+                                          pattern=r"\s+")
+            vals = pc.list_flatten(toks)
+            vals = vals.filter(pc.not_equal(vals, ""))
+        else:
+            vals = vals.cast(pa.string()).drop_null()
+        vals = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) \
+            else vals
+        vc = vals.value_counts()
+        uniq = vc.field("values").to_pylist()
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if not uniq:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        # bounded loop: one md5 per unique value in the batch
+        dig = [hashlib.md5(u.encode("utf-8", "surrogatepass")).digest()
+               for u in uniq]
+        h1 = np.frombuffer(b"".join(x[:8] for x in dig), dtype="<u8")
+        h2 = np.frombuffer(b"".join(x[8:] for x in dig), dtype="<u8")
+        local = np.zeros((d, w), np.int64)
+        with np.errstate(over="ignore"):
+            for i in range(d):
+                idx = ((h1 + np.uint64(i) * h2) % np.uint64(w)).astype(np.int64)
+                np.add.at(local[i], idx, cnts)
+        flat = local.reshape(-1)
+        nz = np.flatnonzero(flat)
+        return pa.table({"cell": pa.array(nz, pa.int64()),
+                         "cnt": pa.array(flat[nz], pa.int64())})
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow") \
+            .groupby("cell").sum("cnt")
+    sk = np.zeros(d * w, np.int64)
+    # bounded collect: <= depth*width rows by construction
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        sk[b["cell"].to_numpy(zero_copy_only=False)] = \
+            b["sum(cnt)"].to_numpy(zero_copy_only=False)
+    return sk.reshape(d, w)
+
+
+def cms_query(sketch: np.ndarray, values: list[str]) -> np.ndarray:
+    """Point-frequency estimates (min over the sketch's rows) for each
+    value, int64; est >= true count always."""
+    import hashlib
+    d, w = sketch.shape
+    if not values:
+        return np.zeros(0, np.int64)
+    dig = [hashlib.md5(v.encode("utf-8", "surrogatepass")).digest()
+           for v in values]
+    h1 = np.frombuffer(b"".join(x[:8] for x in dig), dtype="<u8")
+    h2 = np.frombuffer(b"".join(x[8:] for x in dig), dtype="<u8")
+    est = np.full(len(values), np.iinfo(np.int64).max, np.int64)
+    with np.errstate(over="ignore"):
+        for i in range(d):
+            idx = ((h1 + np.uint64(i) * h2) % np.uint64(w)).astype(np.int64)
+            est = np.minimum(est, sketch[i][idx])
+    return est
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (token -> posting list)
+# ---------------------------------------------------------------------------
+
+def postings(ds: ray.data.Dataset, id_col: str = "doc_id",
+             text_col: str = "text", cap: int = 10,
+             min_df: int = 1,
+             num_partitions: int = 16) -> ray.data.Dataset:
+    """Inverted-index construction — (token, df, doc_csv): document
+    frequency plus the first ``cap`` containing doc ids ascending,
+    comma-joined (the bounded posting-list head; a search index build
+    emits the full sorted list the same way, sharded by token).
+
+    Scale shape: per batch, (doc, token) pairs are deduped vectorized
+    (a doc's rows never span batches, so batch-local distinct pairs are
+    globally distinct); ONE hash shuffle colocates each token's pairs
+    (groupapply on hash64(token) — collisions only share a partition,
+    grouping inside is by the true string); per partition one sort +
+    run-length pass computes df and assembles the capped CSV via
+    ListArray offsets + binary_join — no per-token Python."""
+    from .corpus import _hash64_strings
+    from .dist import groupapply
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t[text_col], "")
+        toks = pc.split_pattern_regex(txt, pattern=r"\s+")
+        nper = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(toks)
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) \
+            else flat
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(t.num_rows), nper)[keep]
+        flat = flat.filter(pa.array(keep))
+        ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = pc.dictionary_encode(flat)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(codes):
+            order = np.lexsort((parent, codes))
+            cs, ps = codes[order], parent[order]
+            first = np.concatenate([[True], (cs[1:] != cs[:-1])
+                                    | (ps[1:] != ps[:-1])])
+            cs, ps = cs[first], ps[first]
+        else:
+            cs = ps = np.zeros(0, np.int64)
+        tok = d.dictionary.take(pa.array(cs))
+        return pa.table({
+            "skey": pa.array(_hash64_strings(tok), pa.uint64()),
+            "token": tok,
+            "doc": pa.array(ids[ps] if len(ps) else np.zeros(0, np.int64),
+                            pa.int64())})
+
+    def _part(t: pa.Table) -> pa.Table:
+        tok = t["token"]
+        d = pc.dictionary_encode(
+            tok.combine_chunks() if isinstance(tok, pa.ChunkedArray)
+            else tok)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        docs = t["doc"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((docs, codes))
+        cs, dv = codes[order], docs[order]
+        brk = np.concatenate([[0], np.flatnonzero(cs[1:] != cs[:-1]) + 1,
+                              [len(cs)]]) if len(cs) else np.array([0])
+        df = np.diff(brk).astype(np.int64)
+        rank = np.arange(len(cs)) - np.repeat(brk[:-1], df)
+        capped = rank < cap
+        # per-group capped CSV: offsets into the capped doc strings
+        kept = dv[capped]
+        per_group = np.minimum(df, cap)
+        offs = np.concatenate([[0], np.cumsum(per_group)]).astype(np.int32)
+        doc_str = pc.cast(pa.array(kept, pa.int64()), pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), doc_str)
+        csv = pc.binary_join(lists, ",")
+        keep = df >= min_df
+        out = pa.table({
+            "token": d.dictionary.take(pa.array(np.flatnonzero(keep))) if
+            len(df) else pa.array([], pa.string()),
+            "df": pa.array(df[keep], pa.int64()),
+            "doc_csv": csv.take(pa.array(np.flatnonzero(keep))) if len(df)
+            else pa.array([], pa.string()),
+        })
+        return out
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow")
+    return groupapply(pairs, "skey", _part, num_partitions).sort("token")
+
+
+# ---------------------------------------------------------------------------
+# Weighted priority sampling (integer-exact, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+def weighted_sample(ds: ray.data.Dataset, k: int,
+                    weight_col: str = "n_chars", id_col: str = "doc_id",
+                    carry_cols: tuple[str, ...] = ()) -> ray.data.Dataset:
+    """Deterministic weighted sampling without replacement: keep the k
+    rows with the smallest priority = md5_u64(id) // max(weight, 1) —
+    heavier rows draw stochastically smaller priorities (the integer
+    cousin of Efraimidis-Spirakis u^(1/w) keys, chosen because integer
+    division ranks IDENTICALLY in numpy and DuckDB, so the pick is
+    oracle-checkable bit-for-bit; md5_u64 = little-endian first 8
+    digest bytes = DuckDB's md5_number_upper).
+
+    Scale shape: per-batch prune to the k smallest (priority, id)
+    BEFORE the exchange — the shuffle carries O(batches * k) rows; the
+    single final prune runs on that bounded set.  The uint64 priority
+    rides as (hi, lo) int64 halves so no value crosses Ray's int64
+    group-key boundary."""
+    import hashlib
+
+    def _rank(t: pa.Table) -> pa.Table:
+        ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        wts = t[weight_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = np.frombuffer(
+            b"".join(hashlib.md5(str(int(i)).encode()).digest()[:8]
+                     for i in ids), dtype="<u8") if len(ids) else \
+            np.zeros(0, np.uint64)
+        pri = h // np.maximum(wts, 1).astype(np.uint64)
+        cols = {
+            "hi": pa.array((pri >> np.uint64(32)).astype(np.int64),
+                           pa.int64()),
+            "lo": pa.array((pri & np.uint64(0xffffffff)).astype(np.int64),
+                           pa.int64()),
+            id_col: t[id_col], weight_col: t[weight_col]}
+        for c in carry_cols:
+            cols[c] = t[c]
+        t2 = pa.table(cols)
+        idx = pc.sort_indices(t2, sort_keys=[("hi", "ascending"),
+                                             ("lo", "ascending"),
+                                             (id_col, "ascending")])
+        return t2.take(idx[:k])
+
+    def _final(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("hi", "ascending"),
+                                            ("lo", "ascending"),
+                                            (id_col, "ascending")])
+        return t.take(idx[:k]).drop_columns(["hi", "lo", "grp"])
+
+    pruned = ds.map_batches(_rank, batch_format="pyarrow") \
+               .map_batches(lambda t: t.append_column(
+                   "grp", pa.array(np.zeros(t.num_rows, np.int64))),
+                   batch_format="pyarrow")
+    return pruned.groupby("grp").map_groups(
+        _final, batch_format="pyarrow").sort(id_col)
