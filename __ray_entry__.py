@@ -687,6 +687,76 @@ def _q_image_features(sf_dir: str):
     return feats.map_batches(_sentinel, batch_format="pyarrow").sort("doc_id")
 
 
+def _video_corpus(sf_dir: str):
+    """One Y4M video payload per document, every parameter an
+    arithmetic function of doc_id (even WxH, 1-9 frames, fps by i%3,
+    per-frame luma (i*13 + j*7) % 256), truncated every 23rd doc — the
+    same fixture discipline as media/image_features: the extractor
+    parses the BYTES, the oracle recomputes from the arithmetic."""
+    from dedup.multimodal import y4m_bytes
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            n = 1 + i % 9
+            p = y4m_bytes(width=2 * (2 + i % 5), height=2 * (1 + i % 3),
+                          lumas=[(i * 13 + j * 7) % 256 for j in range(n)],
+                          fps=((24, 30, 25)[i % 3], 1))
+            payloads.append(p[:25] if i % 23 == 0 else p)  # malformed rows
+        return pa.table({"doc_id": t["doc_id"].combine_chunks()
+                         .cast(pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(_mk, batch_format="pyarrow")
+
+
+def _q_video_features(sf_dir: str):
+    """Multimodal VIDEO decode — REAL, oracle-checked (third decoded
+    modality after WAV and netpbm): Y4mFeatureExtractor parses each
+    payload's stream header and scans every luma plane; the DuckDB
+    oracle recomputes geometry/fps/frame count/duration and the
+    mean/peak luma from the fixture's doc_id arithmetic (generate_series
+    over frame indices)."""
+    from dedup.multimodal import video_features
+
+    feats = video_features(_video_corpus(sf_dir), id_col="doc_id",
+                           batch_size=64)
+
+    def _sentinel(t: pa.Table) -> pa.Table:
+        return pa.table({c: (pc.fill_null(t[c], -1)
+                             if c not in ("doc_id", "decoded") else t[c])
+                         for c in t.column_names})
+
+    return feats.map_batches(_sentinel, batch_format="pyarrow").sort("doc_id")
+
+
+def _q_video_frame_sample(sf_dir: str):
+    """Container-level frame sampling (every 3rd frame), then feature
+    extraction ON THE SAMPLED PAYLOAD — a hash match proves the sampler
+    re-emitted valid Y4M holding exactly frames 0,3,6,... (the oracle
+    recomputes the sampled mean/peak with a step-3 generate_series)."""
+    from dedup.multimodal import sample_frames, video_features
+
+    from dedup.multimodal import Y4mFeatureExtractor
+
+    sampled = sample_frames(_video_corpus(sf_dir), every_k=3,
+                            id_col="doc_id", batch_size=64)
+
+    def _extract_keep_counts(t: pa.Table) -> pa.Table:
+        # one streaming stage: extractor output + the sampler's count
+        # columns, row-aligned (same batch order) — no driver-side join
+        f = Y4mFeatureExtractor(id_col="doc_id")(t)
+        f = f.append_column("n_frames_in", t["n_frames_in"]) \
+             .append_column("n_frames_out", t["n_frames_out"])
+        return pa.table({c: (pc.fill_null(f[c], -1)
+                             if c not in ("doc_id", "decoded") else f[c])
+                         for c in f.column_names})
+
+    return sampled.map_batches(_extract_keep_counts, batch_size=64,
+                               batch_format="pyarrow").sort("doc_id")
+
+
 def _image_corpus(sf_dir: str):
     """Planted perceptual-dup image corpus derived from doc_id
     arithmetic: group g = doc_id // 5, role r = doc_id % 5 — r0 base
@@ -1911,6 +1981,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": _q_embedding_norms,
         "postings": _q_postings,
         "weighted_sample": _q_weighted_sample,
+        "video_features": _q_video_features,
+        "video_frame_sample": _q_video_frame_sample,
         # --- planted-truth / metric queries (no SQL analogue) ---------
         "semdedup": _q_semdedup,
         "semdedup_diverse": _q_semdedup_diverse,
@@ -2272,6 +2344,71 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN ok THEN CAST(v AS BIGINT) ELSE -1 END AS peak_val,
                    CAST(ok AS BIGINT) AS decoded
             FROM m ORDER BY doc_id""",
+        "video_features": """
+            WITH m AS (SELECT doc_id, doc_id % 23 <> 0 AS ok,
+                              2 * (2 + doc_id % 5) AS w,
+                              2 * (1 + doc_id % 3) AS h,
+                              CASE doc_id % 3 WHEN 0 THEN 24
+                                   WHEN 1 THEN 30 ELSE 25 END AS num,
+                              1 + doc_id % 9 AS nf
+                       FROM documents),
+            luma AS (SELECT m.doc_id,
+                            sum((m.doc_id * 13 + j) % 256) AS s,
+                            max((m.doc_id * 13 + j) % 256) AS pk
+                     FROM m, unnest(generate_series(0, 7 * (m.nf - 1), 7))
+                          AS u(j)
+                     GROUP BY m.doc_id)
+            SELECT m.doc_id,
+                   CASE WHEN ok THEN CAST(w AS BIGINT) ELSE -1 END AS width,
+                   CASE WHEN ok THEN CAST(h AS BIGINT) ELSE -1 END AS height,
+                   CASE WHEN ok THEN CAST(num AS BIGINT)
+                        ELSE -1 END AS fps_num,
+                   CASE WHEN ok THEN CAST(1 AS BIGINT) ELSE -1 END AS fps_den,
+                   CASE WHEN ok THEN CAST(nf AS BIGINT)
+                        ELSE -1 END AS n_frames,
+                   CASE WHEN ok THEN CAST(nf * 1000 // num AS BIGINT)
+                        ELSE -1 END AS duration_ms,
+                   CASE WHEN ok THEN CAST(l.s // nf AS BIGINT)
+                        ELSE -1 END AS mean_luma,
+                   CASE WHEN ok THEN CAST(l.pk AS BIGINT)
+                        ELSE -1 END AS peak_luma,
+                   CAST(ok AS BIGINT) AS decoded
+            FROM m JOIN luma l USING (doc_id) ORDER BY m.doc_id""",
+        "video_frame_sample": """
+            WITH m AS (SELECT doc_id, doc_id % 23 <> 0 AS ok,
+                              2 * (2 + doc_id % 5) AS w,
+                              2 * (1 + doc_id % 3) AS h,
+                              CASE doc_id % 3 WHEN 0 THEN 24
+                                   WHEN 1 THEN 30 ELSE 25 END AS num,
+                              1 + doc_id % 9 AS nf
+                       FROM documents),
+            samp AS (SELECT m.doc_id,
+                            count(*) AS nk,
+                            sum((m.doc_id * 13 + 7 * j) % 256) AS s,
+                            max((m.doc_id * 13 + 7 * j) % 256) AS pk
+                     FROM m, unnest(generate_series(0, m.nf - 1, 3))
+                          AS u(j)
+                     GROUP BY m.doc_id)
+            SELECT m.doc_id,
+                   CASE WHEN ok THEN CAST(w AS BIGINT) ELSE -1 END AS width,
+                   CASE WHEN ok THEN CAST(h AS BIGINT) ELSE -1 END AS height,
+                   CASE WHEN ok THEN CAST(num AS BIGINT)
+                        ELSE -1 END AS fps_num,
+                   CASE WHEN ok THEN CAST(1 AS BIGINT) ELSE -1 END AS fps_den,
+                   CASE WHEN ok THEN CAST(s2.nk AS BIGINT)
+                        ELSE -1 END AS n_frames,
+                   CASE WHEN ok THEN CAST(s2.nk * 1000 // num AS BIGINT)
+                        ELSE -1 END AS duration_ms,
+                   CASE WHEN ok THEN CAST(s2.s // s2.nk AS BIGINT)
+                        ELSE -1 END AS mean_luma,
+                   CASE WHEN ok THEN CAST(s2.pk AS BIGINT)
+                        ELSE -1 END AS peak_luma,
+                   CAST(ok AS BIGINT) AS decoded,
+                   CASE WHEN ok THEN CAST(nf AS BIGINT)
+                        ELSE -1 END AS n_frames_in,
+                   CASE WHEN ok THEN CAST(s2.nk AS BIGINT)
+                        ELSE -1 END AS n_frames_out
+            FROM m JOIN samp s2 USING (doc_id) ORDER BY m.doc_id""",
         "survivors": f"""
             SELECT a.doc_id, d.lang FROM ({_EXACT_SQL}) a
             JOIN documents d USING (doc_id)

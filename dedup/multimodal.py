@@ -725,3 +725,223 @@ def _phash_cluster(hashes: ray.data.Dataset, hamming: int, id_col: str,
 
     return hashes.select_columns([id_col, "decoded"]).map_batches(
         _assign, batch_format="pyarrow").sort(id_col)
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) video: real container parse, frame sampling, features
+# ---------------------------------------------------------------------------
+
+#: chroma-plane size as a (num, den) fraction of the luma plane
+_Y4M_CHROMA = {"C420": (1, 4), "C420jpeg": (1, 4), "C420paldv": (1, 4),
+               "C422": (1, 2), "C444": (1, 1), "Cmono": (0, 1)}
+
+
+def _y4m_frame_size(width: int, height: int, cs: str) -> int:
+    """Bytes per frame (8-bit samples): Y plane + two chroma planes.
+    C42x sizes assume even dimensions (the fixtures guarantee it)."""
+    num, den = _Y4M_CHROMA[cs]
+    y = width * height
+    return y + 2 * (y * num // den)
+
+
+def y4m_bytes(width: int, height: int, lumas: list[int],
+              fps: tuple[int, int] = (25, 1),
+              colorspace: str = "C420") -> bytes:
+    """Canonical YUV4MPEG2 payload: one frame per entry of ``lumas``,
+    the whole Y plane filled with that value, chroma planes at 128 —
+    well-formed by construction (Y4M is the PUBLIC uncompressed video
+    interchange format of mjpegtools/ffmpeg: a text stream header, then
+    per frame a ``FRAME\\n`` marker + fixed-size raw planes).  Used by
+    tests/fixtures; the sampler/extractor below parse the bytes."""
+    if colorspace not in _Y4M_CHROMA:
+        raise ValueError(f"unsupported colorspace {colorspace}")
+    head = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 %s\n" % (
+        width, height, fps[0], fps[1], colorspace.encode())
+    ysz = width * height
+    csz = (_y4m_frame_size(width, height, colorspace) - ysz) // 2
+    out = [head]
+    for v in lumas:
+        out.append(b"FRAME\n")
+        out.append(bytes([v % 256]) * ysz + b"\x80" * (2 * csz))
+    return b"".join(out)
+
+
+def _y4m_parse_header(payload: bytes) -> tuple[int, int, int, int, str, int]:
+    """(width, height, fps_num, fps_den, colorspace, body_offset) from a
+    Y4M stream header; raises ValueError on malformed input."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a Y4M stream")
+    w = h = fn = fd = -1
+    cs = "C420"  # Y4M default when the C tag is absent
+    for tok in payload[:nl].split(b" ")[1:]:
+        if not tok:
+            continue
+        k, v = tok[:1], tok[1:]
+        if k == b"W":
+            w = int(v)
+        elif k == b"H":
+            h = int(v)
+        elif k == b"F":
+            a, b = v.split(b":")
+            fn, fd = int(a), int(b)
+        elif k == b"C":
+            cs = "C" + v.decode()
+            if cs not in _Y4M_CHROMA:
+                raise ValueError(f"unknown colorspace {cs}")
+    if w <= 0 or h <= 0 or fn <= 0 or fd <= 0:
+        raise ValueError("missing W/H/F header fields")
+    return w, h, fn, fd, cs, nl + 1
+
+
+def _y4m_frames(payload: bytes) -> tuple[tuple, list[tuple[int, int]]]:
+    """Parse a Y4M payload into (header fields, [(data_start, data_end)]
+    per frame).  Validates every FRAME marker and a complete final
+    frame; raises ValueError on truncation."""
+    w, h, fn, fd, cs, off = _y4m_parse_header(payload)
+    fsz = _y4m_frame_size(w, h, cs)
+    spans: list[tuple[int, int]] = []
+    pos = off
+    while pos < len(payload):
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        nl = payload.find(b"\n", pos)
+        if nl < 0 or nl > pos + 256:
+            raise ValueError("unterminated FRAME header")
+        start = nl + 1
+        end = start + fsz
+        if end > len(payload):
+            raise ValueError("truncated frame")
+        spans.append((start, end))
+        pos = end
+    return (w, h, fn, fd, cs, off), spans
+
+
+class Y4mFrameSampler:
+    """Actor-pool ``map_batches`` stage sampling every ``every_k``-th
+    frame out of Y4M video payloads — the container-level frame-sample
+    tier (the third REAL modality after WAV audio and netpbm images):
+    the stream header and each frame are parsed from the BYTES and the
+    kept frames re-emitted as a valid Y4M payload, so downstream stages
+    (feature extract, perceptual hash) read the sample like any video.
+
+    Input columns:  ``id_col`` (int64), ``payload`` (binary).
+    Output columns: id_col, n_frames_in, n_frames_out, payload (the
+    sampled Y4M stream; null when undecodable), decoded (1/0).
+    Malformed / truncated / null payloads yield decoded=0 rows.  Decode
+    is inherently per-payload; plane data moves by buffer slicing only
+    (never decoded to pixels here)."""
+
+    def __init__(self, every_k: int = 2, id_col: str = "doc_id") -> None:
+        if every_k < 1:
+            raise ValueError("every_k must be >= 1")
+        self.k = every_k
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        n_in: list = [None] * n
+        n_out: list = [None] * n
+        outp: list = [None] * n
+        decoded = [0] * n
+        for i, payload in enumerate(t["payload"].to_pylist()):
+            if payload is None:
+                continue
+            try:
+                (_, _, _, _, _, off), spans = _y4m_frames(payload)
+            except (ValueError, IndexError):
+                continue
+            head = payload[:off]
+            kept = spans[::self.k]
+            parts = [head]
+            for s, e in kept:
+                # re-emit a bare FRAME marker + the original plane bytes
+                parts.append(b"FRAME\n")
+                parts.append(payload[s:e])
+            n_in[i], n_out[i] = len(spans), len(kept)
+            outp[i] = b"".join(parts)
+            decoded[i] = 1
+        return pa.table({
+            self.id_col: t[self.id_col],
+            "n_frames_in": pa.array(n_in, pa.int64()),
+            "n_frames_out": pa.array(n_out, pa.int64()),
+            "payload": pa.array(outp, pa.binary()),
+            "decoded": pa.array(decoded, pa.int64()),
+        })
+
+
+class Y4mFeatureExtractor:
+    """Actor-pool ``map_batches`` stage decoding Y4M video payloads into
+    typed features (header parse + numpy luma-plane scan; no media
+    libs).
+
+    Output columns: id_col, width, height, fps_num, fps_den, n_frames,
+    duration_ms (floor n*1000*den/num), mean_luma (floor of the mean
+    over every Y sample of every frame), peak_luma, decoded — all int64
+    so a DuckDB oracle hash-matches exactly."""
+
+    def __init__(self, id_col: str = "doc_id") -> None:
+        self.id_col = id_col
+
+    def _parse(self, payload: bytes) -> tuple[int, ...]:
+        (w, h, fn, fd, cs, _off), spans = _y4m_frames(payload)
+        ysz = w * h
+        tot = 0
+        peak = 0
+        for s, _ in spans:
+            y = np.frombuffer(payload, dtype=np.uint8, count=ysz, offset=s)
+            tot += int(y.sum(dtype=np.int64))
+            peak = max(peak, int(y.max()) if ysz else 0)
+        nf = len(spans)
+        mean = tot // (nf * ysz) if nf and ysz else 0
+        return (w, h, fn, fd, nf, nf * 1000 * fd // fn, mean, peak)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        keys = ("width", "height", "fps_num", "fps_den", "n_frames",
+                "duration_ms", "mean_luma", "peak_luma")
+        cols: dict[str, list] = {k: [None] * n for k in keys}
+        decoded = [0] * n
+        for i, payload in enumerate(t["payload"].to_pylist()):
+            if payload is None:
+                continue
+            try:
+                vals = self._parse(payload)
+            except (ValueError, IndexError):
+                continue
+            for k, v in zip(keys, vals):
+                cols[k][i] = v
+            decoded[i] = 1
+        out = {self.id_col: t[self.id_col]}
+        out.update({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+        out["decoded"] = pa.array(decoded, pa.int64())
+        return pa.table(out)
+
+
+def video_features(ds: ray.data.Dataset, id_col: str = "doc_id",
+                   batch_size: int = 32,
+                   concurrency=(1, 4)) -> ray.data.Dataset:
+    """(id, payload) media table -> typed video features via the real
+    Y4M parser.  Small batch_size: raw video frames dominate the
+    worker-heap unit."""
+    return ds.map_batches(
+        Y4mFeatureExtractor,
+        fn_constructor_kwargs={"id_col": id_col},
+        batch_size=batch_size,
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
+
+
+def sample_frames(ds: ray.data.Dataset, every_k: int = 2,
+                  id_col: str = "doc_id", batch_size: int = 32,
+                  concurrency=(1, 4)) -> ray.data.Dataset:
+    """(id, payload) media table -> every_k-th-frame Y4M sample (valid
+    Y4M payloads out, feedable to video_features / hashing tiers)."""
+    return ds.map_batches(
+        Y4mFrameSampler,
+        fn_constructor_kwargs={"every_k": every_k, "id_col": id_col},
+        batch_size=batch_size,
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
