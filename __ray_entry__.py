@@ -757,6 +757,61 @@ def _q_video_frame_sample(sf_dir: str):
                                batch_format="pyarrow").sort("doc_id")
 
 
+def _cdc_corpus(sf_dir: str):
+    """Derived CDC corpus: every doc, plus for doc_id % 3 == 0 a twin
+    (id + 10_000_000) whose text is the original with a per-twin junk
+    prefix — a SHIFTED copy, the exact case content-defined boundaries
+    exist for (fixed-size blocking would share nothing)."""
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        txts = t["text"].to_pylist()
+        oi, ot = list(ids), [x or "" for x in txts]
+        for i, x in zip(ids, txts):
+            if i % 3 == 0:
+                oi.append(i + 10_000_000)
+                ot.append("SHIFT/%d " % i + (x or ""))
+        return pa.table({"doc_id": pa.array(oi, pa.int64()),
+                         "text": pa.array(ot, pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _mk, batch_format="pyarrow")
+
+
+def _q_cdc_dedup(sf_dir: str):
+    """Content-defined-chunking storage dedup (LBFS/FastCDC principle)
+    over the shifted-twin corpus: per-doc chunk counts, dup chunk/char
+    counts against the global chunk store, dup ratio.  Deterministic
+    integers at any parallelism (min-(doc,offset) keepers); rolling-
+    hash boundaries are not SQL-expressible, so the check rides
+    cdc_recall's planted truth."""
+    from dedup.cdc import cdc_report
+    return cdc_report(_cdc_corpus(sf_dir), mask_bits=5)
+
+
+def _q_cdc_recall(sf_dir: str):
+    """Planted-truth metric for the CDC tier: every twin is a shifted
+    copy whose content (minus the tiny prefix) exists verbatim in the
+    chunk store, so twins must dedup heavily and base docs must not.
+    Reports twin/base counts and the fraction of twins with
+    dup_ratio_e6 >= 500000 (expect ~1.0) vs base docs >= 500000
+    (expect 0)."""
+    from dedup.cdc import cdc_report
+    rep = cdc_report(_cdc_corpus(sf_dir), mask_bits=5).to_pandas()
+    twin = rep[rep.doc_id >= 10_000_000]
+    base = rep[rep.doc_id < 10_000_000]
+    n_twin, n_base = len(twin), len(base)
+    twin_hi = int((twin["dup_ratio_e6"] >= 500_000).sum())
+    base_hi = int((base["dup_ratio_e6"] >= 500_000).sum())
+    return pa.table({
+        "n_twin": pa.array([n_twin], pa.int64()),
+        "n_base": pa.array([n_base], pa.int64()),
+        "twin_recall_e6": pa.array(
+            [twin_hi * 1_000_000 // max(n_twin, 1)], pa.int64()),
+        "base_false_e6": pa.array(
+            [base_hi * 1_000_000 // max(n_base, 1)], pa.int64()),
+    })
+
+
 def _image_corpus(sf_dir: str):
     """Planted perceptual-dup image corpus derived from doc_id
     arithmetic: group g = doc_id // 5, role r = doc_id % 5 — r0 base
@@ -2015,6 +2070,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs_lsh_recall": _q_embedding_dup_pairs_lsh_recall,
         "approx_distinct": _q_approx_distinct,
         "cms_token_freq": _q_cms_token_freq,
+        "cdc_dedup": _q_cdc_dedup,
+        "cdc_recall": _q_cdc_recall,
     }
 
 
