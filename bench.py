@@ -103,7 +103,8 @@ def run_hotband(num_cpus: int, n_docs: int | None = None) -> dict:
     from dedup.config import DedupConfig
     from dedup.ingest import prepare
     from dedup.minhash import cached_signer
-    from dedup.pipeline import _ok_only, lsh_band_rows, run_dedup
+    from dedup.pipeline import (_ok_only, detect_hot_band_keys,
+                                lsh_band_rows, run_dedup)
     from dedup.synth import write_hotband_pages
 
     info = write_hotband_pages(f"/tmp/dedup_hotband_{n_docs}", n_docs=n_docs,
@@ -112,6 +113,9 @@ def run_hotband(num_cpus: int, n_docs: int | None = None) -> dict:
     ds = ray.data.read_parquet(info["pages"])
     out: dict[str, dict] = {}
     for salt in (0, 8):
+        # salt=8 leg keeps the DEFAULT lsh_hot_min, so the measured
+        # max_band_bucket is exactly what the default adaptive pipeline
+        # (detect hot bands -> salt only those) produces
         cfg = DedupConfig(simhash=False, substring=False, lsh_salt=salt)
         t0 = time.time()
         res = run_dedup(ds, cfg, check_html=False).materialize()
@@ -122,7 +126,9 @@ def run_hotband(num_cpus: int, n_docs: int | None = None) -> dict:
         sigs = prep.select_columns(["node", "scope64", "text"]).map_batches(
             lambda t, c=cfg: cached_signer(c.num_perm, c.shingle_k, c.seed)(t),
             batch_format="pyarrow",
-        ).select_columns(["node", "scope64", "minhash"])
+        ).select_columns(["node", "scope64", "minhash"]).materialize()
+        hot = (detect_hot_band_keys(sigs, cfg, num_cpus)
+               if salt > 0 else None)
         # reinterpret the uint64 band key as int64 (bijective bit view):
         # Ray's aggregate converts group keys through Python ints typed
         # int64, so raw uint64 keys >= 2^63 hit an OverflowError and the
@@ -132,7 +138,7 @@ def run_hotband(num_cpus: int, n_docs: int | None = None) -> dict:
             return t.set_column(
                 i, "skey", t["skey"].combine_chunks().view("int64"))
 
-        max_bucket = lsh_band_rows(sigs, cfg) \
+        max_bucket = lsh_band_rows(sigs, cfg, hot=hot) \
             .map_batches(_skey_i64, batch_format="pyarrow") \
             .groupby("skey").count().max("count()")
         out[f"salt{salt}"] = {
@@ -141,12 +147,15 @@ def run_hotband(num_cpus: int, n_docs: int | None = None) -> dict:
             "max_cluster_size": int(max_cluster),
             "max_band_bucket": int(max_bucket),
             "hot_cluster_intact": bool(max_cluster >= 0.99 * n_hot),
+            "n_hot_band_keys": int(len(hot)) if hot is not None else None,
         }
     from dedup.config import DedupConfig as _DC
     return {"docs": n_docs, "n_hot": n_hot, "num_cpus": num_cpus,
-            # the salt the DEFAULT config applies (r3: on by default, so
-            # the bounded max_band_bucket row IS the default behavior)
-            "default_salt": _DC().lsh_salt, **out}
+            # the default config applies this salt to DETECTED-hot bands
+            # only (lsh_hot_min sampled-count trigger), so the bounded
+            # max_band_bucket row IS the default behavior
+            "default_salt": _DC().lsh_salt,
+            "default_hot_min": _DC().lsh_hot_min, **out}
 
 
 def _assignments_hash(res) -> str:

@@ -96,21 +96,29 @@ class DedupConfig:
                                    # over texts — n-gram Jaccard dedup)
     verify_threshold: float = 0.5  # min agreement/Jaccard to keep a candidate pair
     pair_cap: int = 64             # buckets larger than this emit star edges (skew guard)
-    lsh_salt: int = 8              # >0: salt band keys with hash(node) %% S so one hot
-                                   # band spreads over S partitions (memory-level skew
-                                   # guard for web-scale boilerplate); cross-salt
+    lsh_salt: int = 8              # >0: salt HOT band keys with hash(node) %% S so one
+                                   # hot band (web boilerplate) spreads over S
+                                   # partitions (memory-level skew guard); cross-salt
                                    # connectivity restored by a per-bucket rep pass.
-                                   # ON by default (S=8): the guard must hold without
-                                   # opt-in — the hot bucket only becomes observable
-                                   # AFTER the shuffle has already concentrated it, and
-                                   # any batch-local "salt only if locally hot" trigger
-                                   # would make pair emission depend on batch
-                                   # boundaries, breaking byte-identical-across-
-                                   # parallelism determinism (salt = mix64(node) %% S is
-                                   # content-only).  Cost: one extra 8-byte column on
-                                   # the band shuffle + a small rep-only second
-                                   # shuffle.  0 = unsalted opt-out for fixed
-                                   # known-clean corpora.
+                                   # Which bands are hot is decided GLOBALLY before the
+                                   # band shuffle by a deterministic sampled count
+                                   # (detect_hot_band_keys): the sample mask and counts
+                                   # are pure functions of corpus content (mix64 of
+                                   # content-derived keys), never of batch boundaries,
+                                   # so byte-identical-across-parallelism determinism
+                                   # holds.  A corpus with no hot bands pays ~nothing
+                                   # (the detect pass is a 1/64-volume count; the band
+                                   # shuffle stays single, unsalted, no skey0 column) —
+                                   # always-salting cost a second full-volume rep
+                                   # shuffle because most buckets are singletons.
+                                   # 0 = salting disabled entirely.
+    lsh_hot_min: int = 4096        # approximate global bucket size above which a band
+                                   # key is salted (trigger is sampled at 1/64 volume:
+                                   # ~50% at exactly this size, certain well above it —
+                                   # the guard targets partition-memory-scale buckets,
+                                   # orders of magnitude larger).  0 = salt EVERY
+                                   # bucket unconditionally (the conservative mode:
+                                   # no detect pass, one combined pairs+reps shuffle).
 
     # --- SimHash pass ------------------------------------------------
     simhash: bool = True

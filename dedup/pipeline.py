@@ -301,27 +301,118 @@ def _band_const(i: int) -> np.uint64:
         hashlib.blake2b(b"band%d" % i, digest_size=8).digest(), "little"))
 
 
-def lsh_band_rows(sigs: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
+def _band_keys(t: pa.Table, cfg: DedupConfig):
+    """Shared band-key kernel: (keys[b, n], nodes[n], scopes[n]) for the
+    non-null-minhash rows of a signature table."""
+    b, r = cfg.lsh_bands, cfg.lsh_rows
+    consts = [_band_const(i) for i in range(b)]
+    same_scope = cfg.scope.startswith("same_")
+    t = t.filter(pc.invert(pc.is_null(t["minhash"])))
+    n = t.num_rows
+    if n == 0:
+        z = np.zeros(0, dtype=np.uint64)
+        return np.zeros((b, 0), dtype=np.uint64), z, z
+    sig = np.frombuffer(b"".join(t["minhash"].to_pylist()),
+                        dtype="<u8").reshape(n, b * r)
+    nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    scopes = t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    keys = np.empty((b, n), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(b):
+            h = np.full(n, consts[i], dtype=np.uint64)
+            for j in range(r):
+                h = mix64(h ^ sig[:, i * r + j])
+            if same_scope:
+                h = mix64(h ^ scopes)
+            keys[i] = h
+    return keys, nodes, scopes
+
+
+_HOT_SAMPLE_RATE = 64   # detect pass samples 1/64 of the band rows
+_HOT_CAP_KEYS = 1 << 18  # driver-side bound on the broadcast hot set
+_HOT_C = _band_const(999_983)  # sample-mask tweak constant
+
+
+def detect_hot_band_keys(sigs: ray.data.Dataset, cfg: DedupConfig,
+                         P: int) -> np.ndarray:
+    """Globally hot unsalted band keys (approximate bucket size >=
+    cfg.lsh_hot_min), found BEFORE the band shuffle so the shuffle never
+    has to concentrate a hot bucket on one partition.
+
+    Deterministic by construction: a band row (skey, node) is sampled iff
+    mix64(skey ^ mix64(node ^ C)) %% 64 == 0 — a pure function of corpus
+    content, independent of batch boundaries and parallelism — and global
+    sums of per-batch partial counts are blocking-invariant.  Cost: one
+    pass of band-key hashing over the (materialized) signatures plus a
+    shuffle of ~1/64 of the band-row volume as (key, count) partials.
+
+    Returns a SORTED uint64 array (possibly empty), capped at the
+    2^18 hottest keys (count desc, key asc) — each detected key stands
+    for >= lsh_hot_min docs sharing a band, so the cap is only reachable
+    when boilerplate dominates the corpus outright."""
+    thr = max(1, cfg.lsh_hot_min // _HOT_SAMPLE_RATE)
+    rate = np.uint64(_HOT_SAMPLE_RATE)
+
+    def _partials(t: pa.Table) -> pa.Table:
+        keys, nodes, _ = _band_keys(t, cfg)
+        flat = keys.reshape(-1)
+        nd = np.tile(nodes, keys.shape[0])
+        with np.errstate(over="ignore"):
+            mask = mix64(flat ^ mix64(nd ^ _HOT_C)) % rate == 0
+        uk, cnt = np.unique(flat[mask], return_counts=True)
+        # int64 bit view: Ray group keys round-trip through Python ints
+        return pa.table({"skey": uk.view(np.int64),
+                         "cnt": cnt.astype(np.int64)})
+
+    def _hot_only(t: pa.Table) -> pa.Table:
+        uk = t["skey"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(uk, kind="stable")
+        uk, cnt = uk[order], cnt[order]
+        starts = np.concatenate([[0], np.flatnonzero(uk[1:] != uk[:-1]) + 1])
+        tot = np.add.reduceat(cnt, starts)
+        keep = tot >= thr
+        return pa.table({"skey": uk[starts][keep], "cnt": tot[keep]})
+
+    batches = list(
+        groupapply(sigs.map_batches(_partials, batch_format="pyarrow"),
+                   "skey", _hot_only, P)
+        .iter_batches(batch_format="pyarrow"))  # bounded: hot keys only
+    if not batches:
+        return np.zeros(0, dtype=np.uint64)
+    hot_t = pa.concat_tables(batches)
+    keys = hot_t["skey"].to_numpy(zero_copy_only=False).view(np.uint64)
+    if len(keys) > _HOT_CAP_KEYS:
+        cnt = hot_t["cnt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, -cnt))[:_HOT_CAP_KEYS]
+        keys = keys[order]
+    return np.sort(keys)
+
+
+def lsh_band_rows(sigs: ray.data.Dataset, cfg: DedupConfig,
+                  hot: np.ndarray | None = None) -> ray.data.Dataset:
     """Explode each signature into b band rows (skey = hash of the band's
     r signature components [+ scope for same_* modes]).
 
-    With cfg.lsh_salt = S > 0 the emitted skey is the SALTED band key
-    (band hash ⊕ hash(node) % S) — the "salted groupby on band-hash keys"
-    skew control: one hot band (web boilerplate) spreads over S groups so
-    no single partition must hold its full membership.  The unsalted key
-    rides along as ``skey0`` for the cross-salt rep pass
-    (see minhash_edges)."""
-    b, r = cfg.lsh_bands, cfg.lsh_rows
+    Salting (the hot-band skew control): with cfg.lsh_salt = S > 0, a
+    SALTED skey (band hash ⊕ hash(node) % S) is emitted so one hot band
+    (web boilerplate) spreads over S groups and no single partition must
+    hold its full membership; the unsalted key rides along as ``skey0``
+    for the cross-salt rep pass (see minhash_edges).  Which rows are
+    salted:
+      * hot is None  -> every row (conservative all-salt mode);
+      * hot is a sorted uint64 array -> only rows whose unsalted key is
+        in it (adaptive mode; skey0 is NULL on unsalted rows, and with an
+        empty hot set the output is identical to the S == 0 layout)."""
     S = cfg.lsh_salt
-    same_scope = cfg.scope.startswith("same_")
-    consts = [_band_const(i) for i in range(b)]
-
+    if hot is not None and len(hot) == 0:
+        S = 0  # no hot bands -> plain unsalted single-shuffle layout
     scoped = cfg.scope != "all"  # scope64 rides the shuffle only when used
+    hot_ref = ray.put(hot) if (S > 0 and hot is not None) else None
 
     def _explode(t: pa.Table) -> pa.Table:
-        mask = pc.invert(pc.is_null(t["minhash"]))
-        t = t.filter(mask)
-        n = t.num_rows
+        keys, nodes, scopes = _band_keys(t, cfg)
+        b, n = keys.shape
         if n == 0:
             cols = {"skey": pa.array([], pa.uint64()),
                     "node": pa.array([], pa.uint64())}
@@ -330,26 +421,22 @@ def lsh_band_rows(sigs: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
             if S > 0:
                 cols["skey0"] = pa.array([], pa.uint64())
             return pa.table(cols)
-        sig = np.frombuffer(b"".join(t["minhash"].to_pylist()),
-                            dtype="<u8").reshape(n, b * r)
-        nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        scopes = t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        keys = np.empty((b, n), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for i in range(b):
-                h = np.full(n, consts[i], dtype=np.uint64)
-                for j in range(r):
-                    h = mix64(h ^ sig[:, i * r + j])
-                if same_scope:
-                    h = mix64(h ^ scopes)
-                keys[i] = h
         cols = {}
         if S > 0:
             with np.errstate(over="ignore"):
                 salt = mix64(nodes) % np.uint64(S)
                 salted = mix64(keys ^ (salt[None, :] + np.uint64(1)))
-            cols["skey"] = salted.reshape(-1)
-            cols["skey0"] = keys.reshape(-1)
+            if hot_ref is not None:
+                hot_arr = ray.get(hot_ref)
+                flat = keys.reshape(-1)
+                pos = np.searchsorted(hot_arr, flat)
+                pos[pos == len(hot_arr)] = 0
+                is_hot = hot_arr[pos] == flat
+                cols["skey"] = np.where(is_hot, salted.reshape(-1), flat)
+                cols["skey0"] = pa.array(flat, pa.uint64(), mask=~is_hot)
+            else:
+                cols["skey"] = salted.reshape(-1)
+                cols["skey0"] = keys.reshape(-1)
         else:
             cols["skey"] = keys.reshape(-1)
         cols["node"] = np.tile(nodes, b)
@@ -364,9 +451,11 @@ def _salted_pairs_and_reps(rows: ray.data.Dataset, cfg: DedupConfig,
                            P: int) -> ray.data.Dataset:
     """ONE shuffle over the salted band rows emitting BOTH outputs:
       * candidate pairs within each salted bucket — rows (u, v, rkey=null);
-      * one representative row per salted bucket (min node), keyed by the
+      * one representative row per SALTED bucket (min node), keyed by the
         UNSALTED band key — rows (u=node, v=null, rkey=skey0,
-        rscope=scope64).
+        rscope=scope64).  Rows with a null skey0 (cold, unsalted bands in
+        adaptive mode) emit pairs only — they need no rep because their
+        full bucket already met in this shuffle.
     The reps then meet under skey0 in a second (rep-only) shuffle to
     restore cross-salt connectivity of hot bands.  Folding rep emission
     into the pair shuffle saves the full extra band-table shuffle the
@@ -380,11 +469,16 @@ def _salted_pairs_and_reps(rows: ray.data.Dataset, cfg: DedupConfig,
         scoped = "scope64" in t.column_names
         scopes = (t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
                   if scoped else np.zeros(len(sk), dtype=np.uint64))
-        sk0 = t["skey0"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sk0_col = t["skey0"].combine_chunks()
+        valid0 = pc.is_valid(sk0_col).to_numpy(zero_copy_only=False)
+        sk0 = sk0_col.fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
         out_u: list = []
         out_v: list = []
-        # per-bucket min-node rep, vectorized: lexsort by (skey, node),
-        # segment firsts are the argmins
+        # per-SALTED-bucket min-node rep, vectorized: lexsort by
+        # (skey, node), segment firsts are the argmins; cold (null-skey0)
+        # segments are dropped — a salted bucket is all-hot or all-cold
+        # since hotness is a function of the unsalted key
         order2 = np.lexsort((nodes, sk))
         sks = sk[order2]
         if len(sks) == 0:
@@ -393,6 +487,7 @@ def _salted_pairs_and_reps(rows: ray.data.Dataset, cfg: DedupConfig,
             starts2 = np.concatenate(
                 [[0], np.flatnonzero(sks[1:] != sks[:-1]) + 1])
             reps = order2[starts2]
+            reps = reps[valid0[reps]]
         _emit_partition_pairs(sk, nodes, scopes if scoped else None,
                               diff_scope, cap, out_u, out_v)
         pu = np.concatenate(out_u) if out_u else np.array([], dtype=np.uint64)
@@ -1193,8 +1288,16 @@ def minhash_edges(active: ray.data.Dataset, cfg: DedupConfig,
     sigs = active.select_columns(["node", "scope64", "text"]).map_batches(
         _sign, batch_format="pyarrow",
     ).select_columns(["node", "scope64", "minhash"]).materialize()
-    rows = lsh_band_rows(sigs, cfg)
-    if cfg.lsh_salt > 0:
+    hot: np.ndarray | None = None
+    salted = cfg.lsh_salt > 0
+    if salted and cfg.lsh_hot_min > 0:
+        # adaptive mode: find globally hot bands first (content-only
+        # sampled count — deterministic across parallelism); a corpus
+        # with none skips the salt machinery entirely
+        hot = detect_hot_band_keys(sigs, cfg, P)
+        salted = hot.size > 0
+    rows = lsh_band_rows(sigs, cfg, hot=hot)
+    if salted:
         # one shuffle produces both in-bucket pairs and per-bucket reps
         # (materialized once — two consumers must not re-run the shuffle)
         mixed = _salted_pairs_and_reps(rows, cfg, P).materialize()

@@ -2,6 +2,7 @@
 (FIXTURES.md F3), planted-truth recall (F1.1), determinism across
 parallelism (F5), scope-mode semantics."""
 
+import numpy as np
 import pyarrow as pa
 import pytest
 import ray.data
@@ -267,10 +268,13 @@ def test_verify_none_mode():
 def test_salted_lsh_recall(planted):
     """Salted band keys (hot-band skew control) must not lose planted
     near-dup clusters: the per-bucket rep pass restores cross-salt
-    connectivity."""
+    connectivity.  lsh_hot_min=0 forces the all-salt mode so the rep
+    machinery is exercised on every bucket (the adaptive default would
+    salt nothing on this cold corpus)."""
     pages, truth = planted
     ds = ray.data.from_arrow(pages).repartition(6)
-    cfg = DedupConfig(lsh_salt=4, simhash=False, substring=False)
+    cfg = DedupConfig(lsh_salt=4, lsh_hot_min=0, simhash=False,
+                      substring=False)
     out = run_dedup(ds, cfg, num_partitions=8)
     state, cid = _collect(out)
     exp_state, clusters = _truth_maps(truth)
@@ -298,6 +302,48 @@ def test_salted_lsh_recall(planted):
                 if cid[members[i]] == cid[members[j]] != "":
                     near_found += 1
     assert near_found / near_total >= 0.99, near_found / near_total
+
+
+def test_adaptive_salt_cold_corpus_identical(planted):
+    """The adaptive default (lsh_salt=8, lsh_hot_min>0) must detect no
+    hot bands on a cold corpus and produce assignments IDENTICAL to the
+    unsalted pipeline — the guard costs nothing when unneeded."""
+    pages, _ = planted
+    ds = ray.data.from_arrow(pages).repartition(6)
+    a = _collect(run_dedup(ds, DedupConfig(), num_partitions=8))
+    b = _collect(run_dedup(ds, DedupConfig(lsh_salt=0), num_partitions=8))
+    assert a == b
+
+
+def test_adaptive_salt_hot_corpus():
+    """On a boilerplate-heavy corpus the sampled-count trigger must find
+    the hot bands (deterministically across partitionings), salt them,
+    and keep the hot cluster connected through the rep pass."""
+    from dedup.ingest import prepare
+    from dedup.pipeline import _ok_only, detect_hot_band_keys
+    from dedup.synth import generate_hotband_pages
+
+    pages = generate_hotband_pages(3000, hot_frac=0.1, seed=42)
+    cfg = DedupConfig(lsh_salt=4, lsh_hot_min=64, simhash=False,
+                      substring=False)
+
+    def _sigs(nparts):
+        ds = ray.data.from_arrow(pages).repartition(nparts)
+        prep = _ok_only(prepare(ds, cfg, check_html=False))
+        from dedup.minhash import cached_signer
+        return prep.select_columns(["node", "scope64", "text"]).map_batches(
+            lambda t: cached_signer(cfg.num_perm, cfg.shingle_k, cfg.seed)(t),
+            batch_format="pyarrow",
+        ).select_columns(["node", "scope64", "minhash"])
+
+    hot2 = detect_hot_band_keys(_sigs(2), cfg, 4)
+    hot8 = detect_hot_band_keys(_sigs(8), cfg, 4)
+    assert hot2.size > 0                      # the boilerplate bands are found
+    assert np.array_equal(hot2, hot8)         # content-only => blocking-invariant
+    # end-to-end: hot cluster survives adaptive salting intact
+    ds = ray.data.from_arrow(pages).repartition(6)
+    out = run_dedup(ds, cfg, num_partitions=8).materialize()
+    assert int(out.max("cluster_size")) >= 0.99 * 300
 
 
 def test_reduce_side_label_join_identical(planted):
