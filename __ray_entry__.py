@@ -1931,6 +1931,78 @@ def _q_pages_dedup(sf_dir: str):
     return run_dedup(ds, DedupConfig(), check_html=True).sort("url")
 
 
+def _q_line_dedup_scoped(sf_dir: str):
+    """Per-host line dedup (CCNet-style scoped boilerplate removal):
+    same derived multi-line corpus as line_dedup, but the dedup key is
+    (source, line) — the per-lang banner dedups to its first occurrence
+    WITHIN each source instead of once globally, so identical nav/legal
+    lines on different sites never collide."""
+    from dedup.corpus import line_dedup
+    docs = _docs(sf_dir, ["doc_id", "text", "lang", "source"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        head = pc.binary_join_element_wise(
+            "banner", pc.fill_null(t["lang"], ""), " ")
+        foot = pc.binary_join_element_wise(
+            "footer", pc.fill_null(t["source"], ""), " ")
+        full = pc.binary_join_element_wise(head, txt, foot, "\n")
+        return pa.table({"doc_id": t["doc_id"], "text": full,
+                         "source": t["source"]})
+
+    corpus = docs.map_batches(_mk, batch_format="pyarrow")
+    return line_dedup(corpus, scope_col="source").sort("doc_id")
+
+
+def _q_events_dedup_window(sf_dir: str):
+    """Temporal gap-island dedup over events: identical props within
+    4 h of the previous occurrence chain into one duplicate island
+    (first-by-ts keeps, later members delete); a props payload
+    re-appearing after a quiet gap starts a fresh island.  The
+    time-PROXIMITY generalization of the M3 ts-equality predicate."""
+    from dedup.windows import windowed_dedup
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "props", "ts"])
+    return windowed_dedup(ds, key_col="props", ts_col="ts",
+                          id_col="event_id", window_minutes=240)
+
+
+def _q_embedding_decontaminate(sf_dir: str):
+    """Semantic decontamination: vectors whose id is a multiple of 25
+    play the benchmark set; every other vector reports its max cosine
+    to the benchmark side plus the nearest benchmark id and a
+    contaminated/clean flag at the 0.45 threshold (the embedding-space
+    counterpart of the n-gram `decontaminate` query)."""
+    from dedup.ann import embedding_decontaminate
+    embs = _embs(sf_dir)
+
+    def _side(is_bench: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].combine_chunks()
+            rem = pc.subtract(ids, pc.multiply(
+                pc.cast(pc.divide(ids, 25), pa.int64()),
+                pa.scalar(25, pa.int64())))
+            m = pc.equal(rem, 0) if is_bench else pc.not_equal(rem, 0)
+            return t.filter(m)
+        return _f
+
+    bench = embs.map_batches(_side(True), batch_format="pyarrow")
+    train = embs.map_batches(_side(False), batch_format="pyarrow")
+    return embedding_decontaminate(train, bench, threshold=0.45)
+
+
+def _q_dedup_savings(sf_dir: str):
+    """Per-language dedup-savings report: exact-dedup assignments
+    joined to each doc's n_chars, per-lang doc/delete counts and the
+    chars the delete set frees (floor-e6 fraction) — the 'what does
+    dedup buy us, where' curation table."""
+    from dedup.relational import group_savings
+    asn = run_dedup(_docs(sf_dir, ["doc_id", "text"]), _doc_cfg())
+    weights = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    return group_savings(asn, weights, group_col="lang",
+                         weight_col="n_chars")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return _q_full_dedup("/root/testdata/sf0.001")
@@ -2013,6 +2085,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_dedup": _q_embedding_dedup,
         # --- below the driver's 50-row cap: oracle-checked in-repo ----
+        "line_dedup_scoped": _q_line_dedup_scoped,
+        "events_dedup_window": _q_events_dedup_window,
+        "embedding_decontaminate": _q_embedding_decontaminate,
+        "dedup_savings": _q_dedup_savings,
         "length_quantiles": _q_length_quantiles,
         "doc_stats": _q_doc_stats,
         "corpus_shuffle": _q_corpus_shuffle,
@@ -2677,6 +2753,100 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN lagg l USING (doc_id)
             LEFT JOIN gagg a USING (doc_id)
             ORDER BY d.doc_id""",
+        "line_dedup_scoped": r"""
+            WITH src AS (
+              SELECT doc_id, source,
+                     'banner ' || coalesce(lang, '') || chr(10) ||
+                     coalesce(text, '') || chr(10) ||
+                     'footer ' || coalesce(source, '') AS t
+              FROM documents),
+            l AS (SELECT doc_id, source, string_split(t, chr(10)) AS ls
+                  FROM src),
+            ln AS (
+              SELECT doc_id, source, ls[i] AS line, i
+              FROM l, unnest(generate_series(1, len(ls))) AS u(i)),
+            flag AS (
+              SELECT doc_id, i, line,
+                     row_number() OVER (PARTITION BY source, line
+                                        ORDER BY doc_id, i) = 1 AS keep
+              FROM ln)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+                   coalesce(string_agg(CASE WHEN keep THEN line END,
+                                       chr(10) ORDER BY i), '') AS text_dedup
+            FROM flag GROUP BY doc_id ORDER BY doc_id""",
+        "events_dedup_window": r"""
+            WITH b AS (
+              SELECT event_id, coalesce(props, '') AS k,
+                     epoch_us(ts) AS tus
+              FROM events),
+            o AS (
+              SELECT event_id, k, tus,
+                     CASE WHEN tus - lag(tus) OVER (
+                              PARTITION BY k ORDER BY tus, event_id)
+                          <= CAST(240 AS BIGINT) * 60 * 1000000
+                          THEN 0 ELSE 1 END AS brk
+              FROM b),
+            i AS (
+              SELECT *, sum(brk) OVER (PARTITION BY k
+                        ORDER BY tus, event_id
+                        ROWS UNBOUNDED PRECEDING) AS isl
+              FROM o),
+            g AS (
+              SELECT *,
+                     count(*) OVER (PARTITION BY k, isl) AS sz,
+                     first_value(event_id) OVER (PARTITION BY k, isl
+                        ORDER BY tus, event_id
+                        ROWS UNBOUNDED PRECEDING) AS first_id,
+                     row_number() OVER (PARTITION BY k, isl
+                        ORDER BY tus, event_id) AS rn
+              FROM i)
+            SELECT event_id,
+                   CASE WHEN sz = 1 THEN 'unique'
+                        WHEN rn = 1 THEN 'keep'
+                        ELSE 'delete' END AS state,
+                   CAST(CASE WHEN sz = 1 THEN -1 ELSE first_id END
+                        AS BIGINT) AS island_id,
+                   CAST(sz AS BIGINT) AS island_size
+            FROM g ORDER BY event_id""",
+        "embedding_decontaminate": """
+            WITH bench AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id % 25 = 0),
+            train AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id % 25 <> 0),
+            sims AS (
+              SELECT t.vec_id AS vec_id, b.vec_id AS bid,
+                     list_cosine_similarity(t.v, b.v) AS s
+              FROM train t CROSS JOIN bench b),
+            m AS (SELECT vec_id, max(s) AS ms FROM sims GROUP BY vec_id),
+            n AS (
+              SELECT s.vec_id, min(s.bid) AS nearest
+              FROM sims s JOIN m USING (vec_id)
+              WHERE s.s = m.ms GROUP BY s.vec_id)
+            SELECT m.vec_id,
+                   CASE WHEN m.ms >= 0.45 THEN 'contaminated'
+                        ELSE 'clean' END AS state,
+                   CAST(round(m.ms * 1000000) AS BIGINT) AS max_sim_e6,
+                   CAST(n.nearest AS BIGINT) AS nearest_bench
+            FROM m JOIN n USING (vec_id) ORDER BY m.vec_id""",
+        "dedup_savings": f"""
+            WITH a AS ({_EXACT_SQL})
+            SELECT d.lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) FILTER (a.state = 'delete') AS BIGINT)
+                     AS n_delete,
+                   CAST(sum(d.n_chars) AS BIGINT) AS weight_total,
+                   CAST(coalesce(sum(d.n_chars)
+                        FILTER (a.state = 'delete'), 0) AS BIGINT)
+                     AS weight_deleted,
+                   CAST(coalesce(sum(d.n_chars)
+                        FILTER (a.state = 'delete'), 0) * 1000000
+                        // sum(d.n_chars) AS BIGINT) AS saved_frac_e6
+            FROM a JOIN documents d USING (doc_id)
+            GROUP BY d.lang ORDER BY d.lang""",
         "line_dedup": r"""
             WITH src AS (
               SELECT doc_id,

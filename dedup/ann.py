@@ -934,3 +934,76 @@ def group_centroids(ds: ray.data.Dataset, group_col: str = "label",
 
     return agg.map_batches(_final, batch_format="pyarrow") \
               .sort(["label", "dim"])
+
+
+def embedding_decontaminate(train: ray.data.Dataset,
+                            bench: ray.data.Dataset,
+                            threshold: float = 0.45,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> ray.data.Dataset:
+    """Semantic (embedding-space) decontamination — the cosine
+    counterpart of ``corpus.ngram_decontaminate``: for every train
+    vector, its max cosine to ANY benchmark vector plus the nearest
+    benchmark id; rows at or above ``threshold`` are flagged
+    ``contaminated`` (Lee/Brown-style eval-leak screening done
+    semantically instead of lexically).
+
+    Output: (id, state contaminated|clean, max_sim_e6, nearest_bench),
+    one row per train row, ``nearest_bench`` = the min benchmark id
+    among exact-max ties (exact ties only arise from identical vectors,
+    where float equality is bit-reliable).
+
+    Scale shape: the benchmark side is BOUNDED BY BENCHMARK SIZE (the
+    same contract as the n-gram decontaminator's gram set) — collected
+    once, id-sorted, unit-normalized, ``ray.put`` once; each train
+    batch does one float32 screen matmul against it and re-scores only
+    the rows within the float32 error margin of their row max in
+    float64 (same screen/confirm discipline as ``_sim_edges``).  No
+    shuffle at all: n rows out for n rows in, embarrassingly parallel."""
+    import pyarrow.compute as pc  # noqa: F401  (parity with module style)
+
+    bt = pa.concat_tables(list(
+        bench.select_columns([id_col, vec_col])
+        .iter_batches(batch_format="pyarrow")))
+    B = _batch_matrix(bt, vec_col)
+    bids = _ids_np(bt, id_col)
+    order = np.argsort(bids, kind="stable")
+    B, bids = B[order], bids[order]
+    Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+    ref = ray.put((Bn.astype(np.float32), Bn, bids))
+
+    def _score(t: pa.Table) -> pa.Table:
+        B32, B64, bid = ray.get(ref)
+        m = _batch_matrix(t, vec_col)
+        ids = _ids_np(t, id_col)
+        n = len(ids)
+        if n == 0 or B64.shape[0] == 0:
+            return pa.table({
+                id_col: pa.array(ids, pa.int64()),
+                "state": pa.array(["clean"] * n, pa.string()),
+                "max_sim_e6": pa.array(np.full(n, -2_000_000, np.int64)),
+                "nearest_bench": pa.array(np.full(n, -1, np.int64)),
+            })
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        s32 = mn.astype(np.float32) @ B32.T
+        margin = np.float32(_screen_margin(m.shape[1]))
+        cand = s32 >= (s32.max(axis=1, keepdims=True) - margin)
+        ci, cj = np.nonzero(cand)
+        exact = np.einsum("ij,ij->i", mn[ci], B64[cj])
+        best = np.full(n, -np.inf)
+        np.maximum.at(best, ci, exact)
+        at_max = exact == best[ci]
+        nearest = np.full(n, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(nearest, ci[at_max], bid[cj[at_max]])
+        contaminated = best >= threshold
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "state": pa.array(
+                np.where(contaminated, "contaminated", "clean"),
+                pa.string()),
+            "max_sim_e6": pa.array(
+                np.rint(best * 1e6).astype(np.int64), pa.int64()),
+            "nearest_bench": pa.array(nearest, pa.int64()),
+        })
+
+    return train.map_batches(_score, batch_format="pyarrow").sort(id_col)

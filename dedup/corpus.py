@@ -115,6 +115,7 @@ def gram_rows(txt: pa.Array, n: int) -> tuple[pa.Array, np.ndarray]:
 def line_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
                text_col: str = "text", sep: str = "\n",
                min_line_chars: int = 0,
+               scope_col: str | None = None,
                num_partitions: int = 32) -> ray.data.Dataset:
     """Global line deduplication (the C4 pipeline's cross-document
     dedup, applied at line granularity): every distinct line keeps
@@ -127,27 +128,48 @@ def line_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
     document (the RefinedWeb-style guard: globally deduping short
     boilerplate like list bullets or "Home" would gut unrelated pages).
 
+    ``scope_col`` (string column, e.g. the doc's host) switches the
+    dedup key from the line alone to (scope, line) — the CCNet-style
+    per-snapshot / per-host boilerplate removal: a nav bar repeated
+    across one site dedups within that site but never collides with an
+    identical line on another site.  Scope rides the partition hash, so
+    a boilerplate line hot across the whole corpus ships to as many
+    partitions as it has scopes instead of one.
+
     Determinism: the winner rule is a pure minimum, so output is
     byte-identical at any parallelism.  ``id_col`` must be integer."""
 
     def _explode(t: pa.Table) -> pa.Table:
         flat, parent, idx = _line_rows(t, id_col, text_col, sep)
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({
+        lh = _hash64_strings(flat)
+        cols = {
             "line": flat,
             "d": pa.array(ids[parent], pa.int64()),
             "i": pa.array(idx, pa.int64()),
-            "lh": pa.array(_hash64_strings(flat), pa.uint64()),
-        })
+        }
+        if scope_col is not None:
+            sc = _as_array(pc.fill_null(t[scope_col], "").cast(pa.string()))
+            sh = _hash64_strings(sc)[parent]
+            # mix the scope hash into the shuffle key (golden-ratio odd
+            # multiplier keeps the mix bijective per scope)
+            lh = lh ^ (sh * np.uint64(0x9E3779B97F4A7C15))
+            cols["scope"] = sc.take(pa.array(parent))
+        cols["lh"] = pa.array(lh, pa.uint64())
+        return pa.table(cols)
 
     lines = ds.map_batches(_explode, batch_format="pyarrow")
 
     def _winner(t: pa.Table) -> pa.Table:
-        """Partition kernel: group by the TRUE line string (dictionary
-        codes — collision-proof), keep = row with min (d, i); short
-        lines are exempt (always kept)."""
+        """Partition kernel: group by the TRUE (scope, line) strings
+        (dictionary codes — collision-proof), keep = row with min
+        (d, i); short lines are exempt (always kept)."""
         codes = pc.dictionary_encode(t["line"].combine_chunks()) \
             .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if scope_col is not None:
+            sco = pc.dictionary_encode(t["scope"].combine_chunks()) \
+                .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            codes = codes * (sco.max() + 1 if len(sco) else 1) + sco
         d = t["d"].to_numpy(zero_copy_only=False)
         i = t["i"].to_numpy(zero_copy_only=False)
         keep = np.zeros(len(codes), dtype=bool)

@@ -208,3 +208,53 @@ def range_join(ds: ray.data.Dataset, intervals: pa.Table,
         return pa.table(out)
 
     return ds.map_batches(_probe, batch_format="pyarrow")
+
+
+def group_savings(asn: ray.data.Dataset, weights: ray.data.Dataset,
+                  group_col: str = "lang", weight_col: str = "n_chars",
+                  id_col: str = "doc_id",
+                  num_partitions: int = 8) -> ray.data.Dataset:
+    """Per-group dedup-savings report — 'what does the dedup pass buy
+    us, and in which slice of the corpus': join dedup assignments to a
+    per-doc weight (chars, tokens, bytes), then per group (language,
+    source, shard) count docs and deletes and sum the weight total vs
+    the weight the deletes free up.  Output: (group, n_docs, n_delete,
+    weight_total, weight_deleted, saved_frac_e6), saved_frac_e6 =
+    weight_deleted * 1e6 // weight_total (floor — the repo's integer
+    fraction discipline).
+
+    Scale shape: one distributed hash join on id (both sides carry two
+    thin columns), then a combiner inside map_batches so the final
+    groupby shuffle moves one row per (group, state) per block."""
+    joined = asn.select_columns([id_col, "state"]).join(
+        weights.select_columns([id_col, group_col, weight_col]),
+        join_type="inner", num_partitions=num_partitions, on=(id_col,))
+
+    def _cnt(t: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(t, [group_col, "state"]).aggregate(
+            [(id_col, "count"), (weight_col, "sum")]).rename_columns(
+                [group_col, "state", "n", "w"])
+
+    def _pivot(t: pa.Table) -> pa.Table:
+        n_by: dict[str, int] = {}
+        w_by: dict[str, int] = {}
+        for s, n, w in zip(t["state"].to_pylist(), t["n"].to_pylist(),
+                           t["w"].to_pylist()):
+            n_by[s] = n_by.get(s, 0) + int(n)
+            w_by[s] = w_by.get(s, 0) + int(w)
+        docs = sum(n_by.values())
+        wtot = sum(w_by.values())
+        wdel = w_by.get("delete", 0)
+        return pa.table({
+            group_col: pa.array([t[group_col][0].as_py()], pa.string()),
+            "n_docs": pa.array([docs], pa.int64()),
+            "n_delete": pa.array([n_by.get("delete", 0)], pa.int64()),
+            "weight_total": pa.array([wtot], pa.int64()),
+            "weight_deleted": pa.array([wdel], pa.int64()),
+            "saved_frac_e6": pa.array([wdel * 1_000_000 // max(wtot, 1)],
+                                      pa.int64()),
+        })
+
+    part = joined.map_batches(_cnt, batch_format="pyarrow")
+    return part.groupby(group_col).map_groups(
+        _pivot, batch_format="pyarrow").sort(group_col)

@@ -318,3 +318,81 @@ def user_event_deltas(events: ray.data.Dataset,
 
     return out.map_batches(_ts_back, batch_format="pyarrow") \
               .sort(["user_id", "ts", "event_id"])
+
+
+def windowed_dedup(events: ray.data.Dataset,
+                   key_col: str = "props", ts_col: str = "ts",
+                   id_col: str = "event_id", window_minutes: int = 60,
+                   num_partitions: int = 16) -> ray.data.Dataset:
+    """Temporal gap-island dedup: rows with identical ``key_col`` are
+    duplicates ONLY while they arrive within ``window_minutes`` of the
+    previous occurrence — each maximal gap-chained run (a gaps-and-
+    islands window per key) is one duplicate island, the island's first
+    (ts, id) row is the keeper, later members are deletes, and a key
+    re-appearing after a quiet gap starts a FRESH island (it is a new
+    legitimate record, not a duplicate).  The event-stream analogue of
+    the reference's date-modified predicate (M3,
+    ViewModels/MainViewModel.cs settings block): where ``key_ts``
+    demands ts EQUALITY, the window generalizes it to ts PROXIMITY.
+
+    Output: (id, state keep|delete|unique, island_id = keeper id or -1
+    for singletons, island_size), sorted by id.
+
+    Scale shape: ONE hash shuffle on md5(key) (all rows of a key
+    colocate; island chaining is a per-key prefix property so it cannot
+    cross partitions); per-partition work is one lexsort + vectorized
+    break/cumsum/run-length — no per-key Python loop.  Determinism: the
+    sort key (key, ts, id) is total, so output is byte-identical at any
+    parallelism."""
+    from .corpus import _hash64_strings
+
+    gap_us = np.int64(window_minutes) * 60 * 1_000_000
+
+    def _rows(t: pa.Table) -> pa.Table:
+        key = pc.fill_null(t[key_col], "").cast(pa.string())
+        return pa.table({
+            "skey": pa.array(_hash64_strings(key), pa.uint64()),
+            "key": key,
+            "ts": t[ts_col].cast(pa.int64()),
+            "eid": t[id_col].cast(pa.int64()),
+        })
+
+    rows = events.map_batches(_rows, batch_format="pyarrow")
+
+    def _part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "eid": pa.array([], pa.int64()),
+                "state": pa.array([], pa.string()),
+                "island_id": pa.array([], pa.int64()),
+                "island_size": pa.array([], pa.int64())})
+        codes = pc.dictionary_encode(t["key"].combine_chunks()) \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["eid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, codes))
+        c, s, e = codes[order], ts[order], eid[order]
+        brk = np.empty(len(c), dtype=bool)
+        brk[0] = True
+        brk[1:] = (c[1:] != c[:-1]) | (s[1:] - s[:-1] > gap_us)
+        island = np.cumsum(brk) - 1                    # 0-based island no
+        starts = np.flatnonzero(brk)
+        sizes = np.diff(np.append(starts, len(c)))
+        size_row = sizes[island]
+        keeper = e[starts][island]                     # first (ts,id) member
+        state = np.where(size_row == 1, "unique",
+                         np.where(brk, "keep", "delete"))
+        island_id = np.where(size_row == 1, -1, keeper)
+        return pa.table({
+            "eid": pa.array(e, pa.int64()),
+            "state": pa.array(state, pa.string()),
+            "island_id": pa.array(island_id, pa.int64()),
+            "island_size": pa.array(size_row, pa.int64()),
+        })
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([id_col, "state", "island_id",
+                                 "island_size"])
+
+    return groupapply(rows, "skey", _part, num_partitions) \
+        .map_batches(_rename, batch_format="pyarrow").sort(id_col)
