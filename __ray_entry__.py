@@ -328,6 +328,26 @@ def _q_incremental_dedup_bloom(sf_dir: str):
                                    bloom_fpp=0.01).sort("doc_id")
 
 
+def _q_incremental_dedup_bucketed(sf_dir: str):
+    """Storage-partitioned variant of incremental_dedup: the reference
+    shard's exact-key index is first written as a bucketed parquet
+    layout (incremental.write_key_index — one dir per dump, 16 key
+    bytes per doc), then the new shard is deduped with NO
+    reference-side shuffle: one groupapply of the new side on its
+    bucket id, each bucket task reading the matching reference bucket
+    files task-locally.  Must hash-match the same SQL anti-join oracle
+    as the one-shuffle path."""
+    import hashlib
+    from dedup.incremental import (incremental_exact_dedup_bucketed,
+                                   write_key_index)
+    ref, new = _split_docs(sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = write_key_index(ref, _doc_cfg(), f"/tmp/dedup_keyidx_{tag}",
+                          n_buckets=64)
+    return incremental_exact_dedup_bucketed(
+        new, idx, _doc_cfg(), n_buckets=64).sort("doc_id")
+
+
 def _q_incremental_dedup_cc(sf_dir: str):
     """Closure-path incremental dedup (incremental_dedup: edge stages
     over the side-tagged union -> union-find -> component assigner) with
@@ -2138,6 +2158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_agreement": _q_fingerprint_agreement,
         "incremental_dedup_planted": _q_incremental_dedup_planted,
         "incremental_near_planted": _q_incremental_near_planted,
+        "incremental_dedup_bucketed": _q_incremental_dedup_bucketed,
         "substring_sa_dedup": _q_substring_sa_dedup,
         "substring_sa_recall": _q_substring_sa_recall,
         "ngram_jaccard_recall": _q_ngram_jaccard_recall,
@@ -2417,6 +2438,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup":
             f"SELECT * FROM ({_INCR_SQL}) ORDER BY doc_id",
         "incremental_dedup_bloom":
+            f"SELECT * FROM ({_INCR_SQL}) ORDER BY doc_id",
+        "incremental_dedup_bucketed":
             f"SELECT * FROM ({_INCR_SQL}) ORDER BY doc_id",
         "incremental_dedup_cc": f"""
             SELECT doc_id, state, cluster_id, cluster_size

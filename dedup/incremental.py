@@ -118,63 +118,82 @@ def incremental_exact_dedup(
     both = new_side.union(ref_side)
 
     def _part(t: pa.Table) -> pa.Table:
-        e64 = t["exact64"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        ehi = _full_hi(t["exact_full"])
-        side = t["side"].to_numpy(zero_copy_only=False)
-        ids = t["id"]
-        okeys = t["order_key"].to_pylist()
-        order = np.lexsort((ehi, e64))
-        se, sh = e64[order], ehi[order]
-        out_idx: list[int] = []
-        out_state: list[str] = []
-        out_cid: list = []
-        out_size: list[int] = []
-        out_nref: list[int] = []
-        if len(se):
-            change = (se[1:] != se[:-1]) | (sh[1:] != sh[:-1])
-            starts = np.concatenate([[0], np.flatnonzero(change) + 1,
-                                     [len(se)]])
-            for gi in range(len(starts) - 1):
-                idx = order[starts[gi]:starts[gi + 1]]
-                new_i = idx[side[idx] == _SIDE_NEW]
-                if len(new_i) == 0:
-                    continue  # reference-only group: nothing to assign
-                nref = int(len(idx) - len(new_i))
-                if nref > 0:
-                    for i in new_i:
-                        out_idx.append(int(i))
-                        out_state.append("ref_dup")
-                        out_cid.append(sentinel)
-                        out_size.append(0)
-                        out_nref.append(nref)
-                elif len(new_i) == 1:
-                    out_idx.append(int(new_i[0]))
-                    out_state.append("unique")
-                    out_cid.append(sentinel)
-                    out_size.append(1)
-                    out_nref.append(0)
-                else:
-                    # keeper = global-order minimum (order_key bytes compare
-                    # lexicographically; assign_states semantics)
-                    g = sorted(new_i, key=lambda i: okeys[i])
-                    keeper_id = ids[int(g[0])].as_py()
-                    for rank, i in enumerate(g):
-                        out_idx.append(int(i))
-                        out_state.append("keep" if rank == 0 else "delete")
-                        out_cid.append(keeper_id)
-                        out_size.append(len(g))
-                        out_nref.append(0)
-        take = pa.array(out_idx, pa.int64())
-        return pa.table({
-            "id": ids.take(take),
-            "state": pa.array(out_state, pa.string()),
-            "cluster_id": pa.array(out_cid, id_type),
-            "cluster_size": pa.array(out_size, pa.int64()),
-            "n_ref": pa.array(out_nref, pa.int64()),
-        })
+        return _exact_join_table(t, id_type, sentinel)
 
     assigned = groupapply(both, "exact64", _part, P)
+    nonok = _nonok_passthrough(prep_new, id_type, sentinel)
+    return _rename_out(assigned.union(nonok), cfg)
 
+
+def _exact_join_table(t: pa.Table, id_type: pa.DataType,
+                      sentinel) -> pa.Table:
+    """The incremental exact-join kernel: ``t`` holds WHOLE exact-key
+    groups of side-tagged (exact64, exact_full, id, order_key, side)
+    rows; emits the per-NEW-doc assignment rows (ref_dup / unique /
+    keep / delete).  Shared by the shuffle path
+    (``incremental_exact_dedup``) and the storage-partitioned bucket
+    path (``incremental_exact_dedup_bucketed``) — any partitioning that
+    co-locates whole groups yields byte-identical output."""
+    from .pipeline import _full_hi
+
+    e64 = t["exact64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    ehi = _full_hi(t["exact_full"])
+    side = t["side"].to_numpy(zero_copy_only=False)
+    ids = t["id"]
+    okeys = t["order_key"].to_pylist()
+    order = np.lexsort((ehi, e64))
+    se, sh = e64[order], ehi[order]
+    out_idx: list[int] = []
+    out_state: list[str] = []
+    out_cid: list = []
+    out_size: list[int] = []
+    out_nref: list[int] = []
+    if len(se):
+        change = (se[1:] != se[:-1]) | (sh[1:] != sh[:-1])
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1,
+                                 [len(se)]])
+        for gi in range(len(starts) - 1):
+            idx = order[starts[gi]:starts[gi + 1]]
+            new_i = idx[side[idx] == _SIDE_NEW]
+            if len(new_i) == 0:
+                continue  # reference-only group: nothing to assign
+            nref = int(len(idx) - len(new_i))
+            if nref > 0:
+                for i in new_i:
+                    out_idx.append(int(i))
+                    out_state.append("ref_dup")
+                    out_cid.append(sentinel)
+                    out_size.append(0)
+                    out_nref.append(nref)
+            elif len(new_i) == 1:
+                out_idx.append(int(new_i[0]))
+                out_state.append("unique")
+                out_cid.append(sentinel)
+                out_size.append(1)
+                out_nref.append(0)
+            else:
+                # keeper = global-order minimum (order_key bytes compare
+                # lexicographically; assign_states semantics)
+                g = sorted(new_i, key=lambda i: okeys[i])
+                keeper_id = ids[int(g[0])].as_py()
+                for rank, i in enumerate(g):
+                    out_idx.append(int(i))
+                    out_state.append("keep" if rank == 0 else "delete")
+                    out_cid.append(keeper_id)
+                    out_size.append(len(g))
+                    out_nref.append(0)
+    take = pa.array(out_idx, pa.int64())
+    return pa.table({
+        "id": ids.take(take),
+        "state": pa.array(out_state, pa.string()),
+        "cluster_id": pa.array(out_cid, id_type),
+        "cluster_size": pa.array(out_size, pa.int64()),
+        "n_ref": pa.array(out_nref, pa.int64()),
+    })
+
+
+def _nonok_passthrough(prep_new: ray.data.Dataset, id_type: pa.DataType,
+                       sentinel) -> ray.data.Dataset:
     def _passthrough(t: pa.Table) -> pa.Table:
         t = t.filter(pc.not_equal(t["state0"], "ok"))
         n = t.num_rows
@@ -186,13 +205,15 @@ def incremental_exact_dedup(
             "n_ref": pa.array(np.zeros(n, dtype=np.int64)),
         })
 
-    nonok = prep_new.map_batches(_passthrough, batch_format="pyarrow")
+    return prep_new.map_batches(_passthrough, batch_format="pyarrow")
 
+
+def _rename_out(ds: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
     def _rename(t: pa.Table) -> pa.Table:
         return t.rename_columns([cfg.id_col, "state", "cluster_id",
                                  "cluster_size", "n_ref"])
 
-    return assigned.union(nonok).map_batches(_rename, batch_format="pyarrow")
+    return ds.map_batches(_rename, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -424,3 +445,126 @@ def incremental_dedup(
 
     return assigned.union(unmatched).union(nonok) \
         .map_batches(_rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# storage-partitioned (bucketed) incremental dedup
+# ---------------------------------------------------------------------------
+#
+# The accumulating-corpus shape at 100 TB: every kept dump's exact-key
+# index is written ONCE as a bucketed parquet layout (16 bytes + bucket
+# per doc), and deduping the next crawl reads only the reference bucket
+# files co-bucketed with some new doc — the reference side is never
+# shuffled and never scanned outside those buckets.  This is the
+# storage-partitioned-join trick: pre-bucketing replaces the all-to-all
+# exchange with bucket-pruned local reads, and because the index is one
+# directory per dump, accumulating a new dump appends a directory
+# instead of rewriting anything.
+
+N_KEY_BUCKETS = 256
+
+
+def key_bucket(e64: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Bucket id for an exact64 key array.  mix64 decouples the bucket
+    from groupapply's own mix64(bucket) % P partitioner and from any
+    structure in exact64 itself."""
+    from .dist import mix64
+    return (mix64(e64.astype(np.uint64)) % np.uint64(n_buckets)).astype(
+        np.int64)
+
+
+def write_key_index(ds: ray.data.Dataset, cfg: DedupConfig, out_dir: str,
+                    n_buckets: int = N_KEY_BUCKETS,
+                    check_html: bool = False) -> str:
+    """Write the exact-key index of a corpus snapshot as a bucketed
+    parquet layout ``out_dir/bucket=K/*.parquet`` with columns
+    (exact64, exact_full) — 16 bytes of key material per ok doc, one
+    row per doc so n_ref stays an occurrence count.  All dumps of an
+    accumulating corpus must share ``n_buckets``; each dump gets its
+    own out_dir and ``incremental_exact_dedup_bucketed`` takes the list.
+    A rerun replaces the target directory (sink convention), never
+    appends — appending would double-count n_ref."""
+    from .sinks import _fresh_dir
+    _fresh_dir(out_dir)
+    prep = prepare(ds, cfg, check_html=check_html)
+
+    def _f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["state0"], "ok"))
+        e64 = t["exact64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "exact64": t["exact64"],
+            "exact_full": t["exact_full"],
+            "bucket": pa.array(key_bucket(e64, n_buckets)),
+        })
+
+    prep.map_batches(_f, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"])
+    return out_dir
+
+
+def incremental_exact_dedup_bucketed(
+    new_ds: ray.data.Dataset,
+    index_dirs: str | list[str],
+    cfg: DedupConfig,
+    n_buckets: int = N_KEY_BUCKETS,
+    check_html: bool = False,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Incremental exact dedup against reference corpora stored as
+    ``write_key_index`` layouts (same ``n_buckets``).  Same output
+    contract as ``incremental_exact_dedup`` — byte-identical on the
+    union of the indexed corpora (tested) — but the ONLY exchange is
+    one groupapply of the NEW side on its bucket id; each bucket task
+    then reads the matching reference bucket files task-locally (on a
+    real cluster: bucket-pruned reads from shared storage) and runs the
+    shared join kernel.  Reference rows outside new-occupied buckets
+    are never read at all."""
+    import os
+
+    from .pipeline import _auto_partitions
+
+    if isinstance(index_dirs, str):
+        index_dirs = [index_dirs]
+    dirs = list(index_dirs)
+    tune_context()
+    P = num_partitions or min(n_buckets, _auto_partitions(cfg))
+
+    prep_new = prepare(new_ds, cfg, check_html=check_html).materialize()
+    id_type = prep_new.schema().base_schema.field("id").type
+    string_ids = (pa.types.is_string(id_type)
+                  or pa.types.is_large_string(id_type))
+    sentinel = "" if string_ids else -1
+
+    new_side = _ok_side(prep_new, _SIDE_NEW, id_type)
+
+    def _add_bucket(t: pa.Table) -> pa.Table:
+        e64 = t["exact64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "bucket", pa.array(key_bucket(e64, n_buckets).astype(np.uint64)))
+
+    new_b = new_side.map_batches(_add_bucket, batch_format="pyarrow")
+
+    def _bucket_join(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        bs = np.unique(t["bucket"].to_numpy(zero_copy_only=False))
+        parts = [t.drop_columns(["bucket"])]
+        for b in bs:
+            for d in dirs:
+                p = os.path.join(d, f"bucket={int(b)}")
+                if not os.path.isdir(p):
+                    continue
+                rt = pq.read_table(p, columns=["exact64", "exact_full"])
+                n = rt.num_rows
+                parts.append(pa.table({
+                    "exact64": rt["exact64"].cast(pa.uint64()),
+                    "exact_full": rt["exact_full"].cast(pa.binary()),
+                    "id": pa.nulls(n, id_type),
+                    "order_key": pa.nulls(n, pa.binary()),
+                    "side": pa.array(np.zeros(n, dtype=np.int8)),
+                }))
+        merged = pa.concat_tables(parts, promote_options="default")
+        return _exact_join_table(merged, id_type, sentinel)
+
+    assigned = groupapply(new_b, "bucket", _bucket_join, P)
+    nonok = _nonok_passthrough(prep_new, id_type, sentinel)
+    return _rename_out(assigned.union(nonok), cfg)

@@ -130,3 +130,83 @@ def test_near_ref_dup_and_transitive_chain():
     t = incremental_dedup(new, ref, cfg, num_partitions=4) \
         .sort("doc_id").to_pandas()
     assert list(t["state"]) == ["ref_dup", "ref_dup", "unique"]
+
+
+# ---------------------------------------------------------------------------
+# storage-partitioned (bucketed) path
+# ---------------------------------------------------------------------------
+
+def test_bucketed_micro_states(tmp_path):
+    from dedup.incremental import (incremental_exact_dedup_bucketed,
+                                   write_key_index)
+    new, ref = _micro()
+    idx = write_key_index(ref, _cfg(), str(tmp_path / "idx"), n_buckets=16)
+    rows = _rows(incremental_exact_dedup_bucketed(
+        new, idx, _cfg(), n_buckets=16, num_partitions=4))
+    assert rows == {
+        10: ("ref_dup", -1, 0, 1),
+        11: ("ref_dup", -1, 0, 1),
+        12: ("keep", 12, 2, 0),
+        13: ("delete", 12, 2, 0),
+        14: ("unique", -1, 1, 0),
+        15: ("ignored", -1, 0, 0),
+        16: ("error", -1, 0, 0),
+    }
+
+
+def test_bucketed_matches_shuffle_path(tmp_path):
+    """Byte-identical to the one-shuffle path on a corpus with real
+    overlap, at two parallelism levels."""
+    from dedup.incremental import (incremental_exact_dedup_bucketed,
+                                   write_key_index)
+    ref_t, _ = generate_pages(300, seed=13)
+    new_t, _ = generate_pages(300, seed=14)
+    # plant cross-snapshot dups: 40 new docs carry ref texts
+    texts = new_t["text"].to_pylist()
+    ref_texts = ref_t["text"].to_pylist()
+    for i in range(40):
+        texts[i * 5] = ref_texts[i * 7]
+    new_t = new_t.set_column(new_t.schema.get_field_index("text"),
+                             "text", pa.array(texts, pa.string()))
+    cfg = DedupConfig(near=False, simhash=False, substring=False)
+    ref = ray.data.from_arrow(ref_t).repartition(3)
+    new = ray.data.from_arrow(new_t).repartition(3)
+
+    base = incremental_exact_dedup(new, ref, cfg, num_partitions=8) \
+        .sort("url").to_pandas().reset_index(drop=True)
+    assert (base["n_ref"] > 0).any()  # the planting worked
+
+    idx = write_key_index(ref, cfg, str(tmp_path / "idx"), n_buckets=16)
+    for P in (2, 8):
+        got = incremental_exact_dedup_bucketed(
+            new, idx, cfg, n_buckets=16, num_partitions=P) \
+            .sort("url").to_pandas().reset_index(drop=True)
+        pd_testing_assert(got, base)
+
+
+def pd_testing_assert(got, exp):
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(got, exp, check_like=False)
+
+
+def test_bucketed_multi_dump_accumulation(tmp_path):
+    """Two dumps = two index dirs; n_ref sums across dumps and the
+    result equals the shuffle path over the union reference."""
+    from dedup.incremental import (incremental_exact_dedup_bucketed,
+                                   write_key_index)
+    ref1 = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()), "text": [A, B]}))
+    ref2 = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([3, 4], pa.int64()), "text": [A, C]}))
+    new = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "text": [A, C, D]}))
+    i1 = write_key_index(ref1, _cfg(), str(tmp_path / "d1"), n_buckets=16)
+    i2 = write_key_index(ref2, _cfg(), str(tmp_path / "d2"), n_buckets=16)
+    rows = _rows(incremental_exact_dedup_bucketed(
+        new, [i1, i2], _cfg(), n_buckets=16, num_partitions=4))
+    assert rows == {
+        10: ("ref_dup", -1, 0, 2),   # A in both dumps
+        11: ("ref_dup", -1, 0, 1),   # C in dump 2 only
+        12: ("unique", -1, 1, 0),
+    }
