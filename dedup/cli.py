@@ -50,7 +50,25 @@ def cmd_run(args: argparse.Namespace) -> int:
     if args.checkpoint_dir:
         cfg = cfg.with_(checkpoint_dir=args.checkpoint_dir)
 
-    ds = ray.data.read_parquet(args.input)
+    from .ingest import _infer_format, read_input
+
+    def _read(path: str) -> tuple:
+        """Column-pruned read in the declared/inferred format; the html
+        extract-invariant check runs only when the source has the
+        column (parquet metadata sniff — csv/jsonl sources carry
+        extracted text, not raw html)."""
+        fmt = args.format if args.format != "auto" else _infer_format(path)
+        has_html = False
+        if fmt == "parquet":
+            import glob
+            import pyarrow.parquet as pq
+            files = sorted(glob.glob(os.path.join(path, "*.parquet"))) \
+                if os.path.isdir(path) else [path]
+            if files:
+                has_html = "html" in pq.read_schema(files[0]).names
+        return read_input(path, cfg, has_html=has_html, format=fmt), has_html
+
+    ds, has_html = _read(args.input)
     t0 = time.time()
     if args.ref_input:
         # cross-snapshot mode: dedup the input against a previously-kept
@@ -58,10 +76,10 @@ def cmd_run(args: argparse.Namespace) -> int:
         if cfg.checkpoint_dir:
             raise SystemExit(
                 "--checkpoint-dir is not supported in --ref-input mode")
-        out = incremental_dedup(ds, ray.data.read_parquet(args.ref_input),
-                                cfg)
+        ref, _ = _read(args.ref_input)
+        out = incremental_dedup(ds, ref, cfg, check_html=has_html)
     else:
-        out = run_dedup(ds, cfg)
+        out = run_dedup(ds, cfg, check_html=has_html)
     os.makedirs(args.output, exist_ok=True)
     assign_dir = os.path.join(args.output, "assignments")
     if os.path.isdir(assign_dir):  # rerun: replace, don't append files
@@ -108,6 +126,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="previously-kept reference corpus parquet: dedup "
                          "--input against it (cross-snapshot mode; matched "
                          "docs become state=ref_dup)")
+    rp.add_argument("--format", default="auto",
+                    choices=("auto", "parquet", "csv", "jsonl"),
+                    help="input format (auto = sniff by file extension)")
     rp.add_argument("--checkpoint-dir", default=None)
     rp.add_argument("--cpus", type=int, default=None)
     rp.set_defaults(fn=cmd_run)

@@ -50,14 +50,13 @@ def _scope_value(cfg: DedupConfig, url: str) -> str:
     return ""
 
 
-def read_input(path: str | list[str], cfg: DedupConfig,
-               has_html: bool = False) -> ray.data.Dataset:
-    """Column-pruned parquet read: only the columns the pipeline needs
-    leave storage."""
+def needed_columns(cfg: DedupConfig, has_html: bool = False) -> list[str]:
+    """The columns the pipeline actually needs — everything else must
+    stay in storage."""
     cols = [cfg.id_col, cfg.text_col]
-    if cfg.ts_col:
+    if cfg.ts_col and (cfg.key_ts or cfg.keeper in ("newest", "oldest")):
         cols.append(cfg.ts_col)
-    if cfg.lang_col:
+    if cfg.lang_col and cfg.key_lang:
         cols.append(cfg.lang_col)
     if cfg.scope_col and cfg.scope != "all" and cfg.scope_col not in cols:
         cols.append(cfg.scope_col)
@@ -65,7 +64,55 @@ def read_input(path: str | list[str], cfg: DedupConfig,
         cols.append(cfg.keeper_col)
     if has_html:
         cols.append("html")
-    return ray.data.read_parquet(path, columns=cols)
+    return cols
+
+
+def _infer_format(path: str | list[str]) -> str:
+    """File-extension format sniff over the first data file found."""
+    import os
+    p = path[0] if isinstance(path, list) else path
+    if os.path.isdir(p):
+        names = sorted(n for n in os.listdir(p) if not n.startswith(("_", ".")))
+        if names:
+            p = names[0]
+    ext = p.rsplit(".", 1)[-1].lower()
+    if ext in ("csv", "tsv"):
+        return "csv"
+    if ext in ("json", "jsonl", "ndjson"):
+        return "jsonl"
+    return "parquet"
+
+
+def read_input(path: str | list[str], cfg: DedupConfig,
+               has_html: bool = False,
+               format: str = "auto") -> ray.data.Dataset:
+    """Column-pruned source read for any supported interchange format.
+
+    parquet  projection pushed to the reader: pruned columns never
+             leave storage (row groups of unneeded columns unread)
+    csv      pruned at parse (pyarrow include_columns); quoted newlines
+             accepted; "" parses as null (strings_can_be_null — CSV
+             cannot distinguish empty from missing, so the error-row
+             contract maps both to null)
+    jsonl    newline-delimited JSON (the WARC-extraction interchange
+             shape); a JSON line must be fully parsed, so pruning
+             happens immediately after parse (select_columns) and only
+             the needed columns enter the object store
+    """
+    cols = needed_columns(cfg, has_html)
+    fmt = _infer_format(path) if format == "auto" else format
+    if fmt == "parquet":
+        return ray.data.read_parquet(path, columns=cols)
+    if fmt == "csv":
+        from pyarrow import csv as pacsv
+        return ray.data.read_csv(
+            path,
+            parse_options=pacsv.ParseOptions(newlines_in_values=True),
+            convert_options=pacsv.ConvertOptions(
+                include_columns=cols, strings_can_be_null=True))
+    if fmt == "jsonl":
+        return ray.data.read_json(path).select_columns(cols)
+    raise ValueError(f"unsupported input format: {fmt!r}")
 
 
 class Preparer:
