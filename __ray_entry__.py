@@ -1019,6 +1019,25 @@ def _q_hash_split(sf_dir: str):
         .sort("doc_id")
 
 
+def _q_curation_pipeline(sf_dir: str):
+    """The composed curation recipe (dedup/curate.py): length gates →
+    Gopher/C4 quality ratios → repetition caps → exact dedup of the
+    survivors, first-failed-gate verdict per doc.  Every metric reuses
+    the standalone SQL-checked e6 kernels, so ONE DuckDB oracle covers
+    the whole funnel end-to-end."""
+    from dedup.curate import curate
+    return curate(_docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
+
+
+def _q_curation_report(sf_dir: str):
+    """Per-verdict funnel (docs + chars per gate) over the curation
+    recipe — combiner-before-groupby, <= n_gates rows per block enter
+    the exchange."""
+    from dedup.curate import curation_report
+    return curation_report(_docs(sf_dir, ["doc_id", "text"])) \
+        .sort("verdict")
+
+
 def _q_quality_score(sf_dir: str):
     """Per-doc quality features (alpha/digit/stopword ratios, mean token
     length) — the Gopher/C4-style filtering inputs, floor-e6 scaled."""
@@ -2159,6 +2178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_planted": _q_incremental_dedup_planted,
         "incremental_near_planted": _q_incremental_near_planted,
         "incremental_dedup_bucketed": _q_incremental_dedup_bucketed,
+        "curation_pipeline": _q_curation_pipeline,
+        "curation_report": _q_curation_report,
         "substring_sa_dedup": _q_substring_sa_dedup,
         "substring_sa_recall": _q_substring_sa_recall,
         "ngram_jaccard_recall": _q_ngram_jaccard_recall,
@@ -2174,6 +2195,93 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 #: incremental (cross-snapshot) exact dedup over the md5-split documents
 #: table: train shard = reference corpus, val shard = new snapshot.
+#: the composed curation recipe (dedup/curate.py) — gate thresholds are
+#: CurateConfig's defaults; the quality / repetition CTEs are verbatim
+#: re-compositions of the standalone quality_score / repetition_stats
+#: oracles, so the funnel's metric arithmetic is the already-checked
+#: integer-e6 discipline.
+_CURATE_SQL = r"""
+WITH cf AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents),
+cq1 AS (
+  SELECT doc_id,
+         CAST(length(t) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_extract_all(t, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+         CAST(length(regexp_extract_all(t, '[0-9]')) AS DOUBLE) AS n_digit,
+         list_filter(regexp_extract_all(lower(t), '\S+'),
+                     x -> x <> '') AS toks
+  FROM cf),
+cq2 AS (
+  SELECT doc_id, n_chars, n_alpha, n_digit,
+         CAST(length(toks) AS DOUBLE) AS n_tokens,
+         CAST(coalesce(list_aggregate(
+              list_transform(toks, x -> length(x)), 'sum'), 0)
+              AS DOUBLE) AS tok_chars,
+         CAST(length(list_filter(toks, x -> x IN
+              ('and','are','as','at','be','by','for','in','is',
+               'it','of','on','or','that','the','this','to',
+               'was','with','an'))) AS DOUBLE) AS n_stop
+  FROM cq1),
+cq AS (
+  SELECT doc_id,
+         CAST(floor(n_alpha / greatest(n_chars, 1) * 1e6) AS BIGINT) AS alpha_e6,
+         CAST(floor(n_digit / greatest(n_chars, 1) * 1e6) AS BIGINT) AS digit_e6,
+         CAST(floor(n_stop / greatest(n_tokens, 1) * 1e6) AS BIGINT) AS stop_e6,
+         CAST(floor(tok_chars / greatest(n_tokens, 1) * 1e6) AS BIGINT) AS mtl_e6
+  FROM cq2),
+cln AS (
+  SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM cf),
+clcnt AS (SELECT doc_id, line, count(*) AS c FROM cln GROUP BY doc_id, line),
+clagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS ltot,
+                 CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS ldup
+          FROM clcnt GROUP BY doc_id),
+ctok AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(t, '\s+'),
+                             x -> x <> '') AS ts
+  FROM cf),
+cg AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS gram
+  FROM ctok, unnest(generate_series(1, len(ts) - 1)) AS u(i)),
+cgcnt AS (SELECT doc_id, gram, count(*) AS c FROM cg GROUP BY doc_id, gram),
+cgagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS gtot,
+                 CAST(max(c) AS BIGINT) AS gmx
+          FROM cgcnt GROUP BY doc_id),
+cr AS (
+  SELECT d.doc_id,
+         coalesce(l.ldup, 0) * 1000000
+           // greatest(coalesce(l.ltot, 0), 1) AS dupline_e6,
+         coalesce(a.gmx, 0) * 1000000
+           // greatest(coalesce(a.gtot, 0), 1) AS top2g_e6
+  FROM documents d
+  LEFT JOIN clagg l USING (doc_id)
+  LEFT JOIN cgagg a USING (doc_id)),
+cv AS (
+  SELECT d.doc_id, d.text,
+         CAST(greatest(coalesce(length(d.text), -1), 0) AS BIGINT) AS n_chars,
+         CASE WHEN d.text IS NULL THEN 'error'
+              WHEN length(d.text) < 80 THEN 'too_short'
+              WHEN length(d.text) >= 1000000 THEN 'too_long'
+              WHEN q.alpha_e6 < 500000 THEN 'low_alpha'
+              WHEN q.digit_e6 > 200000 THEN 'high_digit'
+              WHEN q.stop_e6 < 10000 THEN 'low_stopword'
+              WHEN q.mtl_e6 < 2000000 OR q.mtl_e6 > 12000000
+                   THEN 'token_len'
+              WHEN r.dupline_e6 > 300000 THEN 'rep_lines'
+              WHEN r.top2g_e6 > 200000 THEN 'rep_2gram'
+              ELSE 'kept' END AS verdict0
+  FROM documents d
+  JOIN cq q USING (doc_id)
+  JOIN cr r USING (doc_id)),
+ck AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS min_id
+  FROM cv WHERE verdict0 = 'kept')
+SELECT v.doc_id,
+       CASE WHEN v.verdict0 = 'kept' AND v.doc_id <> k.min_id THEN 'dup'
+            ELSE v.verdict0 END AS verdict,
+       v.n_chars
+FROM cv v LEFT JOIN ck k USING (doc_id)
+"""
+
 _INCR_SQL = f"""
 WITH base AS (
   SELECT doc_id, text, length(text) AS nb,
@@ -2682,6 +2790,11 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
                              < 'e6' THEN 'train' ELSE 'val' END AS split
             FROM documents ORDER BY doc_id""",
+        "curation_pipeline": _CURATE_SQL + " ORDER BY doc_id",
+        "curation_report": f"""
+            SELECT verdict, count(*) AS docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars
+            FROM ({_CURATE_SQL}) GROUP BY verdict ORDER BY verdict""",
         "quality_score": """
             WITH f AS (
               SELECT doc_id, coalesce(text, '') AS t FROM documents),

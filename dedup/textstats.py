@@ -234,47 +234,52 @@ def quality_score(ds: ray.data.Dataset, id_col: str = "doc_id",
     A doc with zero chars/tokens scores 0 in the affected ratios (not
     null) — degenerate docs should rank as lowest quality, not drop out
     of the filter."""
+    return ds.map_batches(
+        lambda t: quality_table(t, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow")
+
+
+def quality_table(t: pa.Table, id_col: str = "doc_id",
+                  text_col: str = "text") -> pa.Table:
+    """Batch kernel for quality_score (table-level for Ray-free tests
+    and for composition into the curation recipe)."""
     sw = pa.array(_QUALITY_STOPWORDS)
+    txt = pc.fill_null(t[text_col], "")
+    n = t.num_rows
+    n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    n_alpha = pc.count_substring_regex(txt, pattern=r"[A-Za-z]") \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    n_digit = pc.count_substring_regex(txt, pattern=r"[0-9]") \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    toks = pc.split_pattern_regex(pc.utf8_lower(txt), pattern=r"\s+")
+    nper = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks).combine_chunks()
+    parent = np.repeat(np.arange(n), nper)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    n_tokens = np.bincount(parent, weights=nonempty.astype(np.float64),
+                           minlength=n)
+    tok_chars = np.bincount(parent, weights=tok_len * nonempty,
+                            minlength=n)
+    is_sw = pc.is_in(flat, value_set=sw).to_numpy(zero_copy_only=False)
+    n_stop = np.bincount(parent, weights=(is_sw & nonempty)
+                         .astype(np.float64), minlength=n)
+    safe_c = np.maximum(n_chars, 1.0)
+    safe_t = np.maximum(n_tokens, 1.0)
 
-    def _f(t: pa.Table) -> pa.Table:
-        txt = pc.fill_null(t[text_col], "")
-        n = t.num_rows
-        n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        n_alpha = pc.count_substring_regex(txt, pattern=r"[A-Za-z]") \
-            .to_numpy(zero_copy_only=False).astype(np.float64)
-        n_digit = pc.count_substring_regex(txt, pattern=r"[0-9]") \
-            .to_numpy(zero_copy_only=False).astype(np.float64)
-        toks = pc.split_pattern_regex(pc.utf8_lower(txt), pattern=r"\s+")
-        nper = pc.list_value_length(toks).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        flat = pc.list_flatten(toks).combine_chunks()
-        parent = np.repeat(np.arange(n), nper)
-        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        n_tokens = np.bincount(parent, weights=nonempty.astype(np.float64),
-                               minlength=n)
-        tok_chars = np.bincount(parent, weights=tok_len * nonempty,
-                                minlength=n)
-        is_sw = pc.is_in(flat, value_set=sw).to_numpy(zero_copy_only=False)
-        n_stop = np.bincount(parent, weights=(is_sw & nonempty)
-                             .astype(np.float64), minlength=n)
-        safe_c = np.maximum(n_chars, 1.0)
-        safe_t = np.maximum(n_tokens, 1.0)
+    def e6(x: np.ndarray) -> pa.Array:
+        return pa.array(np.floor(x * 1e6).astype(np.int64), pa.int64())
 
-        def e6(x: np.ndarray) -> pa.Array:
-            return pa.array(np.floor(x * 1e6).astype(np.int64), pa.int64())
-
-        return pa.table({
-            id_col: t[id_col],
-            "alpha_ratio_e6": e6(n_alpha / safe_c),
-            "digit_ratio_e6": e6(n_digit / safe_c),
-            "stopword_ratio_e6": e6(n_stop / safe_t),
-            "mean_token_len_e6": e6(tok_chars / safe_t),
-        })
-
-    return ds.map_batches(_f, batch_format="pyarrow")
+    return pa.table({
+        id_col: t[id_col],
+        "alpha_ratio_e6": e6(n_alpha / safe_c),
+        "digit_ratio_e6": e6(n_digit / safe_c),
+        "stopword_ratio_e6": e6(n_stop / safe_t),
+        "mean_token_len_e6": e6(tok_chars / safe_t),
+    })
 
 
 def top_docs_per_group(ds: ray.data.Dataset, group_col: str = "lang",
