@@ -1019,7 +1019,7 @@ def _q_hash_split(sf_dir: str):
         .sort("doc_id")
 
 
-def _q_curation_pipeline(sf_dir: str):
+def _q_curation_funnel(sf_dir: str):
     """The composed curation recipe (dedup/curate.py): length gates →
     Gopher/C4 quality ratios → repetition caps → exact dedup of the
     survivors, first-failed-gate verdict per doc.  Every metric reuses
@@ -2178,7 +2178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_planted": _q_incremental_dedup_planted,
         "incremental_near_planted": _q_incremental_near_planted,
         "incremental_dedup_bucketed": _q_incremental_dedup_bucketed,
-        "curation_pipeline": _q_curation_pipeline,
+        "curation_funnel": _q_curation_funnel,
         "curation_report": _q_curation_report,
         "substring_sa_dedup": _q_substring_sa_dedup,
         "substring_sa_recall": _q_substring_sa_recall,
@@ -2790,7 +2790,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
                              < 'e6' THEN 'train' ELSE 'val' END AS split
             FROM documents ORDER BY doc_id""",
-        "curation_pipeline": _CURATE_SQL + " ORDER BY doc_id",
+        "curation_funnel": _CURATE_SQL + " ORDER BY doc_id",
         "curation_report": f"""
             SELECT verdict, count(*) AS docs,
                    CAST(sum(n_chars) AS BIGINT) AS chars
