@@ -328,6 +328,70 @@ def _q_incremental_dedup_bloom(sf_dir: str):
                                    bloom_fpp=0.01).sort("doc_id")
 
 
+def _q_incremental_near_bucketed(sf_dir: str):
+    """Planted-truth check for the bucketed LSH band-index filter
+    (incremental.write_band_index + incremental_minhash_filter): over a
+    50/50 url-hash split of the synthetic pages corpus, every new-side
+    ok doc whose truth cluster is exact/near AND has a reference-side
+    ok member must be flagged ref_near (expected recall 1.0), and no
+    truth-singleton new doc may be flagged (expected false rate 0).
+    simhash/substring-class docs are excluded from both sets — band
+    collision is a Jaccard test, not a Hamming/substring one.  Bounded
+    driver-side work: the 4k-doc planted fixture (same bound as the
+    other recall queries)."""
+    import hashlib
+    import pyarrow.parquet as pq
+    from dedup.config import DedupConfig
+    from dedup.incremental import (incremental_minhash_filter,
+                                   write_band_index)
+    from dedup.synth import write_pages
+    paths = write_pages("/tmp/dedup_pages_recall", n_docs=4000, seed=42)
+    pages = ray.data.read_parquet(paths["pages"], columns=["url", "text"])
+
+    def _side(keep_ref: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            us = t["url"].to_pylist()
+            m = pa.array([hashlib.md5(u.encode()).hexdigest()[:2] < "80"
+                          for u in us], pa.bool_())
+            return t.filter(m if keep_ref else pc.invert(m))
+        return _f
+
+    ref = pages.map_batches(_side(True), batch_format="pyarrow")
+    new = pages.map_batches(_side(False), batch_format="pyarrow")
+    cfg = DedupConfig()
+    idx = write_band_index(ref, cfg, "/tmp/dedup_band_idx_recall",
+                           n_buckets=64)
+    out = incremental_minhash_filter(new, idx, cfg, n_buckets=64) \
+        .to_pandas()
+    flagged = set(out[out["ref_near"]]["url"])
+
+    truth = pq.read_table(paths["truth"]).to_pandas()
+    pdf = pages.to_pandas().merge(
+        truth[["url", "cluster_id", "cluster_class"]], on="url")
+    pdf["is_ref"] = pdf["url"].map(
+        lambda u: hashlib.md5(u.encode()).hexdigest()[:2] < "80")
+    pdf["ok"] = pdf["text"].str.len().fillna(-1) >= cfg.min_doc_bytes
+    ref_ok_clusters = set(
+        pdf[pdf["is_ref"] & pdf["ok"] & (pdf["cluster_id"] >= 0)]
+        ["cluster_id"])
+    newdf = pdf[~pdf["is_ref"]]
+    must = set(newdf[(newdf["cluster_class"].isin(["exact", "near"]))
+                     & newdf["ok"]
+                     & newdf["cluster_id"].isin(ref_ok_clusters)]["url"])
+    never = set(newdf[(newdf["cluster_id"] < 0) & newdf["ok"]]["url"])
+    tp = len(must & flagged)
+    fp = len(never & flagged)
+    return pa.table({
+        "n_new": pa.array([len(newdf)], pa.int64()),
+        "n_flagged": pa.array([len(flagged)], pa.int64()),
+        "must_flag": pa.array([len(must)], pa.int64()),
+        "recall_e6": pa.array(
+            [tp * 1_000_000 // max(len(must), 1)], pa.int64()),
+        "false_e6": pa.array(
+            [fp * 1_000_000 // max(len(never), 1)], pa.int64()),
+    })
+
+
 def _q_incremental_dedup_bucketed(sf_dir: str):
     """Storage-partitioned variant of incremental_dedup: the reference
     shard's exact-key index is first written as a bucketed parquet
@@ -2178,6 +2242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_planted": _q_incremental_dedup_planted,
         "incremental_near_planted": _q_incremental_near_planted,
         "incremental_dedup_bucketed": _q_incremental_dedup_bucketed,
+        "incremental_near_bucketed": _q_incremental_near_bucketed,
         "curation_funnel": _q_curation_funnel,
         "curation_report": _q_curation_report,
         "substring_sa_dedup": _q_substring_sa_dedup,

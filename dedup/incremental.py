@@ -568,3 +568,199 @@ def incremental_exact_dedup_bucketed(
     assigned = groupapply(new_b, "bucket", _bucket_join, P)
     nonok = _nonok_passthrough(prep_new, id_type, sentinel)
     return _rename_out(assigned.union(nonok), cfg)
+
+
+# ---------------------------------------------------------------------------
+# bucketed LSH band index (near-dup analogue of write_key_index)
+# ---------------------------------------------------------------------------
+
+def write_band_index(ds: ray.data.Dataset, cfg: DedupConfig, out_dir: str,
+                     n_buckets: int = N_KEY_BUCKETS,
+                     check_html: bool = False) -> str:
+    """Write the MinHash/LSH band-key index of a corpus snapshot:
+    bucketed parquet ``out_dir/bucket=K/*.parquet`` with one uint64
+    ``skey`` column (batch-locally deduplicated band keys — 8 bytes per
+    (doc, band) at most).  Band keys are a pure function of
+    (num_perm, shingle_k, seed, lsh_bands, lsh_rows, scope), so the
+    probe side must run the same cfg; like write_key_index, one dir per
+    dump and a rerun replaces the dir."""
+    from .minhash import cached_signer
+    from .pipeline import _band_keys
+    from .sinks import _fresh_dir
+
+    _fresh_dir(out_dir)
+    prep = prepare(ds, cfg, check_html=check_html)
+
+    def _sign(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["state0"], "ok"))
+        return cached_signer(cfg.num_perm, cfg.shingle_k, cfg.seed)(
+            t.select(["node", "scope64", "text"]))
+
+    sigs = prep.map_batches(_sign, batch_format="pyarrow") \
+        .select_columns(["node", "scope64", "minhash"])
+
+    def _bands(t: pa.Table) -> pa.Table:
+        keys, _, _ = _band_keys(t, cfg)
+        uk = np.unique(keys.reshape(-1))
+        return pa.table({
+            "skey": pa.array(uk),
+            "bucket": pa.array(key_bucket(uk, n_buckets)),
+        })
+
+    sigs.map_batches(_bands, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"])
+    return out_dir
+
+
+def incremental_minhash_filter(
+    new_ds: ray.data.Dataset,
+    index_dirs: str | list[str],
+    cfg: DedupConfig,
+    n_buckets: int = N_KEY_BUCKETS,
+    check_html: bool = False,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Cross-snapshot NEAR-dup filter against ``write_band_index``
+    layouts: per NEW doc, (cfg.id_col, ref_near, n_band_hits) where
+    ref_near = the doc shares >= 1 LSH band key with the indexed
+    reference corpus.  Band-collision semantics (Broder 1997): with the
+    cfg's (bands b, rows r), P[flag | jaccard j] = 1 - (1 - j^r)^b —
+    there is no text-level verify because the index stores 8-byte band
+    keys only; tune b, r for the target threshold.  Non-ok rows report
+    (False, 0).
+
+    Scale shape: the ONLY exchange is the new side's band rows grouped
+    by key bucket; each bucket task reads the matching reference bucket
+    files task-locally and probes them with one searchsorted.  The
+    reference corpus is never shuffled, never re-signed, never read
+    outside new-occupied buckets."""
+    import os
+
+    from .minhash import cached_signer
+    from .pipeline import _auto_partitions, _band_keys
+
+    if isinstance(index_dirs, str):
+        index_dirs = [index_dirs]
+    dirs = list(index_dirs)
+    tune_context()
+    P = num_partitions or min(n_buckets, _auto_partitions(cfg))
+
+    prep_new = prepare(new_ds, cfg, check_html=check_html).materialize()
+    id_type = prep_new.schema().base_schema.field("id").type
+
+    def _sign(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["state0"], "ok"))
+        return cached_signer(cfg.num_perm, cfg.shingle_k, cfg.seed)(
+            t.select(["node", "scope64", "text"]))
+
+    sigs = prep_new.map_batches(_sign, batch_format="pyarrow") \
+        .select_columns(["node", "scope64", "minhash"])
+
+    def _rows(t: pa.Table) -> pa.Table:
+        keys, nodes, _ = _band_keys(t, cfg)
+        flat = keys.reshape(-1)
+        return pa.table({
+            "skey": pa.array(flat),
+            "node": pa.array(np.tile(nodes, keys.shape[0])),
+            "bucket": pa.array(key_bucket(flat, n_buckets)
+                               .astype(np.uint64)),
+        })
+
+    rows = sigs.map_batches(_rows, batch_format="pyarrow")
+
+    def _probe(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        sk = t["skey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        nd = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bk = t["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hit = np.zeros(len(sk), dtype=bool)
+        for b in np.unique(bk):
+            refs = []
+            for d in dirs:
+                p = os.path.join(d, f"bucket={int(b)}")
+                if os.path.isdir(p):
+                    refs.append(pq.read_table(p, columns=["skey"])["skey"]
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.uint64))
+            if not refs:
+                continue
+            ref = np.unique(np.concatenate(refs))
+            m = bk == b
+            pos = np.searchsorted(ref, sk[m])
+            pos[pos == len(ref)] = 0
+            hit[m] = ref[pos] == sk[m]
+        un, cnt = np.unique(nd[hit], return_counts=True)
+        return pa.table({"node": pa.array(un),
+                         "hits": pa.array(cnt.astype(np.int64))})
+
+    # hit rows are sparse (only near-dup docs); sum partials per node
+    hits = groupapply(rows, "bucket", _probe, P)
+
+    def _sum_node(t: pa.Table) -> pa.Table:
+        nd = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = t["hits"].to_numpy(zero_copy_only=False)
+        order = np.argsort(nd, kind="stable")
+        nd, h = nd[order], h[order]
+        starts = np.concatenate([[0], np.flatnonzero(nd[1:] != nd[:-1]) + 1])
+        return pa.table({
+            "node": pa.array(nd[starts]),
+            "hits": pa.array(np.add.reduceat(h, starts).astype(np.int64)),
+        })
+
+    totals = groupapply(hits, "node", _sum_node, P).materialize()
+
+    # attach: flagged nodes are bounded by the near-dup count; broadcast
+    # below the pipeline's 20M bound, else co-shuffle on node
+    if totals.count() <= 20_000_000:
+        nodes_l: list[int] = []
+        hits_l: list[int] = []
+        for b in totals.iter_batches(batch_format="pyarrow"):
+            nodes_l.extend(b["node"].to_pylist())
+            hits_l.extend(b["hits"].to_pylist())
+        order = np.argsort(np.array(nodes_l, dtype=np.uint64), kind="stable")
+        nd_arr = np.array(nodes_l, dtype=np.uint64)[order]
+        ht_arr = np.array(hits_l, dtype=np.int64)[order]
+        ref = ray.put((nd_arr, ht_arr))
+
+        def _attach(t: pa.Table) -> pa.Table:
+            nd_s, ht_s = ray.get(ref)
+            nd = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            pos = np.searchsorted(nd_s, nd)
+            pos[pos == len(nd_s)] = 0
+            m = (nd_s[pos] == nd) if len(nd_s) else np.zeros(len(nd), bool)
+            n_hits = np.where(m, ht_s[pos] if len(ht_s) else 0, 0)
+            ok = pc.equal(t["state0"], "ok").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "id": t["id"].cast(id_type),
+                "ref_near": pa.array((m & ok)),
+                "n_band_hits": pa.array(np.where(ok, n_hits, 0), pa.int64()),
+            })
+
+        out = prep_new.map_batches(_attach, batch_format="pyarrow")
+    else:
+        def _node_rows(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t["node"],
+                "id": t["id"].cast(id_type),
+                "state0": t["state0"],
+            })
+
+        left = prep_new.map_batches(_node_rows, batch_format="pyarrow")
+        joined = left.join(totals, join_type="left_outer",
+                           num_partitions=P, on=("node",))
+
+        def _finish(t: pa.Table) -> pa.Table:
+            h = pc.fill_null(t["hits"], 0).cast(pa.int64())
+            ok = pc.equal(t["state0"], "ok")
+            return pa.table({
+                "id": t["id"],
+                "ref_near": pc.and_(pc.greater(h, 0), ok),
+                "n_band_hits": pc.if_else(ok, h, pa.scalar(0, pa.int64())),
+            })
+
+        out = joined.map_batches(_finish, batch_format="pyarrow")
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([cfg.id_col, "ref_near", "n_band_hits"])
+
+    return out.map_batches(_rename, batch_format="pyarrow")

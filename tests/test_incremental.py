@@ -210,3 +210,56 @@ def test_bucketed_multi_dump_accumulation(tmp_path):
         11: ("ref_dup", -1, 0, 1),   # C in dump 2 only
         12: ("unique", -1, 1, 0),
     }
+
+
+def test_band_index_filter_flags_near_copies(tmp_path):
+    """Long ref docs with one token perturbed must flag ref_near; fresh
+    docs must not; non-ok rows report (False, 0); multi-dump indexes
+    union; deterministic across parallelism."""
+    from dedup.incremental import (incremental_minhash_filter,
+                                   write_band_index)
+    cfg = DOCUMENTS_CONFIG.with_(simhash=False, substring=False)
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon " * 6)
+    ref = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": [base + "one ending here", base + "two other close"]}))
+    toks = (base + "one ending here").split()
+    toks[3] = "changed"
+    near_copy = " ".join(toks)
+    fresh = ("totally different words about completely other topics "
+             "nothing shared with the reference corpus at all " * 6)
+    new = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "text": [near_copy, fresh, "tiny", None]}))
+    idx = write_band_index(ref, cfg, str(tmp_path / "bidx"), n_buckets=16)
+    outs = []
+    for P in (1, 8):
+        out = incremental_minhash_filter(
+            new, [idx], cfg, n_buckets=16, num_partitions=P) \
+            .sort("doc_id").to_pandas().reset_index(drop=True)
+        outs.append(out)
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(outs[0], outs[1])
+    got = {int(r.doc_id): (bool(r.ref_near), int(r.n_band_hits))
+           for r in outs[0].itertuples()}
+    assert got[10][0] and got[10][1] >= 1    # near copy flagged
+    assert got[11] == (False, 0)             # fresh not flagged
+    assert got[12] == (False, 0)             # ignored
+    assert got[13] == (False, 0)             # error
+
+
+def test_band_index_rerun_replaces(tmp_path):
+    """Re-writing an index into the same dir must not append (doubled
+    band rows would change nothing semantically but bloat the index);
+    the second write replaces the first."""
+    import glob
+    from dedup.incremental import write_band_index
+    cfg = DOCUMENTS_CONFIG.with_(simhash=False, substring=False)
+    ref = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()), "text": [A + " " + B]}))
+    idx = write_band_index(ref, cfg, str(tmp_path / "i"), n_buckets=4)
+    n1 = len(glob.glob(idx + "/bucket=*/*.parquet"))
+    write_band_index(ref, cfg, idx, n_buckets=4)
+    n2 = len(glob.glob(idx + "/bucket=*/*.parquet"))
+    assert n1 == n2
