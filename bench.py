@@ -290,7 +290,10 @@ def run_suite() -> dict:
              "line_dedup", "decontaminate", "url_dedup", "span_dedup",
              "incremental_dedup_bloom", "source_dup_report", "semdedup",
              "paragraph_dedup", "doc_line_dedup", "sliding_windows",
-             "heavy_hitters", "tfidf_top_terms"]
+             "heavy_hitters", "tfidf_top_terms",
+             # round-3 fifth-session operators
+             "incremental_dedup_bucketed", "curation_funnel",
+             "normalize_text"]
     out: dict[str, float] = {}
     for name in picks:
         t0 = time.time()

@@ -4,8 +4,13 @@
         --input /data/pages --output /runs/out --config cfg.json
 
 Subcommands:
-  run    read pages parquet -> full dedup -> write assignments parquet
-         (+ checkpoints/metrics when --checkpoint-dir or cfg sets one)
+  run    read pages parquet/csv/jsonl -> full dedup -> write assignments
+         parquet (+ checkpoints/metrics when --checkpoint-dir or cfg
+         sets one); --ref-input = cross-snapshot closure dedup,
+         --ref-index = storage-partitioned cross-snapshot exact dedup
+  index  build a bucketed reference index (--kind exact | bands), one
+         dir per corpus dump, self-describing via _index.json
+  filter near-dup filter of a new snapshot against band indexes
   bench  two fresh-process runs at different --cpus for the scaling
          protocol (delegates to bench.py)
 
@@ -35,49 +40,66 @@ def _init(num_cpus: int | None) -> None:
     quiet_empty_schema_warnings()
 
 
+def _load_cfg(args: argparse.Namespace):
+    from .config import DedupConfig
+    if getattr(args, "config", None):
+        cfg = DedupConfig.from_json(open(args.config).read())
+    else:
+        cfg = DedupConfig()
+    if getattr(args, "checkpoint_dir", None):
+        cfg = cfg.with_(checkpoint_dir=args.checkpoint_dir)
+    return cfg
+
+
+def _read_source(path: str, cfg, fmt_arg: str) -> tuple:
+    """Column-pruned read in the declared/inferred format; the html
+    extract-invariant check runs only when the source has the column
+    (parquet metadata sniff — csv/jsonl sources carry extracted text,
+    not raw html)."""
+    from .ingest import _infer_format, read_input
+    fmt = fmt_arg if fmt_arg != "auto" else _infer_format(path)
+    has_html = False
+    if fmt == "parquet":
+        import glob
+        import pyarrow.parquet as pq
+        files = sorted(glob.glob(os.path.join(path, "*.parquet"))) \
+            if os.path.isdir(path) else [path]
+        if files:
+            has_html = "html" in pq.read_schema(files[0]).names
+    return read_input(path, cfg, has_html=has_html, format=fmt), has_html
+
+
 def cmd_run(args: argparse.Namespace) -> int:
     _init(args.cpus)
     import ray
     import ray.data
-    from .config import DedupConfig
     from .pipeline import run_dedup, state_stats
     from .incremental import incremental_dedup
 
-    if args.config:
-        cfg = DedupConfig.from_json(open(args.config).read())
-    else:
-        cfg = DedupConfig()
-    if args.checkpoint_dir:
-        cfg = cfg.with_(checkpoint_dir=args.checkpoint_dir)
-
-    from .ingest import _infer_format, read_input
-
-    def _read(path: str) -> tuple:
-        """Column-pruned read in the declared/inferred format; the html
-        extract-invariant check runs only when the source has the
-        column (parquet metadata sniff — csv/jsonl sources carry
-        extracted text, not raw html)."""
-        fmt = args.format if args.format != "auto" else _infer_format(path)
-        has_html = False
-        if fmt == "parquet":
-            import glob
-            import pyarrow.parquet as pq
-            files = sorted(glob.glob(os.path.join(path, "*.parquet"))) \
-                if os.path.isdir(path) else [path]
-            if files:
-                has_html = "html" in pq.read_schema(files[0]).names
-        return read_input(path, cfg, has_html=has_html, format=fmt), has_html
-
-    ds, has_html = _read(args.input)
+    cfg = _load_cfg(args)
+    ds, has_html = _read_source(args.input, cfg, args.format)
     t0 = time.time()
-    if args.ref_input:
+    if args.ref_input and args.ref_index:
+        raise SystemExit("--ref-input and --ref-index are exclusive")
+    if args.ref_input or args.ref_index:
         # cross-snapshot mode: dedup the input against a previously-kept
-        # reference corpus (plus within itself), closure semantics
+        # reference corpus (plus within itself)
         if cfg.checkpoint_dir:
             raise SystemExit(
-                "--checkpoint-dir is not supported in --ref-input mode")
-        ref, _ = _read(args.ref_input)
+                "--checkpoint-dir is not supported in cross-snapshot mode")
+    if args.ref_input:
+        ref, _ = _read_source(args.ref_input, cfg, args.format)
         out = incremental_dedup(ds, ref, cfg, check_html=has_html)
+    elif args.ref_index:
+        # storage-partitioned mode: the reference is a bucketed exact-key
+        # index written by `dedup index --kind exact`; no ref-side shuffle
+        from .incremental import (incremental_exact_dedup_bucketed,
+                                  read_index_meta)
+        dirs = args.ref_index.split(",")
+        meta = read_index_meta(dirs[0], "exact")
+        out = incremental_exact_dedup_bucketed(
+            ds, dirs, cfg, n_buckets=meta["n_buckets"],
+            check_html=has_html)
     else:
         out = run_dedup(ds, cfg, check_html=has_html)
     os.makedirs(args.output, exist_ok=True)
@@ -92,6 +114,7 @@ def cmd_run(args: argparse.Namespace) -> int:
     report = {
         "input": args.input,
         "ref_input": args.ref_input,
+        "ref_index": args.ref_index,
         "output": args.output,
         "config_fingerprint": cfg.fingerprint(),
         "wall_sec": round(time.time() - t0, 2),
@@ -101,6 +124,75 @@ def cmd_run(args: argparse.Namespace) -> int:
         json.dump(report, fh, indent=2)
     with open(os.path.join(args.output, "config.json"), "w") as fh:
         fh.write(cfg.to_json())
+    print(json.dumps(report))
+    ray.shutdown()
+    return 0
+
+
+def cmd_index(args: argparse.Namespace) -> int:
+    """Build a bucketed reference index (dir per dump): kind=exact for
+    the storage-partitioned exact dedup, kind=bands for the LSH near-dup
+    filter.  The index is self-describing (_index.json) and probes
+    validate bucket count + key-affecting knobs."""
+    _init(args.cpus)
+    import ray
+    from .incremental import write_band_index, write_key_index
+
+    cfg = _load_cfg(args)
+    ds, _ = _read_source(args.input, cfg, args.format)
+    t0 = time.time()
+    fn = write_key_index if args.kind == "exact" else write_band_index
+    out = fn(ds, cfg, args.output, n_buckets=args.buckets)
+    report = {
+        "input": args.input,
+        "output": out,
+        "kind": args.kind,
+        "buckets": args.buckets,
+        "config_fingerprint": cfg.fingerprint(),
+        "wall_sec": round(time.time() - t0, 2),
+    }
+    print(json.dumps(report))
+    ray.shutdown()
+    return 0
+
+
+def cmd_filter(args: argparse.Namespace) -> int:
+    """Cross-snapshot NEAR-dup filter against band indexes: writes
+    (id, ref_near, n_band_hits) parquet + a flag-count report."""
+    _init(args.cpus)
+    import ray
+    import ray.data
+    from .incremental import incremental_minhash_filter, read_index_meta
+
+    cfg = _load_cfg(args)
+    ds, _ = _read_source(args.input, cfg, args.format)
+    dirs = args.band_index.split(",")
+    meta = read_index_meta(dirs[0], "bands")
+    t0 = time.time()
+    out = incremental_minhash_filter(ds, dirs, cfg,
+                                     n_buckets=meta["n_buckets"])
+    os.makedirs(args.output, exist_ok=True)
+    flags_dir = os.path.join(args.output, "flags")
+    if os.path.isdir(flags_dir):  # rerun: replace, don't append
+        import shutil
+        shutil.rmtree(flags_dir)
+    out.write_parquet(flags_dir)
+    import pyarrow.compute as pc
+    flagged = total = 0
+    for b in ray.data.read_parquet(flags_dir, columns=["ref_near"]) \
+            .iter_batches(batch_format="pyarrow"):
+        total += b.num_rows
+        flagged += int(pc.sum(pc.cast(b["ref_near"], "int64")).as_py() or 0)
+    report = {
+        "input": args.input,
+        "band_index": dirs,
+        "output": args.output,
+        "n_docs": total,
+        "n_flagged": flagged,
+        "wall_sec": round(time.time() - t0, 2),
+    }
+    with open(os.path.join(args.output, "filter.json"), "w") as fh:
+        json.dump(report, fh, indent=2)
     print(json.dumps(report))
     ray.shutdown()
     return 0
@@ -129,9 +221,35 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--format", default="auto",
                     choices=("auto", "parquet", "csv", "jsonl"),
                     help="input format (auto = sniff by file extension)")
+    rp.add_argument("--ref-index", default=None,
+                    help="comma-separated bucketed exact-key index dirs "
+                         "(dedup index --kind exact): storage-partitioned "
+                         "cross-snapshot mode, no reference-side shuffle")
     rp.add_argument("--checkpoint-dir", default=None)
     rp.add_argument("--cpus", type=int, default=None)
     rp.set_defaults(fn=cmd_run)
+    ip = sub.add_parser("index", help="build a bucketed reference index")
+    ip.add_argument("--input", required=True)
+    ip.add_argument("--output", required=True)
+    ip.add_argument("--kind", default="exact", choices=("exact", "bands"))
+    ip.add_argument("--buckets", type=int, default=256)
+    ip.add_argument("--config", default=None)
+    ip.add_argument("--format", default="auto",
+                    choices=("auto", "parquet", "csv", "jsonl"))
+    ip.add_argument("--cpus", type=int, default=None)
+    ip.set_defaults(fn=cmd_index)
+    fp = sub.add_parser("filter",
+                        help="near-dup filter against band indexes")
+    fp.add_argument("--input", required=True)
+    fp.add_argument("--band-index", required=True,
+                    help="comma-separated band index dirs "
+                         "(dedup index --kind bands)")
+    fp.add_argument("--output", required=True)
+    fp.add_argument("--config", default=None)
+    fp.add_argument("--format", default="auto",
+                    choices=("auto", "parquet", "csv", "jsonl"))
+    fp.add_argument("--cpus", type=int, default=None)
+    fp.set_defaults(fn=cmd_filter)
     bp = sub.add_parser("bench", help="benchmark suite / scaling runs")
     bp.add_argument("--scaling", action="store_true")
     bp.set_defaults(fn=cmd_bench)

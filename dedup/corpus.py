@@ -493,3 +493,74 @@ def url_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
         })
 
     return groupapply(keyed, "ch", _states, num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# unicode text normalization (pre-hash normalization stage)
+# ---------------------------------------------------------------------------
+
+def _unicode_normalize(txt, form: str) -> pa.Array:
+    """Unicode-normalize a string column.  Arrow's utf8_normalize is
+    DECOMPOSE-only (NFC/NFKC come back decomposed — utf8proc is invoked
+    without the COMPOSE step), so composition falls back to
+    unicodedata.normalize on exactly the rows that still carry
+    combining marks after the arrow pass — none at all on ASCII web
+    text, so the vectorized fast path handles the bulk and the per-row
+    fallback touches only the accented tail."""
+    arr = _as_array(txt)
+    out = pc.utf8_normalize(arr, form=form)
+    if form in ("NFC", "NFKC"):
+        needs = pc.fill_null(
+            pc.match_substring_regex(out, r"\p{M}"), False)
+        n_needs = pc.sum(pc.cast(needs, "int64")).as_py() or 0
+        if n_needs:
+            import unicodedata
+            mask = needs.to_numpy(zero_copy_only=False)
+            flagged = out.filter(needs).to_pylist()
+            fixed = pa.array(
+                [unicodedata.normalize(form, s) for s in flagged],
+                out.type)
+            out = pc.replace_with_mask(out, pa.array(mask), fixed)
+    return out
+
+
+def normalize_text_table(t: pa.Table, id_col: str = "doc_id",
+                         text_col: str = "text", form: str = "NFC",
+                         lower: bool = True, strip_marks: bool = False,
+                         collapse_ws: bool = True) -> pa.Table:
+    """Batch kernel for normalize_text: unicode normalization (NFC /
+    NFKC), optional lowercase, optional accent/mark stripping (NFKD
+    decompose then remove \\p{Mn} combining marks, recomposed NFC —
+    the portable definition of "strip accents"), optional whitespace
+    collapse (runs -> one space, ends trimmed).  All arrow kernels, no
+    per-row Python; null text stays null (error rows must not become
+    empty strings)."""
+    txt = t[text_col]
+    if strip_marks:
+        txt = pc.utf8_normalize(txt, form="NFKD")
+        txt = pc.replace_substring_regex(txt, pattern=r"\p{Mn}",
+                                         replacement="")
+    if form:
+        txt = _unicode_normalize(txt, form)
+    if lower:
+        txt = pc.utf8_lower(txt)
+    if collapse_ws:
+        txt = pc.replace_substring_regex(txt, pattern=r"\s+",
+                                         replacement=" ")
+        txt = pc.utf8_trim_whitespace(txt)
+    return pa.table({id_col: t[id_col], "text_norm": txt})
+
+
+def normalize_text(ds: ray.data.Dataset, id_col: str = "doc_id",
+                   text_col: str = "text", form: str = "NFC",
+                   lower: bool = True, strip_marks: bool = False,
+                   collapse_ws: bool = True) -> ray.data.Dataset:
+    """Unicode normalization stage (the CCNet/Dolma pre-hash step: the
+    same text must hash identically whether a crawler emitted it
+    composed or decomposed).  One shuffle-free map_batches; compose
+    BEFORE any dedup tier when crawl sources mix normalization forms."""
+    return ds.map_batches(
+        lambda t: normalize_text_table(
+            t, id_col=id_col, text_col=text_col, form=form, lower=lower,
+            strip_marks=strip_marks, collapse_ws=collapse_ws),
+        batch_format="pyarrow")

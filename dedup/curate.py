@@ -99,11 +99,22 @@ def _gate_table(t: pa.Table, cfg: CurateConfig, id_col: str,
     )
     for mask, name in checks:
         verdict[mask] = name
+    # md5-16 digest (as two uint64 halves) for gate survivors only —
+    # text never leaves this stage, so the materialized gate table and
+    # the dedup shuffle carry 16 bytes per doc, not the corpus
+    kept = verdict == "kept"
+    dig = np.zeros((n, 2), dtype=np.uint64)
+    if kept.any():
+        txts = pc.fill_null(t[text_col], "").to_pylist()
+        raw = b"".join(hashlib.md5(txts[i].encode()).digest()
+                       for i in np.flatnonzero(kept))
+        dig[kept] = np.frombuffer(raw, dtype=np.uint64).reshape(-1, 2)
     return pa.table({
         id_col: t[id_col],
         "n_chars": pa.array(np.maximum(n_chars, 0), pa.int64()),
         "verdict": pa.array(verdict.tolist(), pa.string()),
-        "_text": pc.fill_null(t[text_col], ""),
+        "h64": pa.array(dig[:, 0], mask=~kept),
+        "hhi": pa.array(dig[:, 1], mask=~kept),
     })
 
 
@@ -123,13 +134,9 @@ def curate(ds: ray.data.Dataset, cfg: CurateConfig | None = None,
 
     def _keys(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["verdict"], "kept"))
-        txts = t["_text"].to_pylist()
-        raw = b"".join(hashlib.md5(s.encode()).digest() for s in txts)
-        dig = np.frombuffer(raw, dtype=np.uint64).reshape(-1, 2) \
-            if txts else np.zeros((0, 2), dtype=np.uint64)
         return pa.table({
-            "h64": pa.array(dig[:, 0]),
-            "hhi": pa.array(dig[:, 1]),
+            "h64": t["h64"].cast(pa.uint64()),
+            "hhi": t["hhi"].cast(pa.uint64()),
             "id": t[id_col],
         })
 
@@ -174,7 +181,7 @@ def curate(ds: ray.data.Dataset, cfg: CurateConfig | None = None,
         lambda t: t.rename_columns([id_col]).append_column(
             "_isdup", pa.array(np.ones(t.num_rows, dtype=bool))),
         batch_format="pyarrow")
-    joined = gated.drop_columns(["_text"]).join(
+    joined = gated.drop_columns(["h64", "hhi"]).join(
         dup_ds, join_type="left_outer", num_partitions=num_partitions,
         on=(id_col,))
 

@@ -499,6 +499,7 @@ def write_key_index(ds: ray.data.Dataset, cfg: DedupConfig, out_dir: str,
 
     prep.map_batches(_f, batch_format="pyarrow").write_parquet(
         out_dir, partition_cols=["bucket"])
+    write_index_meta(out_dir, "exact", n_buckets, cfg)
     return out_dir
 
 
@@ -526,6 +527,7 @@ def incremental_exact_dedup_bucketed(
     if isinstance(index_dirs, str):
         index_dirs = [index_dirs]
     dirs = list(index_dirs)
+    _validate_indexes(dirs, "exact", n_buckets, cfg)
     tune_context()
     P = num_partitions or min(n_buckets, _auto_partitions(cfg))
 
@@ -609,6 +611,7 @@ def write_band_index(ds: ray.data.Dataset, cfg: DedupConfig, out_dir: str,
 
     sigs.map_batches(_bands, batch_format="pyarrow").write_parquet(
         out_dir, partition_cols=["bucket"])
+    write_index_meta(out_dir, "bands", n_buckets, cfg)
     return out_dir
 
 
@@ -642,6 +645,7 @@ def incremental_minhash_filter(
     if isinstance(index_dirs, str):
         index_dirs = [index_dirs]
     dirs = list(index_dirs)
+    _validate_indexes(dirs, "bands", n_buckets, cfg)
     tune_context()
     P = num_partitions or min(n_buckets, _auto_partitions(cfg))
 
@@ -764,3 +768,79 @@ def incremental_minhash_filter(
         return t.rename_columns([cfg.id_col, "ref_near", "n_band_hits"])
 
     return out.map_batches(_rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# index metadata (self-describing layouts for the CLI / cross-run safety)
+# ---------------------------------------------------------------------------
+
+def _index_params(kind: str, cfg: DedupConfig) -> dict:
+    """The cfg knobs a probe MUST share with the index writer: exact
+    keys depend on the content hash and key conjuncts; band keys on the
+    whole MinHash/LSH geometry."""
+    if kind == "exact":
+        return {
+            "content_hash": cfg.content_hash,
+            "key_ts": cfg.key_ts,
+            "key_lang": cfg.key_lang,
+            "scope": cfg.scope,
+            "min_doc_bytes": cfg.min_doc_bytes,
+        }
+    return {
+        "num_perm": cfg.num_perm,
+        "shingle_k": cfg.shingle_k,
+        "seed": cfg.seed,
+        "lsh_bands": cfg.lsh_bands,
+        "lsh_rows": cfg.lsh_rows,
+        "scope": cfg.scope,
+        "min_doc_bytes": cfg.min_doc_bytes,
+    }
+
+
+def write_index_meta(out_dir: str, kind: str, n_buckets: int,
+                     cfg: DedupConfig) -> None:
+    import json
+    import os
+    with open(os.path.join(out_dir, "_index.json"), "w") as fh:
+        json.dump({"kind": kind, "n_buckets": n_buckets,
+                   "params": _index_params(kind, cfg)}, fh, indent=1)
+
+
+def read_index_meta(index_dir: str, kind: str,
+                    cfg: DedupConfig | None = None) -> dict:
+    """Load and validate an index dir's ``_index.json``: the kind must
+    match, and (when a cfg is given) every key-affecting knob must equal
+    the writer's — a mismatched probe would silently miss every
+    duplicate, so it is an error, not a warning."""
+    import json
+    import os
+    with open(os.path.join(index_dir, "_index.json")) as fh:
+        meta = json.load(fh)
+    if meta.get("kind") != kind:
+        raise ValueError(
+            f"{index_dir}: index kind {meta.get('kind')!r} != {kind!r}")
+    if cfg is not None:
+        want = _index_params(kind, cfg)
+        got = meta.get("params", {})
+        bad = {k: (got.get(k), v) for k, v in want.items()
+               if got.get(k) != v}
+        if bad:
+            raise ValueError(
+                f"{index_dir}: index/probe config mismatch: {bad}")
+    return meta
+
+
+def _validate_indexes(dirs: list[str], kind: str, n_buckets: int,
+                      cfg: DedupConfig) -> None:
+    """Probe-side guard: every index dir carrying meta must have been
+    written with the same kind, bucket count and key-affecting knobs.
+    Meta-less dirs (pre-meta layouts) are trusted as-is."""
+    import os
+    for d in dirs:
+        if not os.path.exists(os.path.join(d, "_index.json")):
+            continue
+        meta = read_index_meta(d, kind, cfg)
+        if meta["n_buckets"] != n_buckets:
+            raise ValueError(
+                f"{d}: index has n_buckets={meta['n_buckets']}, "
+                f"probe used {n_buckets}")

@@ -95,3 +95,34 @@ def write_survivors(pages: ray.data.Dataset, assignments: ray.data.Dataset,
     joined.map_batches(_shard, batch_format="pyarrow").write_parquet(
         path, partition_cols=["shard"])
     return path
+
+
+def write_training_shards(ds: "ray.data.Dataset", out_dir: str,
+                          docs_per_shard: int, id_col: str = "doc_id",
+                          carry_cols: tuple = ("text",),
+                          num_partitions: int = 32) -> str:
+    """Deterministic training-shard layout: the corpus is written in its
+    training order (textstats.corpus_shuffle — the engine-independent
+    (md5(id), id) permutation) as ``out_dir/shard=K/`` with exactly
+    ``docs_per_shard`` docs per shard (last shard short).  A trainer
+    streams shard directories in order; a failed export rerun REPLACES
+    the directory (never appends), and because rank assignment is
+    content-independent and deterministic, re-exporting after adding
+    dumps yields the same prefix property the shuffle guarantees.
+    One small bucket-count exchange (corpus_shuffle) + the parquet
+    write; no global sort."""
+    import ray.data  # noqa: F401  (type only)
+    from .textstats import corpus_shuffle
+
+    _fresh_dir(out_dir)
+    ranked = corpus_shuffle(ds, id_col=id_col, carry_cols=tuple(carry_cols),
+                            num_partitions=num_partitions)
+
+    def _shard(t: pa.Table) -> pa.Table:
+        r = t["shuffle_rank"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "shard", pa.array(r // docs_per_shard, pa.int64()))
+
+    ranked.map_batches(_shard, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["shard"])
+    return out_dir

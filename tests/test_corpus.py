@@ -317,3 +317,29 @@ def test_doc_line_dedup_property_random():
             assert row["n_lines"] == len(lines), (sep, i, t)
             assert row["n_kept"] == len(kept), (sep, i, t)
             assert row["text_dedup"] == sep.join(kept), (sep, i, t)
+
+
+def test_normalize_text_table_forms_and_flags():
+    """NFC recomposition, NFKC compatibility folding, accent strip via
+    NFKD + mark removal, whitespace collapse, null propagation."""
+    import pyarrow as pa
+    from dedup.corpus import normalize_text_table
+    composed = "café"            # é precomposed
+    decomposed = "café"         # e + combining acute
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                  "text": [composed, decomposed, "ﬁne",  # fi ligature
+                           "  A\t\nB  ", None]})
+    # NFC: composed == decomposed afterwards
+    out = normalize_text_table(t, lower=False, collapse_ws=False)
+    v = out["text_norm"].to_pylist()
+    assert v[0] == v[1] == composed
+    assert v[4] is None
+    # NFKC folds the ligature
+    out = normalize_text_table(t, form="NFKC", lower=False,
+                               collapse_ws=False)
+    assert out["text_norm"].to_pylist()[2] == "fine"
+    # strip_marks drops the accent entirely
+    out = normalize_text_table(t, strip_marks=True)
+    v = out["text_norm"].to_pylist()
+    assert v[0] == v[1] == "cafe"
+    assert v[3] == "a b"

@@ -71,3 +71,41 @@ def test_sinks_rerun_replaces(tmp_path):
     surv2 = write_survivors(ds, assignments, str(tmp_path))
     assert pq.read_table(man2).num_rows == n_man1
     assert pq.read_table(surv2).num_rows == n_surv1
+
+
+def test_write_training_shards(tmp_path):
+    """Shard layout: rank-ordered directories of exactly docs_per_shard
+    docs (last short), contents a permutation of the corpus, and the
+    whole layout byte-deterministic across input partitioning."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from dedup.sinks import write_training_shards
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(37)), pa.int64()),
+        "text": [f"doc number {i} body" for i in range(37)],
+    })
+    layouts = []
+    for parts, d in ((1, "a"), (5, "b")):
+        out = write_training_shards(
+            ray.data.from_arrow(t).repartition(parts),
+            str(tmp_path / d), docs_per_shard=10)
+        shards = sorted(glob.glob(out + "/shard=*"))
+        assert [s.rsplit("=", 1)[1] for s in shards] == ["0", "1", "2", "3"]
+        rows = []
+        for s in shards:
+            st = pq.read_table(s).to_pandas().sort_values("shuffle_rank")
+            rows.append(st)
+        import pandas as pd
+        full = pd.concat(rows).reset_index(drop=True)
+        assert sorted(full["doc_id"]) == list(range(37))
+        assert list(full["shuffle_rank"]) == list(range(37))
+        assert len(rows[0]) == len(rows[1]) == len(rows[2]) == 10
+        assert len(rows[3]) == 7
+        layouts.append(full[["doc_id", "shuffle_rank", "text"]])
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(layouts[0], layouts[1])

@@ -76,3 +76,16 @@ def test_csv_quoted_newlines_and_null(tmp_path):
     ds = read_input(str(d), cfg)
     out = run_dedup(ds, cfg, check_html=False).sort("url").to_pandas()
     assert list(out["state"]) == ["unique", "error", "unique"]
+
+
+def test_needed_columns_conditional():
+    """ts/lang columns are read only when a key conjunct or keeper
+    policy consumes them — pruning contract for wide corpora."""
+    from dedup.config import DedupConfig
+    from dedup.ingest import needed_columns
+    base = DedupConfig(near=False, simhash=False, substring=False)
+    assert needed_columns(base) == ["url", "text"]
+    assert "warc_ts" in needed_columns(base.with_(key_ts=True))
+    assert "warc_ts" in needed_columns(base.with_(keeper="newest"))
+    assert "lang" in needed_columns(base.with_(key_lang=True))
+    assert needed_columns(base, has_html=True)[-1] == "html"
