@@ -16,6 +16,7 @@ import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -1765,6 +1766,65 @@ def _q_full_dedup(sf_dir: str):
     return run_dedup(_docs(sf_dir, ["doc_id", "text"]), cfg).sort("doc_id")
 
 
+def _q_top_clusters(sf_dir: str):
+    """Largest duplicate clusters (cluster-granularity boilerplate QA):
+    top-20 clusters by (cluster_size DESC, cluster_id) over the
+    normalized twin corpus, with the keeper's n_chars attached.  The
+    keeper row is the one 'keep' per cluster, so a per-batch partial
+    top-k prune bounds the exchange at k rows per batch; the keeper id
+    equals cluster_id (min member = original doc), so the char lookup
+    is a 20-row join against documents."""
+    K = 20
+    assign = run_dedup(_twin_union(sf_dir), _doc_cfg(normalize="c4"))
+
+    def _prune(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.equal(t["state"], "keep"),
+                             pc.greater(t["cluster_size"], 1)))
+        t = t.select(["cluster_id", "cluster_size"])
+        if t.num_rows > K:
+            size = t["cluster_size"].to_numpy(zero_copy_only=False)
+            cid = t["cluster_id"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((cid, -size))[:K]
+            t = t.take(pa.array(np.sort(order)))
+        return t
+
+    top = assign.map_batches(_prune, batch_format="pyarrow") \
+        .sort(["cluster_size", "cluster_id"], descending=[True, False]) \
+        .limit(K)
+
+    chars = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def _as_doc(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_id", "cluster_size"])
+
+    joined = top.map_batches(_as_doc, batch_format="pyarrow") \
+        .join(chars, join_type="inner", num_partitions=4, on=("doc_id",))
+
+    def _out(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cluster_id": t["doc_id"],
+            "cluster_size": t["cluster_size"],
+            "keeper_chars": t["n_chars"],
+        })
+
+    return joined.map_batches(_out, batch_format="pyarrow") \
+        .sort(["cluster_size", "cluster_id"], descending=[True, False])
+
+
+def _q_dedup_tier_report(sf_dir: str):
+    """Per-tier dedup attribution over the documents table with every
+    tier enabled: each tier's edges / matched docs / clusters / deletes
+    ALONE, plus the combined row (= full_dedup's edge union).  Rows-only
+    driver check (the near tiers are not SQL-expressible); the in-repo
+    truth links are pytest-asserted: combined n_deletes == full_dedup's
+    delete count, exact n_deletes == exact_dedup's
+    (tests/test_pipeline.py::test_tier_report_counts_consistent)."""
+    from dedup.pipeline import tier_report
+
+    cfg = DOCUMENTS_CONFIG.with_(min_doc_bytes=_MIN)
+    return tier_report(_docs(sf_dir, ["doc_id", "text"]), cfg)
+
+
 def _q_lang_id(sf_dir: str):
     return textstats.lang_id(_docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
 
@@ -2271,6 +2331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_spans": _q_top_spans,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "normalize_text": _q_normalize_text,
+        "dedup_tier_report": _q_dedup_tier_report,
+        "top_clusters": _q_top_clusters,
         "substring_sa_dedup": _q_substring_sa_dedup,
         "substring_sa_recall": _q_substring_sa_recall,
         "ngram_jaccard_recall": _q_ngram_jaccard_recall,
@@ -2882,6 +2944,13 @@ def oracle_sql() -> dict[str, str]:
                              < 'e6' THEN 'train' ELSE 'val' END AS split
             FROM documents ORDER BY doc_id""",
         "curation_funnel": _CURATE_SQL + " ORDER BY doc_id",
+        "top_clusters": f"""
+            SELECT c.cluster_id, c.cluster_size,
+                   d.n_chars AS keeper_chars
+            FROM ({_NORM_SQL}) c
+            JOIN documents d ON d.doc_id = c.cluster_id
+            WHERE c.state = 'keep' AND c.cluster_size > 1
+            ORDER BY c.cluster_size DESC, c.cluster_id LIMIT 20""",
         "normalize_text": r"""
             SELECT doc_id,
                    CASE WHEN text IS NULL THEN NULL ELSE

@@ -1763,3 +1763,94 @@ def cluster_size_hist(assignments: ray.data.Dataset) -> ray.data.Dataset:
 
     return agg.map_batches(_rename, batch_format="pyarrow") \
               .sort("cluster_size")
+
+
+def _edge_stats(edges: ray.data.Dataset, P: int) -> tuple[int, int, int]:
+    """(n_edges, n_matched_docs, n_clusters) for one edge set.  Matched
+    docs and clusters come from union_find's (node, comp) labels — one
+    row per node in any edge, comp = min member — so deletes the tier
+    would cause ALONE are n_matched_docs - n_clusters (one keeper per
+    cluster; ok-docs by construction since edges are built over the
+    active working table).  Distinct-comp counting is distributed: one
+    per-batch unique partial, one comp-hash shuffle of the deduped
+    partials, a tiny per-partition count — the driver never sees a
+    label table, only P count rows."""
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return 0, 0, 0
+    labels = union_find(edges, P).materialize()
+    n_docs = labels.count()
+
+    def _partial(t: pa.Table) -> pa.Table:
+        c = np.unique(t["comp"].to_numpy(zero_copy_only=False)
+                      .astype(np.uint64))
+        return pa.table({"comp": c})
+
+    def _count(t: pa.Table) -> pa.Table:
+        n = len(np.unique(t["comp"].to_numpy(zero_copy_only=False)
+                          .astype(np.uint64)))
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    parts = groupapply(labels.map_batches(_partial, batch_format="pyarrow"),
+                       "comp", _count, P)
+    n_comps = 0
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        n_comps += int(pc.sum(b["n"]).as_py() or 0)
+    return n_edges, n_docs, n_comps
+
+
+def tier_report(ds: ray.data.Dataset, cfg: DedupConfig,
+                check_html: bool = True,
+                num_partitions: int | None = None) -> ray.data.Dataset:
+    """Per-tier dedup attribution — the tier-dedup diagnostic table.
+
+    For each enabled edge tier (exact / minhash / simhash / substring)
+    the tier's matches ALONE: edges emitted, docs matched, clusters
+    formed, and the deletes it would cause by itself; plus a 'combined'
+    row over the union of every tier (run_dedup's edge set — its
+    n_deletes equals the full pipeline's delete count because states
+    other than keep/delete never enter edges).  The marginal value of a
+    tier reads directly off the table: combined vs the sum of singles
+    shows overlap; a tier whose singleton deletes ≈ 0 is not paying for
+    its shuffle.
+
+    One tiny output row per tier; every count is computed distributed
+    (edge stages and union-find are the production ones)."""
+    from .dist import tune_context
+    tune_context()
+    prep = prepare(ds, cfg, check_html=check_html).materialize()
+    P = num_partitions or _auto_partitions(cfg, prep.size_bytes())
+    active = _ok_only(prep).materialize()
+
+    tiers = []
+    if cfg.exact:
+        tiers.append(("exact", exact_edges(active, cfg, P)))
+    if cfg.near:
+        tiers.append(("minhash", minhash_edges(active, cfg, P)))
+    if cfg.simhash:
+        tiers.append(("simhash", simhash_edges(active, cfg, P)))
+    if cfg.substring:
+        tiers.append(("substring", substring_edges(active, cfg, P)))
+
+    rows = []
+    mats = [(name, e.materialize()) for name, e in tiers]
+    for name, e in mats:
+        ne, nd, nc = _edge_stats(e, P)
+        rows.append((name, ne, nd, nc))
+    if len(mats) > 1:
+        comb = mats[0][1].union(*[e for _, e in mats[1:]])
+        ne, nd, nc = _edge_stats(comb, P)
+        rows.append(("combined", ne, nd, nc))
+    elif mats:
+        name, ne, nd, nc = rows[0]
+        rows.append(("combined", ne, nd, nc))
+
+    rows.sort()
+    return ray.data.from_arrow(pa.table({
+        "tier": pa.array([r[0] for r in rows], pa.string()),
+        "n_edges": pa.array([r[1] for r in rows], pa.int64()),
+        "n_matched_docs": pa.array([r[2] for r in rows], pa.int64()),
+        "n_clusters": pa.array([r[3] for r in rows], pa.int64()),
+        "n_deletes": pa.array([r[2] - r[3] for r in rows], pa.int64()),
+    }))

@@ -559,3 +559,37 @@ def test_normalize_c4_clusters_case_and_punct_variants():
     # without normalization these are four distinct texts
     got_plain = _run(rows, DedupConfig(**EXACT))
     assert all(v[0] == "unique" for v in got_plain.values())
+
+
+def test_tier_report_counts_consistent():
+    """tier_report's combined row must equal the full pipeline's delete
+    count, the exact row must equal the exact-only pipeline's, and every
+    single-tier delete count is bounded by the combined one."""
+    import pyarrow.compute as pc
+
+    from dedup.pipeline import tier_report
+
+    pages, _ = generate_pages(400, seed=33)
+    cfg = DedupConfig()
+
+    def _deletes(c) -> int:
+        out = run_dedup(ray.data.from_arrow(pages).repartition(4), c,
+                        num_partitions=6)
+        n = 0
+        for b in out.iter_batches(batch_format="pyarrow"):
+            n += int(pc.sum(pc.cast(pc.equal(b["state"], "delete"),
+                                    "int64")).as_py() or 0)
+        return n
+
+    rep = tier_report(ray.data.from_arrow(pages).repartition(4), cfg,
+                      num_partitions=6).to_pandas().set_index("tier")
+    assert set(rep.index) >= {"exact", "combined"}
+    assert rep.loc["combined", "n_deletes"] == _deletes(cfg)
+    assert rep.loc["exact", "n_deletes"] == _deletes(
+        cfg.with_(near=False, simhash=False, substring=False))
+    for tier in rep.index:
+        assert rep.loc[tier, "n_deletes"] <= rep.loc["combined", "n_deletes"]
+        assert rep.loc[tier, "n_deletes"] == \
+            rep.loc[tier, "n_matched_docs"] - rep.loc[tier, "n_clusters"]
+    # at least one near tier must add deletes beyond exact on this corpus
+    assert rep.loc["combined", "n_deletes"] > rep.loc["exact", "n_deletes"]
