@@ -18,6 +18,7 @@ larger than ``pair_cap`` emit O(n) star edges instead of O(n^2) pairs
 from __future__ import annotations
 
 import hashlib
+from typing import NamedTuple
 
 import numpy as np
 import pyarrow as pa
@@ -312,8 +313,11 @@ def _band_keys(t: pa.Table, cfg: DedupConfig):
     if n == 0:
         z = np.zeros(0, dtype=np.uint64)
         return np.zeros((b, 0), dtype=np.uint64), z, z
-    sig = np.frombuffer(b"".join(t["minhash"].to_pylist()),
-                        dtype="<u8").reshape(n, b * r)
+    # zero-copy when the signature column is fixed-width (it always is:
+    # the signer emits b*r u64s per doc) — the binary value buffer IS
+    # the (n, b*r) matrix; _sig_matrix falls back to a bytes join only
+    # on ragged layouts
+    sig = _sig_matrix(t["minhash"].combine_chunks(), b * r)
     nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
     scopes = t["scope64"].to_numpy(zero_copy_only=False).astype(np.uint64)
     keys = np.empty((b, n), dtype=np.uint64)
@@ -956,16 +960,19 @@ def _paired_indices(t: pa.Table):
 
 
 #: Candidate-payload bytes under which verification broadcasts the
-#: filtered payload table once (ray.put) and judges pairs in a single
-#: map pass — no payload ever enters a shuffle.  Above it, the
-#: reduce-side attach_payloads path runs (scales with the corpus;
-#: payload volume through the shuffle is O(pairs)).  The bound is
-#: PER-WORKER heap (every map worker deserializes its own copy of the
-#: broadcast tuple), so it must stay small relative to worker heap x
-#: concurrency: 256 MB x 32 workers = 8 GB aggregate worst case.  The
-#: r3 substring scale probe showed why 2 GiB was wrong: 12 workers each
-#: held a multi-GB payload copy and the host OOM-killed tasks.
-VERIFY_BROADCAST_BYTES = 2 << 27
+#: filtered payload once (ray.put) and judges pairs in a single map
+#: pass — no payload ever enters a shuffle.  Above it, the reduce-side
+#: attach_payloads path runs (scales with the corpus; payload volume
+#: through the shuffle is O(pairs)).  The broadcast object is
+#: NUMPY-ONLY (_PayStore): Ray deserializes numpy buffers as read-only
+#: ZERO-COPY views over the node's plasma copy, so the bound is
+#: per-NODE object-store budget, NOT per-worker heap.  (The r3 1M-doc
+#: substring probe OOMed under the earlier pyarrow-array broadcast —
+#: arrow deserialization copies into each worker's heap — which is why
+#: this was briefly 256 MB; the numpy store removes the per-worker
+#: copy, and the per-TASK judge working set is bounded separately by
+#: the judge batch size.)
+VERIFY_BROADCAST_BYTES = 2 << 30
 
 #: Target ATTACHED-PAYLOAD BYTES per verify partition.  The judge
 #: working set is a constant multiple of its partition's text bytes
@@ -1025,20 +1032,64 @@ def _filtered_payload(pairs: ray.data.Dataset, payload: ray.data.Dataset,
     return cand, payload.map_batches(_f, batch_format="pyarrow").materialize()
 
 
-def _collect_payload(small: ray.data.Dataset, payload_col: str) -> tuple:
-    """Driver-assemble the (bounded) filtered payload: sorted node array
-    + payload list (arrow array for generic payloads)."""
+class _PayStore(NamedTuple):
+    """Filtered candidate payloads as a numpy-only broadcast object.
+
+    Every field is a numpy array (plus one bool), so ``ray.put`` stores
+    plasma buffers that map-task ``ray.get`` calls read ZERO-COPY — one
+    copy per node, never per worker.  (A pyarrow array or Python list
+    here deserializes into each worker's heap; at 1.5M-doc scale that
+    per-worker copy is what OOMed the r3 substring probe.)
+
+    ``nodes`` is sorted for searchsorted lookups; ``rows[rank]`` maps a
+    rank in ``nodes`` to its row in the (unsorted) values store."""
+    nodes: np.ndarray    # uint64, sorted
+    rows: np.ndarray     # int64: rank -> row in offsets/values order
+    values: np.ndarray   # uint8, concatenated payload bytes
+    offsets: np.ndarray  # int64, n+1
+    is_str: bool
+
+    def get(self, rank: int):
+        """Payload bytes (decoded to str for string payloads) at a rank
+        in the sorted node order.  Upstream (_filtered_payload) drops
+        null payloads; an empty slice decodes to ''/b''."""
+        r = int(self.rows[rank])
+        b = self.values[self.offsets[r]:self.offsets[r + 1]].tobytes()
+        return b.decode("utf-8") if self.is_str else b
+
+
+def _collect_payload(small: ray.data.Dataset, payload_col: str) -> _PayStore:
+    """Driver-assemble the (bounded) filtered payload as a _PayStore."""
     nodes_l = [np.array([], dtype=np.uint64)]
-    pay_l: list = []
+    val_l: list = []
+    len_l: list = []
+    is_str = False
     for b in iter_blocks(small):
         if b.num_rows == 0 or "node" not in b.column_names:
             continue
         nodes_l.append(b["node"].to_numpy(zero_copy_only=False).astype(np.uint64))
-        pay_l.append(b[payload_col].combine_chunks())
+        col = b[payload_col].combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            is_str = True
+            col = col.cast(pa.large_string())
+        col = col.cast(pa.large_binary())
+        off = np.frombuffer(col.buffers()[1], dtype=np.int64,
+                            count=len(col) + 1, offset=col.offset * 8)
+        data = (np.frombuffer(col.buffers()[2], dtype=np.uint8)
+                if col.buffers()[2] is not None
+                else np.zeros(0, dtype=np.uint8))
+        val_l.append(data[off[0]:off[-1]])
+        len_l.append(np.diff(off))
     nodes = np.concatenate(nodes_l)
-    pays = pa.concat_arrays(pay_l) if pay_l else pa.array([], pa.binary())
-    o = np.argsort(nodes)
-    return nodes[o], pays.take(pa.array(o))
+    lens = (np.concatenate(len_l) if len_l
+            else np.zeros(0, dtype=np.int64))
+    values = (np.ascontiguousarray(np.concatenate(val_l)) if val_l
+              else np.zeros(0, dtype=np.uint8))
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    order = np.argsort(nodes, kind="stable")
+    return _PayStore(nodes[order], order.astype(np.int64), values, offsets,
+                     is_str)
 
 
 def _sig_matrix(pays: pa.Array, num_perm: int) -> np.ndarray:
@@ -1072,9 +1123,22 @@ def verify_minhash_pairs(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
     if 2 * pairs.count() <= ATTACH_BROADCAST_THRESHOLD:
         cand, small = _filtered_payload(pairs, sigs, "minhash")
         if len(cand) * (num_perm * 8 + 8) <= VERIFY_BROADCAST_BYTES:
-            nodes, pays = _collect_payload(small, "minhash")
-            mat = _sig_matrix(pays, num_perm)
-            ref = ray.put((nodes, mat))
+            store = _collect_payload(small, "minhash")
+            n_c = len(store.nodes)
+            w = np.diff(store.offsets)
+            if n_c and store.values.size == n_c * num_perm * 8 and \
+                    (w == num_perm * 8).all():
+                # zero-copy u64 view, then one driver-side gather into
+                # sorted-node order so the judge stays a plain matrix
+                mat = store.values.view("<u8").reshape(n_c, num_perm)[
+                    store.rows]
+            elif n_c:  # ragged layout (never produced by the signer)
+                mat = np.frombuffer(
+                    b"".join(store.get(i) for i in range(n_c)),
+                    dtype="<u8").reshape(n_c, num_perm)
+            else:
+                mat = np.zeros((0, num_perm), dtype="<u8")
+            ref = ray.put((store.nodes, mat))
 
             def _judge_bcast(t: pa.Table) -> pa.Table:
                 nd, m = ray.get(ref)
@@ -1143,11 +1207,11 @@ def verify_pairs(pairs: ray.data.Dataset, payload: ray.data.Dataset,
     if 2 * n_pairs <= ATTACH_BROADCAST_THRESHOLD:
         cand, small = _filtered_payload(pairs, payload, payload_col)
         if small.size_bytes() <= VERIFY_BROADCAST_BYTES:
-            nodes, pays = _collect_payload(small, payload_col)
-            ref = ray.put((nodes, pays))
+            ref = ray.put(_collect_payload(small, payload_col))
 
             def _judge_bcast(t: pa.Table) -> pa.Table:
-                nd, pl = ray.get(ref)
+                st = ray.get(ref)  # zero-copy numpy views over plasma
+                nd = st.nodes
                 u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
                 v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
                 pu = np.clip(np.searchsorted(nd, u), 0, max(len(nd) - 1, 0))
@@ -1156,9 +1220,7 @@ def verify_pairs(pairs: ray.data.Dataset, payload: ray.data.Dataset,
                     np.zeros(len(u), dtype=bool)
                 keep = np.zeros(len(u), dtype=bool)
                 for j in np.flatnonzero(ok):
-                    a = pl[int(pu[j])].as_py()
-                    b = pl[int(pv[j])].as_py()
-                    if a is not None and b is not None and verdict(a, b):
+                    if verdict(st.get(int(pu[j])), st.get(int(pv[j]))):
                         keep[j] = True
                 return pa.table({"u": u[keep], "v": v[keep]},
                                 schema=_PAIR_SCHEMA)
@@ -1225,11 +1287,11 @@ def verify_pairs_shared_run(pairs: ray.data.Dataset, payload: ray.data.Dataset,
         cand, small = _filtered_payload(pairs, payload, payload_col)
         if n_pairs <= SA_BROADCAST_PAIRS and \
                 small.size_bytes() <= VERIFY_BROADCAST_BYTES:
-            nodes, pays = _collect_payload(small, payload_col)
-            ref = ray.put((nodes, pays))
+            ref = ray.put(_collect_payload(small, payload_col))
 
             def _judge_bcast(t: pa.Table) -> pa.Table:
-                nd, pl = ray.get(ref)
+                st = ray.get(ref)  # zero-copy numpy views over plasma
+                nd = st.nodes
                 u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
                 v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
                 pu = np.clip(np.searchsorted(nd, u), 0, max(len(nd) - 1, 0))
@@ -1239,7 +1301,7 @@ def verify_pairs_shared_run(pairs: ray.data.Dataset, payload: ray.data.Dataset,
                 if not ok.any():
                     return _EMPTY_PAIRS
                 idx = np.unique(np.concatenate([pu[ok], pv[ok]]))
-                texts = [pl[int(i)].as_py() for i in idx]
+                texts = [st.get(int(i)) for i in idx]
                 keep = _sa_keep(nd[idx], texts, u, v, ok)
                 return pa.table({"u": u[keep], "v": v[keep]},
                                 schema=_PAIR_SCHEMA)
@@ -1293,9 +1355,16 @@ def minhash_edges(active: ray.data.Dataset, cfg: DedupConfig,
     if salted and cfg.lsh_hot_min > 0:
         # adaptive mode: find globally hot bands first (content-only
         # sampled count — deterministic across parallelism); a corpus
-        # with none skips the salt machinery entirely
-        hot = detect_hot_band_keys(sigs, cfg, P)
-        salted = hot.size > 0
+        # with none skips the salt machinery entirely.  A corpus with
+        # fewer docs than lsh_hot_min cannot contain a hot bucket at
+        # all, so the detect pass is skipped outright (sigs is
+        # materialized — count() is metadata-only).
+        if sigs.count() >= cfg.lsh_hot_min:
+            hot = detect_hot_band_keys(sigs, cfg, P)
+            salted = hot.size > 0
+        else:
+            hot = np.zeros(0, dtype=np.uint64)
+            salted = False
     rows = lsh_band_rows(sigs, cfg, hot=hot)
     if salted:
         # one shuffle produces both in-bucket pairs and per-bucket reps
