@@ -593,3 +593,53 @@ def test_tier_report_counts_consistent():
             rep.loc[tier, "n_matched_docs"] - rep.loc[tier, "n_clusters"]
     # at least one near tier must add deletes beyond exact on this corpus
     assert rep.loc["combined", "n_deletes"] > rep.loc["exact", "n_deletes"]
+
+
+def test_paystore_collect_payload_kinds():
+    """_PayStore mechanics: string and binary payloads round-trip, node
+    order is sorted for searchsorted lookups, empty payloads decode to
+    ''/b'', and the store is numpy-only (the zero-copy broadcast
+    contract — a pyarrow field here would reintroduce the per-worker
+    deserialization copy that OOMed the r3 substring probe)."""
+    import dedup.pipeline as pl
+
+    t = pa.table({
+        "node": pa.array([30, 10, 20], pa.uint64()),
+        "text": pa.array(["ccc", "", "béta"]),
+    })
+    ds = ray.data.from_arrow(t).repartition(2)
+    st = pl._collect_payload(ds, "text")
+    assert isinstance(st, pl._PayStore)
+    for f in (st.nodes, st.rows, st.values, st.offsets):
+        assert isinstance(f, np.ndarray)
+    assert st.nodes.tolist() == [10, 20, 30]  # sorted
+    assert st.is_str
+    assert [st.get(i) for i in range(3)] == ["", "béta", "ccc"]
+
+    b = pa.table({
+        "node": pa.array([2, 1], pa.uint64()),
+        "minhash": pa.array([b"\x01" * 16, b"\x02" * 16], pa.binary()),
+    })
+    st2 = pl._collect_payload(ray.data.from_arrow(b), "minhash")
+    assert not st2.is_str
+    assert st2.get(0) == b"\x02" * 16 and st2.get(1) == b"\x01" * 16
+    # fixed-width payloads expose the zero-copy u64 matrix view used by
+    # verify_minhash_pairs
+    mat = st2.values.view("<u8").reshape(2, 2)[st2.rows]
+    assert mat.shape == (2, 2)
+    assert (mat[0] == np.frombuffer(b"\x02" * 16, "<u8")).all()
+
+
+def test_verify_broadcast_vs_shuffle_identical(planted, monkeypatch):
+    """Forcing VERIFY_BROADCAST_BYTES=0 routes BOTH text-verify stages
+    (minhash jaccard / substring containment) and the minhash signature
+    judge through the reduce-side attach shuffle; assignments must be
+    byte-identical to the broadcast fast path."""
+    import dedup.pipeline as pl
+    pages, _ = planted
+    ds = ray.data.from_arrow(pages).repartition(4)
+    cfg = DedupConfig()
+    a = _collect(run_dedup(ds, cfg, num_partitions=8))
+    monkeypatch.setattr(pl, "VERIFY_BROADCAST_BYTES", 0)
+    b = _collect(run_dedup(ds, cfg, num_partitions=8))
+    assert a == b
