@@ -1353,6 +1353,16 @@ def _q_decontaminate(sf_dir: str):
     return ngram_decontaminate(ref, new, n=8).sort("doc_id")
 
 
+def _q_decontaminate_bloom(sf_dir: str):
+    """Scale-path decontamination: sharded bloom over benchmark gram
+    hashes is the only broadcast (~1.8 B/gram), bloom hits confirmed
+    exactly in a co-partitioned shuffle — byte-identical to the
+    broadcast path (shared oracle)."""
+    from dedup.corpus import ngram_decontaminate
+    ref, new = _split_docs(sf_dir)
+    return ngram_decontaminate(ref, new, n=8, mode="bloom").sort("doc_id")
+
+
 def _q_top_docs_per_lang(sf_dir: str):
     """Top-5 longest docs per language (per-group top-k with a per-batch
     partial prune before the shuffle)."""
@@ -2333,6 +2343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _q_normalize_text,
         "dedup_tier_report": _q_dedup_tier_report,
         "top_clusters": _q_top_clusters,
+        "decontaminate_bloom": _q_decontaminate_bloom,
         "substring_sa_dedup": _q_substring_sa_dedup,
         "substring_sa_recall": _q_substring_sa_recall,
         "ngram_jaccard_recall": _q_ngram_jaccard_recall,
@@ -2693,7 +2704,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, text, length(text) AS nb FROM documents",
         "SELECT doc_id, text, lang, length(text) AS nb FROM documents",
     ).replace("PARTITION BY text", "PARTITION BY text, lang")
-    return {
+    sql = {
         "exact_dedup": f"SELECT * FROM ({_EXACT_SQL}) ORDER BY doc_id",
         "exact_dedup_lang": f"SELECT * FROM ({lang_sql}) ORDER BY doc_id",
         "incremental_dedup":
@@ -3692,3 +3703,8 @@ def oracle_sql() -> dict[str, str]:
                   CAST(b.embedding AS DOUBLE[])) >= 0.45
             ORDER BY a, b""",
     }
+    # bloom screen + exact confirm answers the SAME question as the
+    # broadcast path (byte-identical by construction: no bloom false
+    # negatives, string confirm removes false positives) — shared oracle
+    sql["decontaminate_bloom"] = sql["decontaminate"]
+    return sql

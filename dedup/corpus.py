@@ -316,21 +316,200 @@ class _GramProber:
 def ngram_decontaminate(train: ray.data.Dataset, bench: ray.data.Dataset,
                         n: int = 8, id_col: str = "doc_id",
                         text_col: str = "text",
-                        concurrency=(1, 8)) -> ray.data.Dataset:
+                        concurrency=(1, 8), mode: str = "broadcast",
+                        bloom_fpp: float = 0.001,
+                        num_partitions: int = 32) -> ray.data.Dataset:
     """Benchmark decontamination (the train/test-overlap scrub every
     published pretraining corpus runs): counts, per train doc, the token
     n-gram occurrences that also appear anywhere in the benchmark
     corpus, and flags docs with >= 1 overlap.  Output per train doc:
     (id, n_grams, n_contaminated, contaminated).
 
-    The benchmark gram set is broadcast once (ray.put) and probed
-    per-batch with pc.is_in — no shuffle touches the train corpus."""
+    ``mode='broadcast'`` (default): the benchmark gram set is broadcast
+    once (ray.put) and probed per-batch with pc.is_in — no shuffle
+    touches the train corpus.  Right whenever the distinct benchmark
+    gram set fits a worker (benchmark suites are MBs against a TB
+    corpus).
+
+    ``mode='bloom'``: the scale path for benchmark sets too large to
+    broadcast as strings (a multi-benchmark union can reach 1e8+
+    distinct grams).  A sharded bloom over the gram hashes (~1.8 bytes
+    per gram at fpp 1e-3) is the only broadcast object; train grams
+    that hit the bloom are confirmed EXACTLY against the real benchmark
+    gram strings in a co-partitioned shuffle, so the output is
+    byte-identical to broadcast mode (bloom false positives are
+    discarded by the confirm; false negatives are impossible).  Shuffle
+    volume is bounded by true contamination + fpp·train-grams, never
+    the corpus text."""
+    if mode == "bloom":
+        return _ngram_decontaminate_bloom(
+            train, bench, n=n, id_col=id_col, text_col=text_col,
+            bloom_fpp=bloom_fpp, num_partitions=num_partitions)
+    if mode != "broadcast":
+        raise ValueError(f"unknown decontaminate mode {mode!r}")
     ref = benchmark_gram_set(bench, n, text_col=text_col)
     return train.map_batches(
         _GramProber,
         fn_constructor_kwargs={"gram_ref": ref, "n": n, "id_col": id_col,
                                "text_col": text_col},
         batch_format="pyarrow", concurrency=concurrency)
+
+
+def _key64_ids(arr: pa.Array) -> np.ndarray:
+    """uint64 partition key for an id column: avalanche-mixed for
+    integer ids, md5-over-distinct for strings.  Purely a co-location
+    key — kernels always re-group by the real id."""
+    from .dist import mix64
+    arr = _as_array(arr)
+    if pa.types.is_integer(arr.type):
+        return mix64(arr.to_numpy(zero_copy_only=False).astype(np.uint64))
+    return _hash64_strings(arr)
+
+
+def _ngram_decontaminate_bloom(train: ray.data.Dataset,
+                               bench: ray.data.Dataset, n: int,
+                               id_col: str, text_col: str,
+                               bloom_fpp: float,
+                               num_partitions: int) -> ray.data.Dataset:
+    """Bloom-screen / exact-confirm decontamination (see
+    ngram_decontaminate).  Three stages, none of which moves corpus
+    text:
+
+      1. bench -> distinct (gram, h64) rows (per-batch distinct first;
+         materialized — bounded by the benchmark's distinct gram count,
+         the very quantity this mode exists to keep OFF the driver) ->
+         distributed sharded-bloom build over h64.
+      2. train -> ONE map_batches pass emitting per doc a totals row
+         (kind 0, keyed by doc hash) plus one candidate row per
+         (doc, distinct gram) whose hash hits the bloom (kind 1, keyed
+         by gram hash, carrying the occurrence count).  Materialized:
+         exactly n_docs + bloom-hit rows — the same 1-row-per-doc order
+         as the assignments table, NEVER the gram explosion.
+      3. candidates co-shuffled with the bench gram rows on h64; exact
+         string is_in per partition discards bloom false positives;
+         confirmed (doc, occ) partials re-keyed by doc hash and merged
+         with the totals rows in one final groupapply.
+    """
+    from .bloom import build_bloom
+
+    def _bench_grams(t: pa.Table) -> pa.Table:
+        grams, _ = gram_rows(t[text_col], n)
+        u = grams.unique()
+        return pa.table({"gram": u,
+                         "h": pa.array(_hash64_strings(u), pa.uint64())})
+
+    bg = bench.map_batches(_bench_grams, batch_format="pyarrow") \
+              .materialize()
+    bloom = build_bloom(bg, "h", fpp=bloom_fpp,
+                        num_partitions=num_partitions)
+    bloom_ref = ray.put(bloom)
+    _sch = train.schema()
+    id_type = _sch.types[_sch.names.index(id_col)]
+
+    def _emit(t: pa.Table) -> pa.Table:
+        b = ray.get(bloom_ref)
+        ids = _as_array(t[id_col])
+        grams, parent = gram_rows(t[text_col], n)
+        tot = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+        d = pc.dictionary_encode(grams)
+        dv = _as_array(d.dictionary)
+        h_dv = _hash64_strings(dv)
+        hit_dv = b.contains(h_dv) if len(dv) else np.zeros(0, dtype=bool)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64) \
+            if len(grams) else np.zeros(0, dtype=np.int64)
+        sel = np.flatnonzero(hit_dv[codes]) if len(codes) else codes
+        # occurrence counts per (doc row, distinct gram) among bloom hits
+        comp = parent[sel] * max(len(dv), 1) + codes[sel]
+        order, starts, uniq = segments(comp)
+        occ = np.diff(starts)
+        doc_idx = (uniq // max(len(dv), 1)).astype(np.int64)
+        code_u = (uniq % max(len(dv), 1)).astype(np.int64)
+        cand = pa.table({
+            "k": pa.array(h_dv[code_u] if len(code_u) else
+                          np.zeros(0, np.uint64), pa.uint64()),
+            "kind": pa.array(np.ones(len(code_u), np.int8), pa.int8()),
+            "doc_id": ids.take(pa.array(doc_idx)),
+            "gram": dv.take(pa.array(code_u)),
+            "occ": pa.array(occ.astype(np.int64), pa.int64()),
+        })
+        totals = pa.table({
+            "k": pa.array(_key64_ids(ids), pa.uint64()),
+            "kind": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+            "doc_id": ids,
+            "gram": pa.nulls(t.num_rows, pa.string()),
+            "occ": pa.array(tot, pa.int64()),
+        })
+        return pa.concat_tables([totals, cand])
+
+    emitted = train.map_batches(_emit, batch_format="pyarrow").materialize()
+
+    def _only(kind: int):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["kind"], kind))
+        return _f
+
+    cand = emitted.map_batches(_only(1), batch_format="pyarrow")
+    totals = emitted.map_batches(_only(0), batch_format="pyarrow") \
+                    .drop_columns(["gram"])
+
+    def _bench_keyed(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        return pa.table({
+            "k": t["h"],
+            "kind": pa.array(np.full(m, 2, np.int8), pa.int8()),
+            "doc_id": pa.nulls(m, id_type),
+            "gram": t["gram"],
+            "occ": pa.array(np.zeros(m, np.int64), pa.int64()),
+        })
+
+    union = cand.union(bg.map_batches(_bench_keyed, batch_format="pyarrow"))
+
+    def _confirm(t: pa.Table) -> pa.Table:
+        kind = t["kind"]
+        bench_g = _as_array(t.filter(pc.equal(kind, 2))["gram"])
+        c = t.filter(pc.equal(kind, 1))
+        if c.num_rows and len(bench_g):
+            ok = pc.is_in(_as_array(c["gram"]), value_set=bench_g.unique())
+            c = c.filter(ok)
+        else:
+            c = c.slice(0, 0)
+        return pa.table({
+            "k": pa.array(_key64_ids(c["doc_id"]), pa.uint64()),
+            "kind": pa.array(np.full(c.num_rows, 3, np.int8), pa.int8()),
+            "doc_id": c["doc_id"],
+            "occ": c["occ"],
+        })
+
+    confirmed = groupapply(union, "k", _confirm, num_partitions)
+
+    def _combine(t: pa.Table) -> pa.Table:
+        ids = _as_array(t["doc_id"])
+        if pa.types.is_integer(ids.type):
+            keys = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            d = pc.dictionary_encode(ids)
+            keys = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        occ = t["occ"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order, starts, _ = segments(keys)
+        if not len(keys):
+            return pa.table({id_col: ids.slice(0, 0),
+                             "n_grams": pa.array([], pa.int64()),
+                             "n_contaminated": pa.array([], pa.int64()),
+                             "contaminated": pa.array([], pa.int64())})
+        ko, oo = kind[order], occ[order]
+        s = starts[:-1]
+        tot = np.add.reduceat(np.where(ko == 0, oo, 0), s)
+        bad = np.add.reduceat(np.where(ko == 3, oo, 0), s)
+        rep = order[s]
+        return pa.table({
+            id_col: ids.take(pa.array(rep)),
+            "n_grams": pa.array(tot, pa.int64()),
+            "n_contaminated": pa.array(bad, pa.int64()),
+            "contaminated": pa.array((bad > 0).astype(np.int64), pa.int64()),
+        })
+
+    return groupapply(totals.union(confirmed), "k", _combine, num_partitions)
 
 
 # ---------------------------------------------------------------------------

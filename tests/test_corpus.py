@@ -98,6 +98,49 @@ def test_ngram_decontaminate_short_docs():
     assert out["contaminated"].tolist() == [0, 0]
 
 
+def test_ngram_decontaminate_bloom_matches_broadcast():
+    """The bloom screen + exact-confirm scale path must be
+    byte-identical to broadcast mode (no false negatives by bloom
+    construction; false positives removed by the string confirm) —
+    including occurrence counts, zero-gram docs, and duplicate grams."""
+    import pandas as pd
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(150)]
+    mk = lambda: " ".join(rng.choice(words, size=int(rng.integers(2, 30))))
+    train_rows = [{"doc_id": i, "text": mk()} for i in range(120)]
+    bench_rows = [{"doc_id": 900 + i, "text": mk()} for i in range(25)]
+    train_rows[3]["text"] += " " + bench_rows[4]["text"]   # partial overlap
+    train_rows[9]["text"] = bench_rows[0]["text"]          # verbatim copy
+    train_rows[11]["text"] = ""                            # zero grams
+    train = ray.data.from_items(train_rows).repartition(5)
+    bench = ray.data.from_items(bench_rows).repartition(3)
+    a = ngram_decontaminate(train, bench, n=5).sort("doc_id").to_pandas()
+    # high fpp stresses the confirm stage (many false bloom hits)
+    b = ngram_decontaminate(train, bench, n=5, mode="bloom",
+                            bloom_fpp=0.2, num_partitions=7) \
+        .sort("doc_id").to_pandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert a.loc[a.doc_id == 9, "contaminated"].iloc[0] == 1
+    assert a.loc[a.doc_id == 3, "contaminated"].iloc[0] == 1
+
+
+def test_ngram_decontaminate_bloom_string_ids():
+    import pandas as pd
+    train = ray.data.from_arrow(pa.table({
+        "doc_id": ["a", "b", "c"],
+        "text": ["the quick brown fox", "clean text here entirely",
+                 "quick brown fox quick brown fox"]}))
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": ["z"], "text": ["lazy quick brown fox dog"]}))
+    a = ngram_decontaminate(train, bench, n=3).sort("doc_id").to_pandas()
+    b = ngram_decontaminate(train, bench, n=3, mode="bloom") \
+        .sort("doc_id").to_pandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert b["n_contaminated"].tolist() == [1, 0, 2]
+
+
 def test_quota_sample_matches_naive_and_partition_invariant():
     import hashlib
     from dedup.textstats import quota_sample
