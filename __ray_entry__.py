@@ -1363,6 +1363,66 @@ def _q_decontaminate_bloom(sf_dir: str):
     return ngram_decontaminate(ref, new, n=8, mode="bloom").sort("doc_id")
 
 
+def _q_fuzzy_decontaminate_recall(sf_dir: str):
+    """Planted-truth check for FUZZY (MinHash) decontamination
+    (minhash.minhash_decontaminate): over a 50/50 url-hash split of the
+    synthetic pages corpus the ref side plays the benchmark; every
+    new-side signable doc whose truth cluster is exact/near AND has a
+    signable benchmark member must come back near_contaminated
+    (expected recall 1.0), and no truth-singleton doc may (expected
+    false rate 0).  simhash/substring-class docs are excluded — the
+    agreement confirm is a Jaccard test, not a Hamming/substring one.
+    Bounded driver-side work: the 4k-doc planted fixture (same bound as
+    the other recall queries)."""
+    import hashlib
+    import pyarrow.parquet as pq
+    from dedup.minhash import minhash_decontaminate
+    from dedup.synth import write_pages
+    paths = write_pages("/tmp/dedup_pages_recall", n_docs=4000, seed=42)
+    pages = ray.data.read_parquet(paths["pages"], columns=["url", "text"])
+    pdf = pages.to_pandas()  # bounded: 4k-doc planted fixture
+    pdf = pdf.sort_values("url").reset_index(drop=True)
+    pdf["doc_id"] = pdf.index.astype("int64")
+    pdf["is_ref"] = pdf["url"].map(
+        lambda u: hashlib.md5(u.encode()).hexdigest()[:2] < "80")
+    # signable = enough tokens to form one shingle (the op's own rule)
+    pdf["ok"] = pdf["text"].fillna("").str.split().str.len() >= 5
+    bench = ray.data.from_arrow(pa.Table.from_pandas(
+        pdf[pdf["is_ref"]][["doc_id", "text"]], preserve_index=False))
+    train = ray.data.from_arrow(pa.Table.from_pandas(
+        pdf[~pdf["is_ref"]][["doc_id", "text"]], preserve_index=False))
+    out = minhash_decontaminate(train, bench, threshold=0.5).to_pandas()
+    flagged = set(out[out["near_contaminated"] == 1]["doc_id"])
+
+    truth = pq.read_table(paths["truth"]).to_pandas()
+    pdf = pdf.merge(truth[["url", "cluster_id", "cluster_class"]], on="url")
+    ref_ok_clusters = set(
+        pdf[pdf["is_ref"] & pdf["ok"] & (pdf["cluster_id"] >= 0)]
+        ["cluster_id"])
+    newdf = pdf[~pdf["is_ref"]]
+    must = set(newdf[(newdf["cluster_class"].isin(["exact", "near"]))
+                     & newdf["ok"]
+                     & newdf["cluster_id"].isin(ref_ok_clusters)]["doc_id"])
+    # the fixture also contains UNPLANNED exact text twins (short
+    # generated docs that happen to collide); those are genuinely
+    # contaminated (true Jaccard 1.0), so they can't count as false —
+    # exclude any singleton whose exact text appears on the bench side
+    bench_texts = set(pdf[pdf["is_ref"]]["text"].dropna())
+    never = set(newdf[(newdf["cluster_id"] < 0) & newdf["ok"]
+                      & ~newdf["text"].isin(bench_texts)]["doc_id"])
+    tp = len(must & flagged)
+    fp = len(never & flagged)
+    return pa.table({
+        "n_new": pa.array([len(newdf)], pa.int64()),
+        "n_flagged": pa.array([len(flagged)], pa.int64()),
+        "must_flag": pa.array([len(must)], pa.int64()),
+        "recall_e6": pa.array(
+            [tp * 1_000_000 // max(len(must), 1)], pa.int64()),
+        "false_e6": pa.array(
+            [fp * 1_000_000 // max(len(never), 1)], pa.int64()),
+    })
+
+
 def _q_top_docs_per_lang(sf_dir: str):
     """Top-5 longest docs per language (per-group top-k with a per-batch
     partial prune before the shuffle)."""
@@ -2344,6 +2404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_tier_report": _q_dedup_tier_report,
         "top_clusters": _q_top_clusters,
         "decontaminate_bloom": _q_decontaminate_bloom,
+        "fuzzy_decontaminate_recall": _q_fuzzy_decontaminate_recall,
         "substring_sa_dedup": _q_substring_sa_dedup,
         "substring_sa_recall": _q_substring_sa_recall,
         "ngram_jaccard_recall": _q_ngram_jaccard_recall,
