@@ -1771,6 +1771,56 @@ def _q_length_quantiles(sf_dir: str):
                                      "n_chars")
 
 
+def _q_approx_quantiles(sf_dir: str):
+    """Self-checked sketch row (the approx_distinct / cms pattern —
+    sketches have no SQL analogue, so the row carries its own ground
+    truth): bottom-k-sample quantiles of documents.n_chars vs the exact
+    answer, with the realized RANK error of each approximate value and
+    its 4-sigma binomial bound.  The rank of each approximate value is
+    counted distributed (one bounded partial row per block)."""
+    import math
+    from dedup.textstats import (QUANTILES, approx_quantiles,
+                                 exact_quantiles)
+    k = 2048
+    apx = approx_quantiles(_docs(sf_dir, ["doc_id", "n_chars"]),
+                           "n_chars", k=k)
+    exa = exact_quantiles(_docs(sf_dir, ["doc_id", "n_chars"]), "n_chars")
+    labels = [(lab, num, den) for lab, num, den in QUANTILES]
+    tvals = np.array([apx[lab][0].as_py() for lab, _, _ in labels],
+                     dtype=np.int64)
+
+    def _cnt(t: pa.Table) -> pa.Table:
+        v = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"n": pa.array([len(v)], pa.int64())}
+        for i, tv in enumerate(tvals):
+            cols[f"lt{i}"] = pa.array([int((v < tv).sum())], pa.int64())
+            cols[f"le{i}"] = pa.array([int((v <= tv).sum())], pa.int64())
+        return pa.table(cols)
+
+    parts = _docs(sf_dir, ["doc_id", "n_chars"]) \
+        .map_batches(_cnt, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    rows = []
+    for i, (lab, num, den) in enumerate(labels):
+        lt, le = int(parts[f"lt{i}"].sum()), int(parts[f"le{i}"].sum())
+        q_pos = (num * n + den - 1) // den  # ceil(q*n), 1-based rank
+        if lt < q_pos <= le:
+            err = 0
+        else:
+            err = min(abs(q_pos - (lt + 1)), abs(q_pos - le))
+        q = num / den
+        bound = 4.0 * math.sqrt(q * (1 - q) / k) + 1.0 / k
+        rows.append({
+            "q_label": lab, "q_e6": num * 1_000_000 // den,
+            "approx_value": int(tvals[i]),
+            "exact_value": int(exa[lab][0].as_py()),
+            "rank_err_e6": err * 1_000_000 // max(n, 1),
+            "bound_e6": int(math.floor(bound * 1e6)),
+            "within_bound": int(err / max(n, 1) <= bound),
+        })
+    return pa.Table.from_pylist(rows)
+
+
 def _q_grouped_length_quantiles(sf_dir: str):
     """Per-language EXACT doc-length order statistics — the grouped
     generalization of ``length_quantiles`` (per-lang corpus length
@@ -2405,6 +2455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_clusters": _q_top_clusters,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "fuzzy_decontaminate_recall": _q_fuzzy_decontaminate_recall,
+        "approx_quantiles": _q_approx_quantiles,
         "substring_sa_dedup": _q_substring_sa_dedup,
         "substring_sa_recall": _q_substring_sa_recall,
         "ngram_jaccard_recall": _q_ngram_jaccard_recall,

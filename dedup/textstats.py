@@ -393,6 +393,71 @@ def exact_quantiles(ds: ray.data.Dataset, value_col: str,
     return pa.table(out)
 
 
+def approx_quantiles(ds: ray.data.Dataset, value_col: str,
+                     qs=QUANTILES, k: int = 4096,
+                     id_col: str = "doc_id") -> pa.Table:
+    """APPROXIMATE order statistics via a deterministic bottom-k uniform
+    sample — the sketch companion to ``exact_quantiles`` for CONTINUOUS
+    or high-cardinality columns, where the exact path's distinct-value
+    table is itself corpus-sized (exact_quantiles documents that
+    boundary; this is the op it defers to).
+
+    Sample rule: keep the k rows with the smallest md5(id) (the
+    quota_sample / weighted_sample priority — content-independent,
+    engine-reproducible, blocking-insensitive), then apply the same
+    DuckDB quantile_disc rule to the sampled values.  A bottom-k hash
+    sample is a uniform sample without replacement, so the rank error
+    of the q-quantile concentrates as ~sqrt(q(1-q)/k) (Hoeffding /
+    binomial tail; ~1.6 % at q=0.5, k=1024) — the self-check driver row
+    records the realized rank error against a 4-sigma bound.
+
+    Scale shape: each batch prunes to its k smallest priorities (one
+    argpartition), so the driver collect is <= k rows per BLOCK and the
+    final reduce is one argpartition over <= k*P rows; no shuffle at
+    all.  Output row: (n_docs=n_sampled, min/max of sample, one column
+    per quantile) — same layout as exact_quantiles.  Requires unique
+    ids (the determinism precondition every md5-priority op shares)."""
+    import hashlib
+
+    def _partial(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_null(t[value_col]))
+        t = t.filter(keep)
+        ids = t[id_col].to_pylist()
+        prio = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8],
+                            "big") for i in ids),
+            dtype=np.uint64, count=len(ids))
+        vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(prio) > k:
+            sel = np.argpartition(prio, k)[:k]
+            prio, vals = prio[sel], vals[sel]
+        return pa.table({"prio": pa.array(prio, pa.uint64()),
+                         "value": pa.array(vals, pa.int64())})
+
+    prio_l, vals_l = [], []
+    for b in ds.map_batches(_partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        prio_l.append(b["prio"].to_numpy(zero_copy_only=False))
+        vals_l.append(b["value"].to_numpy(zero_copy_only=False))
+    prio = np.concatenate(prio_l) if prio_l else np.zeros(0, np.uint64)
+    vals = np.concatenate(vals_l) if vals_l else np.zeros(0, np.int64)
+    if len(prio) > k:
+        sel = np.argpartition(prio, k)[:k]
+        prio, vals = prio[sel], vals[sel]
+    vals = np.sort(vals)
+    n = len(vals)
+    out = {"n_docs": pa.array([n], pa.int64()),
+           "min_value": pa.array([int(vals[0]) if n else 0], pa.int64()),
+           "max_value": pa.array([int(vals[-1]) if n else 0], pa.int64())}
+    for label, num, den in qs:
+        if n == 0:
+            out[label] = pa.array([0], pa.int64())
+            continue
+        idx = max((num * n + den - 1) // den - 1, 0)
+        out[label] = pa.array([int(vals[idx])], pa.int64())
+    return pa.table(out)
+
+
 def quota_sample(ds: ray.data.Dataset, group_col: str = "lang",
                  id_col: str = "doc_id", k: int = 30,
                  carry_cols: tuple[str, ...] = ()) -> ray.data.Dataset:

@@ -191,6 +191,36 @@ def test_exact_quantiles_matches_duckdb_rule():
     assert [c[0].as_py() for c in got.columns] == [int(x) for x in want]
 
 
+def test_approx_quantiles_exact_when_sample_covers():
+    """k >= n: the bottom-k sample IS the corpus, so the sketch answer
+    must equal exact_quantiles bit-for-bit."""
+    from dedup.textstats import approx_quantiles, exact_quantiles
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 1000, size=400).tolist()
+    t = pa.table({"doc_id": list(range(len(vals))), "n": vals})
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = approx_quantiles(ds, "n", k=4096)
+    want = exact_quantiles(ray.data.from_arrow(t).repartition(5), "n")
+    assert got.to_pydict() == want.to_pydict()
+
+
+def test_approx_quantiles_bounded_error_and_blocking_invariant():
+    from dedup.textstats import QUANTILES, approx_quantiles
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 100_000, size=20_000)
+    t = pa.table({"doc_id": list(range(len(vals))), "n": vals.tolist()})
+    k = 512
+    a = approx_quantiles(ray.data.from_arrow(t).repartition(3), "n", k=k)
+    b = approx_quantiles(ray.data.from_arrow(t).repartition(17), "n", k=k)
+    assert a.to_pydict() == b.to_pydict()   # md5 priorities, not blocking
+    assert a["n_docs"][0].as_py() == k
+    for lab, num, den in QUANTILES:
+        q = num / den
+        approx_v = a[lab][0].as_py()
+        rank = (vals <= approx_v).mean()
+        assert abs(rank - q) <= 4 * np.sqrt(q * (1 - q) / k) + 1 / k, lab
+
+
 def test_exact_quantiles_empty_and_single():
     from dedup.textstats import exact_quantiles
     empty = pa.table({"n": pa.array([], pa.int64())})
