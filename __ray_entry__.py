@@ -1821,6 +1821,14 @@ def _q_approx_quantiles(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _q_chunk_documents(sf_dir: str):
+    """Embedding-pipeline chunking: overlapping 32-token windows
+    advancing by 24 tokens, one row per chunk, shuffle-free."""
+    return textstats.chunk_documents(
+        _docs(sf_dir, ["doc_id", "text"]), chunk_tokens=32, overlap=8) \
+        .sort(["doc_id", "chunk_idx"])
+
+
 def _q_grouped_length_quantiles(sf_dir: str):
     """Per-language EXACT doc-length order statistics — the grouped
     generalization of ``length_quantiles`` (per-lang corpus length
@@ -2456,6 +2464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_bloom": _q_decontaminate_bloom,
         "fuzzy_decontaminate_recall": _q_fuzzy_decontaminate_recall,
         "approx_quantiles": _q_approx_quantiles,
+        "chunk_documents": _q_chunk_documents,
         "substring_sa_dedup": _q_substring_sa_dedup,
         "substring_sa_recall": _q_substring_sa_recall,
         "ngram_jaccard_recall": _q_ngram_jaccard_recall,
@@ -3819,4 +3828,26 @@ def oracle_sql() -> dict[str, str]:
     # broadcast path (byte-identical by construction: no bloom false
     # negatives, string confirm removes false positives) — shared oracle
     sql["decontaminate_bloom"] = sql["decontaminate"]
+    sql["chunk_documents"] = r"""
+        WITH src AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                   '\s+'),
+                             x -> x <> '') AS ts
+          FROM documents),
+        c AS (
+          SELECT doc_id, ts, len(ts) AS n,
+                 CASE WHEN len(ts) = 0 THEN 0
+                      ELSE 1 + (greatest(len(ts) - 32, 0) + 23) // 24
+                 END AS nc
+          FROM src)
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_idx,
+               CAST(least(n - i * 24, 32) AS BIGINT) AS n_chunk_tokens,
+               list_aggregate(ts[i * 24 + 1 : i * 24 + 32],
+                              'string_agg', ' ') AS chunk
+        FROM c, unnest(generate_series(0, CAST(nc - 1 AS BIGINT)))
+               AS u(i)
+        WHERE nc > 0
+        ORDER BY doc_id, chunk_idx"""
     return sql

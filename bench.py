@@ -280,6 +280,37 @@ def run_reduce_path(num_cpus: int, n_docs: int | None = None) -> dict:
             "paths_identical": hashes["broadcast"] == hashes["reduce"], **out}
 
 
+def run_uf_path(num_cpus: int, n_docs: int | None = None) -> dict:
+    """Forced distributed union-find: the >20M-edge hash-to-min rounds
+    (uf_local_threshold=0) timed on the full bench corpus's REAL edge
+    set vs the default driver-side path-compressed UF, with an
+    output-hash equality assert — the same evidence discipline as
+    run_reduce_path, for the other driver-bounded stage that flips
+    implementation at 100x scale."""
+    n_docs = n_docs or BENCH_DOCS
+    _init_ray(num_cpus)
+    import ray.data
+    from dedup.config import DedupConfig
+    from dedup.pipeline import run_dedup
+    path = synth_bench_corpus(n_docs)
+    ds = ray.data.read_parquet(path)
+    out: dict[str, dict] = {}
+    hashes = {}
+    for name, thr in (("local", 20_000_000), ("distributed", 0)):
+        t0 = time.time()
+        res = run_dedup(ds, DedupConfig(), check_html=False,
+                        uf_local_threshold=thr).materialize()
+        dt = time.time() - t0
+        hashes[name] = _assignments_hash(res)
+        out[name] = {"wall_sec": round(dt, 2),
+                     "docs_per_sec": round(n_docs / dt, 1),
+                     "assign_sha256": hashes[name][:16]}
+    return {"metric": "union-find path comparison", "docs": n_docs,
+            "num_cpus": num_cpus,
+            "paths_identical": hashes["local"] == hashes["distributed"],
+            **out}
+
+
 def run_suite() -> dict:
     _init_ray(NUM_CPUS)
     import __ray_entry__ as E
@@ -293,7 +324,9 @@ def run_suite() -> dict:
              "heavy_hitters", "tfidf_top_terms",
              # round-3 fifth-session operators
              "incremental_dedup_bucketed", "curation_funnel",
-             "normalize_text"]
+             "normalize_text",
+             # round-3 seventh-session operators
+             "decontaminate_bloom", "fuzzy_decontaminate_recall"]
     out: dict[str, float] = {}
     for name in picks:
         t0 = time.time()
@@ -484,6 +517,7 @@ def main() -> None:
     ap.add_argument("--span-density", action="store_true")
     ap.add_argument("--substring-scale", action="store_true")
     ap.add_argument("--reduce-path", action="store_true")
+    ap.add_argument("--uf-path", action="store_true")
     ap.add_argument("--cpus", type=int, default=NUM_CPUS)
     args = ap.parse_args()
     import ray
@@ -499,6 +533,8 @@ def main() -> None:
         print(json.dumps(run_substring_scale()))
     elif args.reduce_path:
         print(json.dumps(run_reduce_path(args.cpus)))
+    elif args.uf_path:
+        print(json.dumps(run_uf_path(args.cpus)))
     elif args.scaling:
         print(json.dumps(run_scaling()))
     else:

@@ -1687,7 +1687,8 @@ def assign_states(prep: ray.data.Dataset, labels: ray.data.Dataset,
 def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig,
               check_html: bool = True,
               num_partitions: int | None = None,
-              broadcast_threshold: int = 20_000_000) -> ray.data.Dataset:
+              broadcast_threshold: int = 20_000_000,
+              uf_local_threshold: int = 20_000_000) -> ray.data.Dataset:
     """Full dedup: exact [+ MinHash/LSH] [+ SimHash] [+ substring] edges →
     distributed union-find → keep/delete/unique/ignored/error assignment.
 
@@ -1751,7 +1752,9 @@ def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig,
         # no dedupe shuffle here: both union-find paths tolerate duplicate
         # edges natively (the local path is vectorized relaxation, the
         # distributed rounds dedupe per partition each round)
-        labels = ck("labels", lambda: union_find(edges, P),
+        labels = ck("labels",
+                    lambda: union_find(edges, P,
+                                       local_threshold=uf_local_threshold),
                     tuple(n for n, _ in stage_fns))
     else:
         labels = ray.data.from_arrow(pa.table({

@@ -1820,3 +1820,89 @@ def weighted_sample(ds: ray.data.Dataset, k: int,
                    batch_format="pyarrow")
     return pruned.groupby("grp").map_groups(
         _final, batch_format="pyarrow").sort(id_col)
+
+
+# ---------------------------------------------------------------------------
+# document chunking (embedding-pipeline pre-processing)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(ds: ray.data.Dataset, chunk_tokens: int = 256,
+                    overlap: int = 32, id_col: str = "doc_id",
+                    text_col: str = "text") -> ray.data.Dataset:
+    """Split every document into overlapping fixed-token windows — the
+    pre-processing step every embedding / retrieval pipeline runs before
+    encoding (token windows of ``chunk_tokens`` advancing by
+    ``chunk_tokens - overlap``).  Output one row per chunk:
+    (id, chunk_idx, n_chunk_tokens, chunk) in document order.
+
+    Chunk rule (deterministic, SQL-expressible): tokens are non-empty
+    ``\\s+`` splits; chunk i covers tokens [i*step, i*step+chunk_tokens);
+    a doc with n tokens yields 1 + ceil(max(n - chunk_tokens, 0) / step)
+    chunks (so the final window always reaches the last token; a doc
+    with 0 tokens yields no rows).
+
+    Scale shape: pure map_batches, NO shuffle — per batch, token lists
+    are exploded once (list_flatten), every chunk's token span becomes a
+    gather-index range (one np.repeat/arange composition), and chunk
+    strings are rebuilt with ONE ListArray + binary_join over the taken
+    tokens; each token is copied into at most
+    ceil(chunk_tokens / step) chunks, which bounds output bytes at that
+    multiple of the corpus."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+
+    def _f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(t[text_col], ""),
+                                      pattern=r"\s+")
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        flat_vals = pc.list_flatten(flat)
+        nper = pc.list_value_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = pc.not_equal(flat_vals, "")
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        flat_vals = flat_vals.filter(keep)
+        # per-doc token counts after dropping the empty-split artifacts
+        parent_all = np.repeat(np.arange(len(nper)), nper)[keep_np]
+        n_tok = np.bincount(parent_all, minlength=len(nper)).astype(np.int64)
+        doc_tok_start = np.concatenate([[0], np.cumsum(n_tok)[:-1]]) \
+            if len(nper) else np.zeros(0, np.int64)
+        n_chunks = np.where(
+            n_tok == 0, 0,
+            1 + -(-np.maximum(n_tok - chunk_tokens, 0) // step))
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table({
+                id_col: _t_take_empty(t[id_col]),
+                "chunk_idx": pa.array([], pa.int64()),
+                "n_chunk_tokens": pa.array([], pa.int64()),
+                "chunk": pa.array([], pa.string())})
+        doc_of_chunk = np.repeat(np.arange(len(nper)), n_chunks)
+        first = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        chunk_idx = np.arange(total) - np.repeat(first, n_chunks)
+        starts = chunk_idx * step
+        lens = np.minimum(n_tok[doc_of_chunk] - starts, chunk_tokens)
+        # gather indices: for chunk c, doc_tok_start[doc]+starts[c] .. +lens[c]
+        g0 = doc_tok_start[doc_of_chunk] + starts
+        idx = np.repeat(g0, lens) + (
+            np.arange(int(lens.sum()))
+            - np.repeat(np.concatenate([[0], np.cumsum(lens)[:-1]]), lens))
+        taken = flat_vals.take(pa.array(idx, pa.int64()))
+        offsets = pa.array(np.concatenate([[0], np.cumsum(lens)]),
+                           pa.int32())
+        chunks = pc.binary_join(
+            pa.ListArray.from_arrays(offsets, taken), " ")
+        return pa.table({
+            id_col: t[id_col].take(pa.array(doc_of_chunk, pa.int64())),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "n_chunk_tokens": pa.array(lens, pa.int64()),
+            "chunk": chunks})
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def _t_take_empty(col) -> pa.Array:
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return a.slice(0, 0)

@@ -221,6 +221,41 @@ def test_approx_quantiles_bounded_error_and_blocking_invariant():
         assert abs(rank - q) <= 4 * np.sqrt(q * (1 - q) / k) + 1 / k, lab
 
 
+def test_chunk_documents_matches_naive():
+    from dedup.textstats import chunk_documents
+    rng = np.random.default_rng(5)
+    texts = []
+    for n in [0, 1, 7, 8, 9, 20, 33, 100]:
+        texts.append(" ".join(f"t{i}" for i in range(n)))
+    texts.append(None)
+    texts.append("  a   b  ")  # ragged whitespace
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    ct, ov = 8, 3
+    step = ct - ov
+    got = chunk_documents(ray.data.from_arrow(t).repartition(3),
+                          chunk_tokens=ct, overlap=ov) \
+        .sort(["doc_id", "chunk_idx"]).to_pandas()
+    rows = []
+    for did, txt in enumerate(texts):
+        toks = (txt or "").split()
+        n = len(toks)
+        if n == 0:
+            continue
+        nc = 1 + -(-max(n - ct, 0) // step)
+        for i in range(nc):
+            piece = toks[i * step: i * step + ct]
+            rows.append((did, i, len(piece), " ".join(piece)))
+    assert list(map(tuple, got.itertuples(index=False))) == rows
+
+
+def test_chunk_documents_rejects_bad_overlap():
+    import pytest
+    from dedup.textstats import chunk_documents
+    ds = ray.data.from_arrow(pa.table({"doc_id": [1], "text": ["a b"]}))
+    with pytest.raises(ValueError):
+        chunk_documents(ds, chunk_tokens=8, overlap=8)
+
+
 def test_exact_quantiles_empty_and_single():
     from dedup.textstats import exact_quantiles
     empty = pa.table({"n": pa.array([], pa.int64())})
