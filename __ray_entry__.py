@@ -1821,6 +1821,20 @@ def _q_approx_quantiles(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _q_bpe_stats(sf_dir: str):
+    """Subword tokenization tier: BPE merges trained on the corpus's
+    own distinct-word table (200 merges), then every doc encoded
+    distributed (merge ranks broadcast once, per-unique-word memo).
+    Rows-only: BPE is not SQL-expressible; determinism, the Sennrich
+    reference example, and the roundtrip invariant are pytest-asserted
+    (tests/test_bpe.py).  n_words doubles as a self-check — it obeys
+    the token_count oracle rule."""
+    from dedup.bpe import bpe_encode_stats, train_bpe
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    merges = train_bpe(docs, n_merges=200)
+    return bpe_encode_stats(docs, merges).sort("doc_id")
+
+
 def _q_chunk_documents(sf_dir: str):
     """Embedding-pipeline chunking: overlapping 32-token windows
     advancing by 24 tokens, one row per chunk, shuffle-free."""
@@ -2465,6 +2479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_decontaminate_recall": _q_fuzzy_decontaminate_recall,
         "approx_quantiles": _q_approx_quantiles,
         "chunk_documents": _q_chunk_documents,
+        "bpe_stats": _q_bpe_stats,
         "substring_sa_dedup": _q_substring_sa_dedup,
         "substring_sa_recall": _q_substring_sa_recall,
         "ngram_jaccard_recall": _q_ngram_jaccard_recall,
