@@ -1821,6 +1821,21 @@ def _q_approx_quantiles(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+_BM25_QUERIES = [(1, "fast hash join"), (2, "table scan slow"),
+                 (3, "spark stream window")]
+
+
+def _q_bm25_topk(sf_dir: str):
+    """Okapi BM25 retrieval: top-10 docs per query for three fixed
+    query literals; idf quantized per term, length norm quantized per
+    (term, doc) with a fixed-order double expression the DuckDB oracle
+    mirrors verbatim, so scores are integer-exact across engines."""
+    return textstats.bm25_topk(
+        _docs(sf_dir, ["doc_id", "text"]), _BM25_QUERIES, k=10) \
+        .sort(["query_id", "score_e12", "doc_id"],
+              descending=[False, True, False])
+
+
 def _q_bpe_stats(sf_dir: str):
     """Subword tokenization tier: BPE merges trained on the corpus's
     own distinct-word table (200 merges), then every doc encoded
@@ -2480,6 +2495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles": _q_approx_quantiles,
         "chunk_documents": _q_chunk_documents,
         "bpe_stats": _q_bpe_stats,
+        "bm25_topk": _q_bm25_topk,
         "substring_sa_dedup": _q_substring_sa_dedup,
         "substring_sa_recall": _q_substring_sa_recall,
         "ngram_jaccard_recall": _q_ngram_jaccard_recall,
@@ -3865,4 +3881,55 @@ def oracle_sql() -> dict[str, str]:
                AS u(i)
         WHERE nc > 0
         ORDER BY doc_id, chunk_idx"""
+    # every double expression below mirrors the numpy expression tree in
+    # textstats.bm25_topk verbatim (only correctly-rounded ops after the
+    # per-term ln), so the e6 floors — and hence score_e12 — match bit-
+    # for-bit
+    sql["bm25_topk"] = r"""
+        WITH q(query_id, term) AS (
+          VALUES (1, 'fast'), (1, 'hash'), (1, 'join'),
+                 (2, 'scan'), (2, 'slow'), (2, 'table'),
+                 (3, 'spark'), (3, 'stream'), (3, 'window')),
+        tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(
+                            coalesce(text, ''), '\s+'),
+                        x -> x <> '')) AS token
+          FROM documents),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+               FROM tok GROUP BY doc_id),
+        st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents)
+                        AS n,
+                      (SELECT CAST(coalesce(sum(dl), 0) AS BIGINT)
+                       FROM dl) AS total),
+        df AS (SELECT qt.term,
+                      (SELECT CAST(count(DISTINCT t.doc_id) AS BIGINT)
+                       FROM tok t WHERE t.token = qt.term) AS df
+               FROM (SELECT DISTINCT term FROM q) qt),
+        tf AS (SELECT q.query_id, q.term, t.doc_id,
+                      CAST(count(*) AS BIGINT) AS tf
+               FROM q JOIN tok t ON t.token = q.term
+               GROUP BY q.query_id, q.term, t.doc_id),
+        comp AS (
+          SELECT tf.query_id, tf.doc_id,
+                 CAST(floor(ln((st.n - df.df + 0.5) / (df.df + 0.5)
+                               + 1.0) * 1000000) AS BIGINT)
+               * CAST(floor(tf.tf * (1.2 + 1.0)
+                     / (tf.tf + 1.2 * ((1.0 - 0.75)
+                        + 0.75 * dl.dl
+                          / (st.total / CAST(st.n AS DOUBLE))))
+                     * 1000000) AS BIGINT) AS part
+          FROM tf, st
+          JOIN df ON df.term = tf.term
+          JOIN dl ON dl.doc_id = tf.doc_id),
+        sc AS (SELECT query_id, doc_id,
+                      CAST(sum(part) AS BIGINT) AS score_e12
+               FROM comp GROUP BY query_id, doc_id
+               HAVING sum(part) > 0)
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_e12
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY score_e12 DESC, doc_id) AS rn FROM sc)
+        WHERE rn <= 10
+        ORDER BY query_id, score_e12 DESC, doc_id"""
     return sql

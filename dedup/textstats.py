@@ -1906,3 +1906,159 @@ def chunk_documents(ds: ray.data.Dataset, chunk_tokens: int = 256,
 def _t_take_empty(col) -> pa.Array:
     a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     return a.slice(0, 0)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (Robertson & Zaragoza 2009)
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(ds: ray.data.Dataset, queries: list[tuple[int, str]],
+              k: int = 10, k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text",
+              num_partitions: int = 8) -> ray.data.Dataset:
+    """Top-k documents per query under Okapi BM25 — the retrieval
+    scorer one tier up from tfidf_top_terms (idf with the +0.5 df
+    smoothing, tf saturation k1, length normalization b).  ``queries``
+    is a small (query_id, text) list; terms are the query's DISTINCT
+    whitespace tokens.  Output: (query_id, doc_id, score_e12) rows,
+    top-k per query by (score desc, doc_id) — ties deterministic.
+
+    Float discipline (the unigram_surprisal rule, extended): idf is
+    quantized per TERM (one scalar math.log each, e6 floor); the length
+    normalization is quantized per (term, doc) with a fixed-order
+    double expression that DuckDB evaluates identically (only
+    correctly-rounded ops — *, /, floor — after the one ln), so
+    score_e12 = sum(idf_e6 * norm_e6) is integer arithmetic and the SQL
+    oracle hashes bit-identically.
+
+    Scale shape: pass 1 is a per-batch partials pass (df per query
+    term + doc/token totals; <= n_terms+1 rows per block, collected
+    driver-side — bounded by the QUERY vocabulary, never the corpus).
+    Pass 2 scores each batch vectorized (one pc.equal + bincount per
+    term — terms are few by contract) and prunes to top-k per query
+    INSIDE the batch, so the one query-keyed shuffle carries
+    <= k * queries rows per block."""
+    import math
+    terms_by_q: dict[int, list[str]] = {}
+    for qid, qtext in queries:
+        ts = sorted({w for w in (qtext or "").split() if w})
+        terms_by_q[int(qid)] = ts
+    all_terms = sorted({t for ts in terms_by_q.values() for t in ts})
+    term_arr = pa.array(all_terms, pa.string())
+
+    def _partials(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(t[text_col], ""),
+                                      pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        flat = flat.filter(keep)
+        nper = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        parent = np.repeat(np.arange(t.num_rows), nper)[keep_np]
+        rows_t, rows_df = [], []
+        for term in all_terms:
+            m = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            rows_t.append(term)
+            rows_df.append(int(len(np.unique(parent[m]))))
+        rows_t.append("")      # stats row: doc + token totals
+        rows_df.append(0)
+        return pa.table({
+            "term": pa.array(rows_t, pa.string()),
+            "df": pa.array(rows_df, pa.int64()),
+            "docs": pa.array([0] * len(all_terms) + [t.num_rows],
+                             pa.int64()),
+            "toks": pa.array([0] * len(all_terms) + [int(len(flat))],
+                             pa.int64()),
+        })
+
+    import pandas as pd
+    part = ds.map_batches(_partials, batch_format="pyarrow").to_pandas()
+    agg = part.groupby("term", as_index=True).sum()
+    n_docs = int(agg["docs"].sum())
+    total_toks = int(agg["toks"].sum())
+    avgdl = total_toks / n_docs if n_docs else 1.0
+    idf6 = {term: math.floor(
+        math.log((n_docs - int(agg.loc[term, "df"]) + 0.5)
+                 / (int(agg.loc[term, "df"]) + 0.5) + 1.0) * 1e6)
+        for term in all_terms if term in agg.index}
+
+    qids = sorted(terms_by_q)
+    payload = (qids, terms_by_q, idf6, float(avgdl))
+    ref = ray.put(payload)
+
+    def _score(t: pa.Table) -> pa.Table:
+        qids_, tbq, idf6_, avgdl_ = ray.get(ref)
+        toks = pc.split_pattern_regex(pc.fill_null(t[text_col], ""),
+                                      pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        flat = flat.filter(keep)
+        nper = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        parent = np.repeat(np.arange(t.num_rows), nper)[keep_np]
+        dl = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+        tf_by_term = {}
+        for term in {x for ts in tbq.values() for x in ts}:
+            m = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf_by_term[term] = np.bincount(
+                parent[m], minlength=t.num_rows).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_d, out_s = [], [], []
+        for qid in qids_:
+            score = np.zeros(t.num_rows, dtype=np.int64)
+            for term in tbq[qid]:
+                i6 = idf6_.get(term)
+                if i6 is None:
+                    continue
+                tf = tf_by_term[term]
+                hit = tf > 0
+                if not hit.any():
+                    continue
+                tfh = tf[hit].astype(np.float64)
+                dlh = dl[hit].astype(np.float64)
+                # FIXED-ORDER double expression — mirrored verbatim in
+                # the SQL oracle (only correctly-rounded ops)
+                norm6 = np.floor(
+                    tfh * (k1 + 1.0)
+                    / (tfh + k1 * ((1.0 - b) + b * dlh / avgdl_))
+                    * 1e6).astype(np.int64)
+                score[hit] += i6 * norm6
+            pos = np.flatnonzero(score > 0)
+            if not len(pos):
+                continue
+            # in-batch prune to top-k by (score desc, id asc)
+            order = np.lexsort((ids[pos], -score[pos]))[:k]
+            sel = pos[order]
+            out_q.extend([qid] * len(sel))
+            out_d.extend(ids[sel].tolist())
+            out_s.extend(score[sel].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "k": pa.array(np.asarray(out_q, np.uint64), pa.uint64()),
+            id_col: pa.array(out_d, pa.int64()),
+            "score_e12": pa.array(out_s, pa.int64()),
+        })
+
+    from .dist import groupapply
+
+    def _topk(t: pa.Table) -> pa.Table:
+        qs_ = t["query_id"].to_numpy(zero_copy_only=False)
+        ids_ = t[id_col].to_numpy(zero_copy_only=False)
+        sc = t["score_e12"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids_, -sc, qs_))
+        qo = qs_[order]
+        brk = np.concatenate([[0], np.flatnonzero(qo[1:] != qo[:-1]) + 1,
+                              [len(qo)]])
+        keep_idx = np.concatenate([
+            order[brk[i]: min(brk[i] + k, brk[i + 1])]
+            for i in range(len(brk) - 1)]) if len(qo) else \
+            np.zeros(0, np.int64)
+        keep_idx = np.sort(keep_idx)
+        sub = t.take(pa.array(keep_idx, pa.int64()))
+        return sub.drop_columns(["k"])
+
+    scored = ds.map_batches(_score, batch_format="pyarrow")
+    return groupapply(scored, "k", _topk, num_partitions)
