@@ -1821,6 +1821,65 @@ def _q_approx_quantiles(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _q_quality_classifier(sf_dir: str):
+    """Planted-truth check for the learned quality filter
+    (classify.train_quality_classifier / quality_classify): labels come
+    from a KNOWN linear rule over the quality features (cut at the
+    corpus median — linearly separable by construction), the model is
+    trained on the md5 train shard only, and held-out accuracy/AUC are
+    measured on the val shard.  A learner that generalizes the rule
+    must score acc >= 0.95 and AUC >= 0.99.  Driver-side work is
+    bounded by the sf documents table (the features frame), the same
+    bound the recall queries carry."""
+    import hashlib
+    from dedup.classify import quality_classify, train_quality_classifier
+    from dedup.textstats import quality_score
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    f = quality_score(docs).to_pandas()
+    r = (2 * f["stopword_ratio_e6"] + f["alpha_ratio_e6"]
+         - f["digit_ratio_e6"]).to_numpy()
+    cut = float(np.median(r))
+    f["label"] = (r > cut).astype("int64")
+    txt = docs.to_pandas()
+    pdf = txt.merge(f[["doc_id", "label"]], on="doc_id")
+    pdf["is_train"] = pdf["doc_id"].map(
+        lambda i: hashlib.md5(str(i).encode()).hexdigest()[:2] < "80")
+    train = ray.data.from_arrow(pa.Table.from_pandas(
+        pdf[pdf["is_train"]][["doc_id", "text", "label"]],
+        preserve_index=False))
+    val_pdf = pdf[~pdf["is_train"]]
+    val = ray.data.from_arrow(pa.Table.from_pandas(
+        val_pdf[["doc_id", "text"]], preserve_index=False))
+    model = train_quality_classifier(train)
+    scored = quality_classify(val, model).to_pandas() \
+        .merge(val_pdf[["doc_id", "label"]], on="doc_id")
+    y = scored["label"].to_numpy()
+    s = scored["score_e6"].to_numpy().astype(np.float64)
+    acc = float((scored["pred"].to_numpy() == y).mean())
+    # Mann-Whitney AUC with average ranks for ties
+    order = np.argsort(s, kind="stable")
+    ranks = np.empty(len(s))
+    sv = s[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        ranks[order[i:j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    n1 = int(y.sum())
+    n0 = len(y) - n1
+    auc = (ranks[y == 1].sum() - n1 * (n1 + 1) / 2) / max(n1 * n0, 1)
+    return pa.table({
+        "n_train": pa.array([int(pdf["is_train"].sum())], pa.int64()),
+        "n_test": pa.array([len(val_pdf)], pa.int64()),
+        "acc_e6": pa.array([int(acc * 1e6)], pa.int64()),
+        "auc_e6": pa.array([int(auc * 1e6)], pa.int64()),
+        "generalizes": pa.array([int(acc >= 0.95 and auc >= 0.99)],
+                                pa.int64()),
+    })
+
+
 _BM25_QUERIES = [(1, "fast hash join"), (2, "table scan slow"),
                  (3, "spark stream window")]
 
@@ -2496,6 +2555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "bpe_stats": _q_bpe_stats,
         "bm25_topk": _q_bm25_topk,
+        "quality_classifier": _q_quality_classifier,
         "substring_sa_dedup": _q_substring_sa_dedup,
         "substring_sa_recall": _q_substring_sa_recall,
         "ngram_jaccard_recall": _q_ngram_jaccard_recall,
