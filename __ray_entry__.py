@@ -1909,6 +1909,22 @@ def _q_bpe_stats(sf_dir: str):
     return bpe_encode_stats(docs, merges).sort("doc_id")
 
 
+def _q_tokenize_and_pack(sf_dir: str):
+    """The complete corpus -> context-windows path: BPE merges trained
+    on the corpus, every doc encoded to its subword count, then packed
+    into fixed 512-token training sequences with the distributed
+    prefix-scan (pack_sequences, itself SQL-checked on whitespace
+    tokens).  Rows-only: the BPE stage is not SQL-expressible; both
+    components carry their own checks."""
+    from dedup.bpe import bpe_encode_stats, train_bpe
+    from dedup.corpus import pack_sequences
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    merges = train_bpe(docs, n_merges=200)
+    stats = bpe_encode_stats(docs, merges)
+    return pack_sequences(stats, budget=512,
+                          tokens_col="n_bpe_tokens").sort("doc_id")
+
+
 def _q_chunk_documents(sf_dir: str):
     """Embedding-pipeline chunking: overlapping 32-token windows
     advancing by 24 tokens, one row per chunk, shuffle-free."""
@@ -2556,6 +2572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_stats": _q_bpe_stats,
         "bm25_topk": _q_bm25_topk,
         "quality_classifier": _q_quality_classifier,
+        "tokenize_and_pack": _q_tokenize_and_pack,
         "substring_sa_dedup": _q_substring_sa_dedup,
         "substring_sa_recall": _q_substring_sa_recall,
         "ngram_jaccard_recall": _q_ngram_jaccard_recall,

@@ -11,18 +11,35 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _literal_dict_keys(fn_name: str) -> list[str]:
+    """Keys of the registry dict in ``fn_name`` — covers both shapes:
+    ``return {...}`` and ``sql = {...}; sql["k"] = ...; return sql``
+    (subscript-assigned keys count toward duplicate detection)."""
     tree = ast.parse(open(os.path.join(REPO, "__ray_entry__.py")).read())
     for node in ast.walk(tree):
-        if isinstance(node, ast.FunctionDef) and node.name == fn_name:
-            for ret in ast.walk(node):
-                if isinstance(ret, ast.Return) and \
-                        isinstance(ret.value, ast.Dict):
-                    keys = []
-                    for k in ret.value.keys:
-                        assert isinstance(k, ast.Constant), \
-                            f"non-literal key in {fn_name}"
-                        keys.append(k.value)
-                    return keys
+        if not (isinstance(node, ast.FunctionDef) and node.name == fn_name):
+            continue
+        keys: list[str] = []
+        found = False
+        for sub in ast.walk(node):
+            d = None
+            if isinstance(sub, ast.Return) and \
+                    isinstance(sub.value, ast.Dict):
+                d = sub.value
+            elif isinstance(sub, ast.Assign) and \
+                    isinstance(sub.value, ast.Dict):
+                d = sub.value
+            if d is not None:
+                found = True
+                for k in d.keys:
+                    assert isinstance(k, ast.Constant), \
+                        f"non-literal key in {fn_name}"
+                    keys.append(k.value)
+            if isinstance(sub, ast.Assign) and len(sub.targets) == 1 and \
+                    isinstance(sub.targets[0], ast.Subscript) and \
+                    isinstance(sub.targets[0].slice, ast.Constant):
+                keys.append(sub.targets[0].slice.value)
+        if found:
+            return keys
     raise AssertionError(f"{fn_name} literal dict not found")
 
 
