@@ -1909,6 +1909,23 @@ def _q_bpe_stats(sf_dir: str):
     return bpe_encode_stats(docs, merges).sort("doc_id")
 
 
+def _q_validate_rows(sf_dir: str):
+    """Data-quality validation gate: four declarative rules (null /
+    range / set / uniqueness) evaluated distributed, reported one row
+    per rule with deterministic 5-example samples."""
+    from dedup.validate import validate_rows
+    rules = [
+        {"name": "lang_in_set", "kind": "in_set", "col": "lang",
+         "values": ["en", "de"]},
+        {"name": "lang_unique", "kind": "unique", "col": "lang"},
+        {"name": "n_chars_range", "kind": "range", "col": "n_chars",
+         "lo": 50, "hi": 450},
+        {"name": "text_not_null", "kind": "not_null", "col": "text"},
+    ]
+    return validate_rows(
+        _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"]), rules)
+
+
 def _q_tokenize_and_pack(sf_dir: str):
     """The complete corpus -> context-windows path: BPE merges trained
     on the corpus, every doc encoded to its subword count, then packed
@@ -2573,6 +2590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "quality_classifier": _q_quality_classifier,
         "tokenize_and_pack": _q_tokenize_and_pack,
+        "validate_rows": _q_validate_rows,
         "substring_sa_dedup": _q_substring_sa_dedup,
         "substring_sa_recall": _q_substring_sa_recall,
         "ngram_jaccard_recall": _q_ngram_jaccard_recall,
@@ -4009,4 +4027,54 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY score_e12 DESC, doc_id) AS rn FROM sc)
         WHERE rn <= 10
         ORDER BY query_id, score_e12 DESC, doc_id"""
+    sql["validate_rows"] = r"""
+        SELECT 'lang_in_set' AS rule,
+               CAST(count(lang) AS BIGINT) AS n_checked,
+               CAST(count(CASE WHEN lang IS NOT NULL
+                               AND lang NOT IN ('en', 'de')
+                          THEN 1 END) AS BIGINT) AS n_violations,
+               coalesce((SELECT string_agg(CAST(doc_id AS VARCHAR), ','
+                                           ORDER BY doc_id)
+                         FROM (SELECT doc_id FROM documents
+                               WHERE lang IS NOT NULL
+                                 AND lang NOT IN ('en', 'de')
+                               ORDER BY doc_id LIMIT 5)), '') AS examples
+        FROM documents
+        UNION ALL
+        SELECT 'lang_unique',
+               CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(DISTINCT
+                    coalesce(CAST(lang AS VARCHAR), chr(0) || 'NULL'))
+                    AS BIGINT),
+               coalesce((SELECT string_agg(v, ',' ORDER BY v)
+                         FROM (SELECT coalesce(CAST(lang AS VARCHAR),
+                                               chr(0) || 'NULL') AS v
+                               FROM documents GROUP BY 1
+                               HAVING count(*) > 1
+                               ORDER BY v LIMIT 5)), '')
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars_range',
+               CAST(count(n_chars) AS BIGINT),
+               CAST(count(CASE WHEN n_chars IS NOT NULL
+                               AND (n_chars < 50 OR n_chars > 450)
+                          THEN 1 END) AS BIGINT),
+               coalesce((SELECT string_agg(CAST(doc_id AS VARCHAR), ','
+                                           ORDER BY doc_id)
+                         FROM (SELECT doc_id FROM documents
+                               WHERE n_chars IS NOT NULL
+                                 AND (n_chars < 50 OR n_chars > 450)
+                               ORDER BY doc_id LIMIT 5)), '')
+        FROM documents
+        UNION ALL
+        SELECT 'text_not_null',
+               CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(text) AS BIGINT),
+               coalesce((SELECT string_agg(CAST(doc_id AS VARCHAR), ','
+                                           ORDER BY doc_id)
+                         FROM (SELECT doc_id FROM documents
+                               WHERE text IS NULL
+                               ORDER BY doc_id LIMIT 5)), '')
+        FROM documents
+        ORDER BY rule"""
     return sql
