@@ -311,6 +311,39 @@ def run_uf_path(num_cpus: int, n_docs: int | None = None) -> dict:
             **out}
 
 
+def run_fuzzy_decon_scale(num_cpus: int, n_docs: int | None = None) -> dict:
+    """Fuzzy (MinHash) decontamination scale probe: the full bench
+    corpus as the train side probed against a 4k-doc benchmark — the
+    op's contract is ZERO train-side shuffle (sign + searchsorted probe
+    inside one map_batches), so throughput should track the signing
+    rate of the headline pipeline's minhash stage."""
+    n_docs = n_docs or BENCH_DOCS
+    _init_ray(num_cpus)
+    import ray.data
+    from dedup.minhash import minhash_decontaminate
+    from dedup.synth import write_pages
+    train = ray.data.read_parquet(synth_bench_corpus(n_docs),
+                                  columns=["url", "text"])
+    bpaths = write_pages("/tmp/dedup_pages_recall", n_docs=4000, seed=42)
+    bpdf = ray.data.read_parquet(bpaths["pages"], columns=["text"]) \
+        .to_pandas()
+    bpdf.insert(0, "doc_id", range(len(bpdf)))
+    import pyarrow as pa_
+    bench = ray.data.from_arrow(pa_.Table.from_pandas(
+        bpdf, preserve_index=False))
+    t0 = time.time()
+    out = minhash_decontaminate(train, bench, id_col="url",
+                                bench_id_col="doc_id", threshold=0.5)
+    n_flagged = int(out.sum("near_contaminated"))
+    dt = time.time() - t0
+    return {"metric": "fuzzy decontamination throughput",
+            "docs": n_docs, "num_cpus": num_cpus,
+            "bench_docs": int(len(bpdf)),
+            "wall_sec": round(dt, 2),
+            "docs_per_sec": round(n_docs / dt, 1),
+            "n_flagged": int(n_flagged)}
+
+
 def run_suite() -> dict:
     _init_ray(NUM_CPUS)
     import __ray_entry__ as E
@@ -518,6 +551,7 @@ def main() -> None:
     ap.add_argument("--substring-scale", action="store_true")
     ap.add_argument("--reduce-path", action="store_true")
     ap.add_argument("--uf-path", action="store_true")
+    ap.add_argument("--fuzzy-decon-scale", action="store_true")
     ap.add_argument("--cpus", type=int, default=NUM_CPUS)
     args = ap.parse_args()
     import ray
@@ -535,6 +569,8 @@ def main() -> None:
         print(json.dumps(run_reduce_path(args.cpus)))
     elif args.uf_path:
         print(json.dumps(run_uf_path(args.cpus)))
+    elif args.fuzzy_decon_scale:
+        print(json.dumps(run_fuzzy_decon_scale(args.cpus)))
     elif args.scaling:
         print(json.dumps(run_scaling()))
     else:

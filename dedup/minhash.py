@@ -305,6 +305,8 @@ def minhash_decontaminate(train, bench, num_perm: int = 128,
                           shingle_k: int = 5, seed: int = 42,
                           bands: int = 32, threshold: float = 0.5,
                           id_col: str = "doc_id", text_col: str = "text",
+                          bench_id_col: str | None = None,
+                          bench_text_col: str | None = None,
                           concurrency=(1, 8)):
     """FUZZY benchmark decontamination (the near-duplicate analogue of
     ngram_decontaminate, and the text analogue of
@@ -324,13 +326,17 @@ def minhash_decontaminate(train, bench, num_perm: int = 128,
     zero-copy per node); the train corpus is signed and probed inside
     one map_batches and NEVER shuffled.  ``threshold=0`` degrades to
     pure band-collision semantics (Broder banding, no confirm).
-    Requires integer bench ids (``best_bench_id`` is an int64 column
+    ``bench_id_col`` / ``bench_text_col`` default to the train-side
+    names; set them when the two tables disagree (e.g. url-keyed train
+    vs doc_id-keyed benchmark — train ids pass through unchanged, any
+    type).  Requires integer bench ids (``best_bench_id`` is an int64 column
     with -1 sentinel); bands must divide num_perm."""
     import ray
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     pack = _bench_lsh_pack(bench, num_perm, shingle_k, seed, bands,
-                           id_col, text_col)
+                           bench_id_col or id_col,
+                           bench_text_col or text_col)
     if pack[3].dtype.kind not in "iu":
         raise ValueError("minhash_decontaminate requires integer bench ids")
     ref = ray.put(pack)

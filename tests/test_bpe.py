@@ -69,6 +69,25 @@ def test_bpe_max_vocab_caps_trainer_input():
     assert all(set(s.replace(EOW, "")) <= {"a", "b"} for s in syms)
 
 
+def test_encode_word_roundtrip_property():
+    """The partition invariant holds for ANY rank table: concatenating
+    the encoded subwords always reproduces word + EOW."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ranks = {("a", "b"): 0, ("ab", "c"): 1, ("c", "d"): 2,
+             ("b", EOW): 3, ("d", "a"): 4, ("ab", "ab"): 5}
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet="abcd", min_size=1, max_size=16))
+    def _check(w):
+        enc = _encode_word(w, ranks)
+        assert "".join(enc) == w + EOW
+        assert all(len(s) > 0 for s in enc)
+
+    _check()
+
+
 def test_word_counts_matches_naive():
     texts = ["a b a", None, "  b   c b  "]
     got = word_counts(_ds(texts)).to_pandas() \
