@@ -207,6 +207,22 @@ def cmd_bench(args: argparse.Namespace) -> int:
     return subprocess.call(cmd)
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Merge several per-dump index dirs into one (periodic index
+    maintenance — restores one file per bucket; probe-equivalent)."""
+    _init(args.cpus)
+    import ray
+    from .incremental import compact_index
+
+    t0 = time.time()
+    rep = compact_index(args.indexes.split(","), args.output)
+    rep.update({"output": args.output,
+                "wall_sec": round(time.time() - t0, 2)})
+    print(json.dumps(rep))
+    ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="dedup")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -250,6 +266,13 @@ def main(argv: list[str] | None = None) -> int:
                     choices=("auto", "parquet", "csv", "jsonl"))
     fp.add_argument("--cpus", type=int, default=None)
     fp.set_defaults(fn=cmd_filter)
+    cp = sub.add_parser("compact",
+                        help="merge per-dump index dirs into one")
+    cp.add_argument("--indexes", required=True,
+                    help="comma-separated index dirs (same kind/buckets)")
+    cp.add_argument("--output", required=True)
+    cp.add_argument("--cpus", type=int, default=None)
+    cp.set_defaults(fn=cmd_compact)
     bp = sub.add_parser("bench", help="benchmark suite / scaling runs")
     bp.add_argument("--scaling", action="store_true")
     bp.set_defaults(fn=cmd_bench)

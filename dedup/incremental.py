@@ -844,3 +844,88 @@ def _validate_indexes(dirs: list[str], kind: str, n_buckets: int,
             raise ValueError(
                 f"{d}: index has n_buckets={meta['n_buckets']}, "
                 f"probe used {n_buckets}")
+
+
+def compact_index(index_dirs: list[str], out_dir: str) -> dict:
+    """Merge several per-dump index dirs (write_key_index /
+    write_band_index layouts that share kind + n_buckets + key params)
+    into ONE directory — the periodic maintenance op an accumulating
+    reference corpus needs: probe cost is per-dir file opens per
+    bucket, so dozens of dumps make every bucket task open dozens of
+    files; compaction restores one file per bucket.
+
+    Semantics are kind-aware and probe-equivalent (tested):
+      * ``exact`` rows are one-per-doc occurrence records (n_ref is a
+        COUNT), so compaction concatenates — never dedupes;
+      * ``bands`` rows are membership keys (the probe is a
+        searchsorted membership test), so duplicate skeys across dumps
+        are dropped and each bucket is written sorted.
+
+    Scale shape: one Ray task batch per bucket-id range; each task
+    reads only its buckets' files from every dump and writes the
+    merged bucket task-locally — no shuffle, no driver data path.
+    A rerun replaces ``out_dir`` (sink convention).  Returns
+    {"buckets": ..., "rows_in": ..., "rows_out": ...}."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .sinks import _fresh_dir
+
+    if not index_dirs:
+        raise ValueError("compact_index needs at least one index dir")
+    metas = []
+    for d in index_dirs:
+        with open(os.path.join(d, "_index.json")) as fh:
+            metas.append(json.load(fh))
+    kind = metas[0]["kind"]
+    n_buckets = metas[0]["n_buckets"]
+    params = metas[0].get("params", {})
+    for d, m in zip(index_dirs, metas):
+        if (m["kind"], m["n_buckets"], m.get("params", {})) != \
+                (kind, n_buckets, params):
+            raise ValueError(
+                f"{d}: incompatible index meta {m} vs {metas[0]}")
+    _fresh_dir(out_dir)
+    dirs = list(index_dirs)
+    cols = ["exact64", "exact_full"] if kind == "exact" else ["skey"]
+
+    def _compact(t: pa.Table) -> pa.Table:
+        res_b, res_in, res_out = [], [], []
+        for b in t["bucket"].to_pylist():
+            parts = []
+            for d in dirs:
+                p = os.path.join(d, f"bucket={int(b)}")
+                if os.path.isdir(p):
+                    parts.append(pq.read_table(p, columns=cols))
+            if not parts:
+                continue
+            merged = pa.concat_tables(parts, promote_options="default")
+            rows_in = merged.num_rows
+            if kind == "bands":
+                k = np.unique(
+                    merged["skey"].to_numpy(zero_copy_only=False)
+                    .astype(np.uint64))
+                merged = pa.table({"skey": pa.array(k, pa.uint64())})
+            tgt = os.path.join(out_dir, f"bucket={int(b)}")
+            os.makedirs(tgt, exist_ok=True)
+            pq.write_table(merged, os.path.join(tgt, "part-0.parquet"))
+            res_b.append(int(b))
+            res_in.append(rows_in)
+            res_out.append(merged.num_rows)
+        return pa.table({"bucket": pa.array(res_b, pa.int64()),
+                         "rows_in": pa.array(res_in, pa.int64()),
+                         "rows_out": pa.array(res_out, pa.int64())})
+
+    report = ray.data.from_items(
+        [{"bucket": b} for b in range(n_buckets)]) \
+        .map_batches(_compact, batch_format="pyarrow").to_pandas()
+    with open(os.path.join(out_dir, "_index.json"), "w") as fh:
+        json.dump({"kind": kind, "n_buckets": n_buckets,
+                   "params": params}, fh, indent=1)
+    if report.empty:    # every input bucket empty (e.g. all-ignored dump)
+        return {"buckets": 0, "rows_in": 0, "rows_out": 0}
+    return {"buckets": int(len(report)),
+            "rows_in": int(report["rows_in"].sum()),
+            "rows_out": int(report["rows_out"].sum())}

@@ -172,3 +172,39 @@ def test_index_meta_mismatch_rejected(tmp_path):
         incremental_exact_dedup_bucketed(new, idx, bad, n_buckets=8)
     with pytest.raises(ValueError, match="n_buckets"):
         incremental_exact_dedup_bucketed(new, idx, cfg, n_buckets=16)
+
+
+def test_cli_compact_merges_dumps(tmp_path):
+    """index (two dumps) -> compact -> run --ref-index <merged>: the
+    compacted dir is probe-equivalent to the dump list and carries its
+    own _index.json."""
+    import pyarrow as pa
+
+    from dedup.synth import generate_pages
+
+    pages, _ = generate_pages(200, seed=21)
+    os.makedirs(tmp_path / "ref")
+    pq.write_table(pages, str(tmp_path / "ref" / "p.parquet"))
+    dumps = []
+    for i in (1, 2):
+        d = str(tmp_path / f"idx{i}")
+        r = subprocess.run(
+            [sys.executable, "-m", "dedup.cli", "index",
+             "--input", str(tmp_path / "ref"), "--output", d,
+             "--kind", "exact", "--buckets", "16", "--cpus", "4"],
+            capture_output=True, text=True, cwd=REPO,
+            env={**os.environ, "RAY_ADDRESS": "local"})
+        assert r.returncode == 0, r.stderr[-2000:]
+        dumps.append(d)
+    merged = str(tmp_path / "merged")
+    r = subprocess.run(
+        [sys.executable, "-m", "dedup.cli", "compact",
+         "--indexes", ",".join(dumps), "--output", merged, "--cpus", "4"],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "RAY_ADDRESS": "local"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads([ln for ln in r.stdout.splitlines()
+                      if ln.startswith("{")][-1])
+    # exact kind: concatenation, twice the rows of one dump, no dedupe
+    assert rep["rows_in"] == rep["rows_out"] > 0
+    assert os.path.exists(os.path.join(merged, "_index.json"))

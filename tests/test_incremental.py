@@ -263,3 +263,72 @@ def test_band_index_rerun_replaces(tmp_path):
     write_band_index(ref, cfg, idx, n_buckets=4)
     n2 = len(glob.glob(idx + "/bucket=*/*.parquet"))
     assert n1 == n2
+
+
+def test_compact_index_exact_preserves_probe_results(tmp_path):
+    """Compacting two exact-index dumps into one dir is
+    probe-equivalent: same states AND same n_ref occurrence counts
+    (compaction concatenates, never dedupes)."""
+    from dedup.incremental import (compact_index,
+                                   incremental_exact_dedup_bucketed,
+                                   write_key_index)
+    ref1 = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()), "text": [A, B]}))
+    ref2 = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([3, 4], pa.int64()), "text": [A, C]}))
+    new = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "text": [A, C, D]}))
+    i1 = write_key_index(ref1, _cfg(), str(tmp_path / "d1"), n_buckets=16)
+    i2 = write_key_index(ref2, _cfg(), str(tmp_path / "d2"), n_buckets=16)
+    rep = compact_index([i1, i2], str(tmp_path / "merged"))
+    assert rep["rows_in"] == rep["rows_out"] == 4  # exact: no dedupe
+    base = _rows(incremental_exact_dedup_bucketed(
+        new, [i1, i2], _cfg(), n_buckets=16, num_partitions=4))
+    got = _rows(incremental_exact_dedup_bucketed(
+        new, str(tmp_path / "merged"), _cfg(), n_buckets=16,
+        num_partitions=4))
+    assert got == base
+    assert got[10] == ("ref_dup", -1, 0, 2)  # occurrence count intact
+
+
+def test_compact_index_bands_dedupes_and_preserves_flags(tmp_path):
+    from dedup.config import DedupConfig
+    from dedup.incremental import (compact_index,
+                                   incremental_minhash_filter,
+                                   write_band_index)
+    words = [f"w{i}" for i in range(160)]
+    base_txt = " ".join(words)
+    ref1 = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()), "text": [base_txt]}))
+    ref2 = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([2], pa.int64()), "text": [base_txt]}))
+    near = " ".join(words[:150] + ["X1", "X2", "X3", "X4", "X5",
+                                   "X6", "X7", "X8", "X9", "X10"])
+    far = " ".join(reversed([w.upper() for w in words]))
+    new = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11], pa.int64()),
+        "text": [near, far]}))
+    cfg = DOCUMENTS_CONFIG.with_(exact=False, simhash=False,
+                                 substring=False, near=True)
+    i1 = write_band_index(ref1, cfg, str(tmp_path / "b1"), n_buckets=16)
+    i2 = write_band_index(ref2, cfg, str(tmp_path / "b2"), n_buckets=16)
+    rep = compact_index([i1, i2], str(tmp_path / "bm"))
+    assert rep["rows_out"] < rep["rows_in"]  # identical dumps dedupe
+    base = incremental_minhash_filter(new, [i1, i2], cfg, n_buckets=16) \
+        .sort("doc_id").to_pandas()
+    got = incremental_minhash_filter(new, str(tmp_path / "bm"), cfg,
+                                     n_buckets=16) \
+        .sort("doc_id").to_pandas()
+    assert list(got["ref_near"]) == list(base["ref_near"]) == [True, False]
+
+
+def test_compact_index_rejects_mismatched_dumps(tmp_path):
+    import pytest
+    from dedup.incremental import compact_index, write_key_index
+    ref = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()), "text": [A]}))
+    i1 = write_key_index(ref, _cfg(), str(tmp_path / "x1"), n_buckets=16)
+    i2 = write_key_index(ref, _cfg(), str(tmp_path / "x2"), n_buckets=32)
+    with pytest.raises(ValueError):
+        compact_index([i1, i2], str(tmp_path / "bad"))
