@@ -1909,6 +1909,15 @@ def _q_bpe_stats(sf_dir: str):
     return bpe_encode_stats(docs, merges).sort("doc_id")
 
 
+def _q_compression_ratio(sf_dir: str):
+    """Entropy-style quality signal: per-doc zlib ratio.  Rows-only
+    (DuckDB has no zlib); n_bytes doubles as a self-check (it equals
+    octet_length(text)) and determinism/naive-parity are
+    pytest-asserted."""
+    return textstats.compression_ratio(
+        _docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
+
+
 def _q_validate_rows(sf_dir: str):
     """Data-quality validation gate: four declarative rules (null /
     range / set / uniqueness) evaluated distributed, reported one row
@@ -2591,6 +2600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": _q_quality_classifier,
         "tokenize_and_pack": _q_tokenize_and_pack,
         "validate_rows": _q_validate_rows,
+        "compression_ratio": _q_compression_ratio,
         "substring_sa_dedup": _q_substring_sa_dedup,
         "substring_sa_recall": _q_substring_sa_recall,
         "ngram_jaccard_recall": _q_ngram_jaccard_recall,

@@ -2062,3 +2062,39 @@ def bm25_topk(ds: ray.data.Dataset, queries: list[tuple[int, str]],
 
     scored = ds.map_batches(_score, batch_format="pyarrow")
     return groupapply(scored, "k", _topk, num_partitions)
+
+
+def compression_ratio(ds: ray.data.Dataset, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      level: int = 6) -> ray.data.Dataset:
+    """Per-document zlib compression ratio — the entropy-style quality
+    signal (DCLM/RefinedWeb-family filters): highly repetitive
+    boilerplate compresses far below natural prose, machine-generated
+    noise barely compresses at all.  Output: (id, n_bytes,
+    compressed_bytes, ratio_e6 = floor(compressed/raw * 1e6); empty
+    docs report ratio 1e6 — degenerate docs must not sort as
+    highest-quality).
+
+    Per-row zlib.compress is inherent (an opaque-payload kernel, like
+    the media decoders) but runs in C per doc; the stage is shuffle-free
+    and deterministic (zlib output is fixed for a given level)."""
+    import zlib
+
+    def _f(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        raw = np.zeros(len(texts), dtype=np.int64)
+        comp = np.zeros(len(texts), dtype=np.int64)
+        for i, s in enumerate(texts):
+            b = (s or "").encode("utf-8")
+            raw[i] = len(b)
+            comp[i] = len(zlib.compress(b, level)) if b else 0
+        ratio = np.where(raw > 0, (comp * 1_000_000) // np.maximum(raw, 1),
+                         1_000_000).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            "n_bytes": pa.array(raw, pa.int64()),
+            "compressed_bytes": pa.array(comp, pa.int64()),
+            "ratio_e6": pa.array(ratio, pa.int64()),
+        })
+
+    return ds.map_batches(_f, batch_format="pyarrow")

@@ -248,6 +248,27 @@ def test_chunk_documents_matches_naive():
     assert list(map(tuple, got.itertuples(index=False))) == rows
 
 
+def test_compression_ratio_matches_zlib_and_orders_quality():
+    import zlib
+    from dedup.textstats import compression_ratio
+    boiler = "spam spam spam " * 50          # compresses hard
+    prose = " ".join(f"w{i}x{i * 7 % 13}" for i in range(150))
+    texts = [boiler, prose, "", None]
+    t = pa.table({"doc_id": [0, 1, 2, 3], "text": texts})
+    out = compression_ratio(ray.data.from_arrow(t).repartition(2)) \
+        .sort("doc_id").to_pandas()
+    for i, s in enumerate(texts):
+        b = (s or "").encode()
+        assert out.loc[i, "n_bytes"] == len(b)
+        want = len(zlib.compress(b, 6)) if b else 0
+        assert out.loc[i, "compressed_bytes"] == want
+    # repetitive boilerplate compresses far below varied prose
+    assert out.loc[0, "ratio_e6"] < out.loc[1, "ratio_e6"]
+    # degenerate docs pin to 1e6, never "best quality"
+    assert out.loc[2, "ratio_e6"] == 1_000_000
+    assert out.loc[3, "ratio_e6"] == 1_000_000
+
+
 def test_chunk_documents_rejects_bad_overlap():
     import pytest
     from dedup.textstats import chunk_documents
