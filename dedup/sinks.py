@@ -100,7 +100,8 @@ def write_survivors(pages: ray.data.Dataset, assignments: ray.data.Dataset,
 def write_training_shards(ds: "ray.data.Dataset", out_dir: str,
                           docs_per_shard: int, id_col: str = "doc_id",
                           carry_cols: tuple = ("text",),
-                          num_partitions: int = 32) -> str:
+                          num_partitions: int = 32,
+                          format: str = "parquet") -> str:
     """Deterministic training-shard layout: the corpus is written in its
     training order (textstats.corpus_shuffle — the engine-independent
     (md5(id), id) permutation) as ``out_dir/shard=K/`` with exactly
@@ -109,11 +110,15 @@ def write_training_shards(ds: "ray.data.Dataset", out_dir: str,
     the directory (never appends), and because rank assignment is
     content-independent and deterministic, re-exporting after adding
     dumps yields the same prefix property the shuffle guarantees.
-    One small bucket-count exchange (corpus_shuffle) + the parquet
-    write; no global sort."""
+    One small bucket-count exchange (corpus_shuffle) + the write; no
+    global sort.  ``format='jsonl'`` writes newline-delimited JSON
+    instead of parquet (trainer-interop parity with the JSONL source
+    path in ingest.read_input)."""
     import ray.data  # noqa: F401  (type only)
     from .textstats import corpus_shuffle
 
+    if format not in ("parquet", "jsonl"):
+        raise ValueError(f"unknown shard format {format!r}")
     _fresh_dir(out_dir)
     ranked = corpus_shuffle(ds, id_col=id_col, carry_cols=tuple(carry_cols),
                             num_partitions=num_partitions)
@@ -123,6 +128,39 @@ def write_training_shards(ds: "ray.data.Dataset", out_dir: str,
         return t.append_column(
             "shard", pa.array(r // docs_per_shard, pa.int64()))
 
-    ranked.map_batches(_shard, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=["shard"])
+    sharded = ranked.map_batches(_shard, batch_format="pyarrow")
+    if format == "parquet":
+        sharded.write_parquet(out_dir, partition_cols=["shard"])
+    else:
+        # per-shard jsonl: one task per shard id range writes
+        # shard=K/part.jsonl task-locally (the compact_index discipline)
+        import json as _json
+        import os
+
+        from .dist import groupapply
+
+        def _key(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "k", t["shard"].cast(pa.uint64()))
+
+        def _write(t: pa.Table) -> pa.Table:
+            import numpy as np
+            sh = t["shard"].to_numpy(zero_copy_only=False)
+            rk = t["shuffle_rank"].to_numpy(zero_copy_only=False)
+            written = []
+            for s in np.unique(sh):
+                sub = t.filter(pa.array(sh == s))
+                order = pa.compute.sort_indices(sub["shuffle_rank"])
+                sub = sub.take(order).drop_columns(["shard", "k"])
+                d = os.path.join(out_dir, f"shard={int(s)}")
+                os.makedirs(d, exist_ok=True)
+                with open(os.path.join(d, "part-0.jsonl"), "w") as fh:
+                    for row in sub.to_pylist():
+                        fh.write(_json.dumps(row, sort_keys=True) + "\n")
+                written.append(int(s))
+            _ = rk
+            return pa.table({"shard": pa.array(written, pa.int64())})
+
+        groupapply(sharded.map_batches(_key, batch_format="pyarrow"),
+                   "k", _write, num_partitions).materialize()
     return out_dir

@@ -109,3 +109,34 @@ def test_write_training_shards(tmp_path):
         layouts.append(full[["doc_id", "shuffle_rank", "text"]])
     import pandas.testing as pdt
     pdt.assert_frame_equal(layouts[0], layouts[1])
+
+
+def test_write_training_shards_jsonl(tmp_path):
+    """JSONL shard export: same deterministic layout/permutation as the
+    parquet path, newline-JSON payload, rank-ordered within shards."""
+    import json
+
+    from dedup.sinks import write_training_shards
+    rows = [{"doc_id": i, "text": f"doc {i}"} for i in range(25)]
+    out_p = write_training_shards(
+        ray.data.from_items(rows).repartition(3),
+        str(tmp_path / "pq"), docs_per_shard=8)
+    out_j = write_training_shards(
+        ray.data.from_items(rows).repartition(5),
+        str(tmp_path / "jl"), docs_per_shard=8, format="jsonl")
+    import pyarrow.parquet as pq
+    for shard in sorted(os.listdir(out_p)):
+        if not shard.startswith("shard="):
+            continue
+        pt = pq.read_table(os.path.join(out_p, shard)) \
+            .sort_by("shuffle_rank")
+        with open(os.path.join(out_j, shard, "part-0.jsonl")) as fh:
+            jrows = [json.loads(ln) for ln in fh]
+        assert [r["doc_id"] for r in jrows] == \
+            pt["doc_id"].to_pylist()          # identical permutation
+        assert [r["shuffle_rank"] for r in jrows] == \
+            sorted(r["shuffle_rank"] for r in jrows)
+    import pytest
+    with pytest.raises(ValueError):
+        write_training_shards(ray.data.from_items(rows),
+                              str(tmp_path / "bad"), 8, format="csv")
