@@ -223,7 +223,6 @@ def test_approx_quantiles_bounded_error_and_blocking_invariant():
 
 def test_chunk_documents_matches_naive():
     from dedup.textstats import chunk_documents
-    rng = np.random.default_rng(5)
     texts = []
     for n in [0, 1, 7, 8, 9, 20, 33, 100]:
         texts.append(" ".join(f"t{i}" for i in range(n)))
