@@ -2258,6 +2258,46 @@ def _q_pages_dedup_recall(sf_dir: str):
     return _recall_table(out, paths["truth"])
 
 
+def _q_pages_dedup_bcubed(sf_dir: str):
+    """B-cubed precision/recall of the full pipeline's CLUSTERING vs
+    the planted truth — stricter than dup-pair recall (it also
+    penalizes over-merging and cluster fragmentation, per-document
+    averaged: Bagga & Baldwin 1998 / Amigó et al. 2009).  Docs the
+    pipeline filters (ignored/error) are excluded from both sides —
+    they cannot cluster by contract.  Bounded driver-side work: the
+    4k-doc planted fixture."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from dedup.synth import write_pages
+    paths = write_pages("/tmp/dedup_pages_recall", n_docs=4000, seed=42)
+    ds = ray.data.read_parquet(paths["pages"])
+    out = run_dedup(ds, DedupConfig(), check_html=False).to_pandas()
+    truth = pq.read_table(paths["truth"]).to_pandas()
+    m = out.merge(truth[["url", "cluster_id"]].rename(
+        columns={"cluster_id": "truth_cid"}), on="url")
+    m = m[m["state"].isin(["keep", "delete", "unique"])].reset_index()
+    # singletons get their own key on both sides (pred cluster_id is
+    # the keeper url string, "" for singletons; truth is int, -1)
+    row_key = pd.Series([f"\0row{i}" for i in m.index], index=m.index)
+    pred = m["cluster_id"].where(m["cluster_id"] != "", row_key)
+    tru = m["truth_cid"].astype(str).where(m["truth_cid"] >= 0, row_key)
+    df = pd.DataFrame({"p": pred, "t": tru})
+    n = len(df)
+    cell = df.groupby(["p", "t"]).size().rename("n").reset_index()
+    psz = df.groupby("p").size().rename("ps").reset_index()
+    tsz = df.groupby("t").size().rename("ts").reset_index()
+    cell = cell.merge(psz, on="p").merge(tsz, on="t")
+    prec = float((cell["n"] ** 2 / cell["ps"]).sum() / n)
+    rec = float((cell["n"] ** 2 / cell["ts"]).sum() / n)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-12)
+    return pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "bcubed_precision_e6": pa.array([int(prec * 1e6)], pa.int64()),
+        "bcubed_recall_e6": pa.array([int(rec * 1e6)], pa.int64()),
+        "bcubed_f1_e6": pa.array([int(f1 * 1e6)], pa.int64()),
+    })
+
+
 def _method_recall(method: str, classes: tuple[str, ...]):
     """Per-pass recall query: run ONLY the named edge pass over the
     planted pages corpus and report dup-pair recall on the fixture
@@ -2601,6 +2641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize_and_pack": _q_tokenize_and_pack,
         "validate_rows": _q_validate_rows,
         "compression_ratio": _q_compression_ratio,
+        "pages_dedup_bcubed": _q_pages_dedup_bcubed,
         "substring_sa_dedup": _q_substring_sa_dedup,
         "substring_sa_recall": _q_substring_sa_recall,
         "ngram_jaccard_recall": _q_ngram_jaccard_recall,
