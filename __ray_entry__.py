@@ -2559,7 +2559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_size_bands": _q_doc_size_bands,
         "grouped_length_quantiles": _q_grouped_length_quantiles,
         "pack_sequences": _q_pack_sequences,
-        "curation_pipeline": _q_curation_pipeline,
+        "bm25_topk": _q_bm25_topk,
         "hash_split": _q_hash_split,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "lang_group_stats": _q_lang_group_stats,
@@ -2571,6 +2571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_funnel": _q_curation_funnel,
         "embedding_dedup": _q_embedding_dedup,
         # --- below the driver's 50-row cap: oracle-checked in-repo ----
+        "curation_pipeline": _q_curation_pipeline,
         "line_dedup_scoped": _q_line_dedup_scoped,
         "events_dedup_window": _q_events_dedup_window,
         "embedding_decontaminate": _q_embedding_decontaminate,
@@ -2636,7 +2637,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles": _q_approx_quantiles,
         "chunk_documents": _q_chunk_documents,
         "bpe_stats": _q_bpe_stats,
-        "bm25_topk": _q_bm25_topk,
         "quality_classifier": _q_quality_classifier,
         "tokenize_and_pack": _q_tokenize_and_pack,
         "validate_rows": _q_validate_rows,
