@@ -1909,6 +1909,35 @@ def _q_bpe_stats(sf_dir: str):
     return bpe_encode_stats(docs, merges).sort("doc_id")
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """Crawl-ops snapshot diff: two overlapping snapshots derived
+    deterministically from documents (old = doc_id % 3 != 0,
+    new = doc_id % 5 != 0 with text amended ' v2' when doc_id % 7 == 0)
+    -> one status row per id (added/removed/changed/unchanged), 16-byte
+    digests on the one shuffle, never text."""
+    from dedup.incremental import snapshot_diff
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _old(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 3 != 0))
+
+    def _new(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 5 != 0))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        txt = t["text"]
+        amended = pc.binary_join_element_wise(
+            pc.fill_null(txt, ""), "v2", " ")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": pc.if_else(pa.array(ids % 7 == 0), amended, txt)})
+
+    old = docs.map_batches(_old, batch_format="pyarrow")
+    new = docs.map_batches(_new, batch_format="pyarrow")
+    return snapshot_diff(old, new).sort("doc_id")
+
+
 def _q_compression_ratio(sf_dir: str):
     """Entropy-style quality signal: per-doc zlib ratio.  Rows-only
     (DuckDB has no zlib); n_bytes doubles as a self-check (it equals
@@ -2642,6 +2671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_rows": _q_validate_rows,
         "compression_ratio": _q_compression_ratio,
         "pages_dedup_bcubed": _q_pages_dedup_bcubed,
+        "snapshot_diff": _q_snapshot_diff,
         "substring_sa_dedup": _q_substring_sa_dedup,
         "substring_sa_recall": _q_substring_sa_recall,
         "ngram_jaccard_recall": _q_ngram_jaccard_recall,
@@ -4078,6 +4108,23 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY score_e12 DESC, doc_id) AS rn FROM sc)
         WHERE rn <= 10
         ORDER BY query_id, score_e12 DESC, doc_id"""
+    sql["snapshot_diff"] = r"""
+        WITH oldsnap AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        newsnap AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN coalesce(text, '') || ' v2'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 5 <> 0)
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN coalesce(o.text, '') = coalesce(n.text, '')
+                         THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
+        ORDER BY doc_id"""
     sql["validate_rows"] = r"""
         SELECT 'lang_in_set' AS rule,
                CAST(count(lang) AS BIGINT) AS n_checked,

@@ -929,3 +929,80 @@ def compact_index(index_dirs: list[str], out_dir: str) -> dict:
     return {"buckets": int(len(report)),
             "rows_in": int(report["rows_in"].sum()),
             "rows_out": int(report["rows_out"].sum())}
+
+
+def snapshot_diff(old: ray.data.Dataset, new: ray.data.Dataset,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  num_partitions: int = 32) -> ray.data.Dataset:
+    """Crawl-ops snapshot diff: one row per id present in either
+    snapshot with status ``added`` (new only) / ``removed`` (old only)
+    / ``changed`` (both, content differs) / ``unchanged``.  The
+    operational companion to incremental dedup — what changed between
+    dumps, not just what duplicates what.
+
+    Scale shape: each side is reduced per batch to (id, md5-128 content
+    digest) rows — 16 bytes/doc ride the ONE id-hash shuffle, never the
+    text (the exact-key discipline); per-partition compare is one
+    lexsort.  Ids must be unique within each snapshot (the snapshot
+    contract; duplicate ids raise)."""
+    import hashlib
+
+    from .corpus import _key64_ids
+    from .dist import segments
+
+    def _digest(side: int):
+        def _f(t: pa.Table) -> pa.Table:
+            ids = t[id_col]
+            txt = t[text_col].to_pylist()
+            dig = [hashlib.md5((s or "").encode()).digest() for s in txt]
+            ids_arr = ids.combine_chunks() if isinstance(
+                ids, pa.ChunkedArray) else ids
+            return pa.table({
+                "k": pa.array(_key64_ids(ids_arr), pa.uint64()),
+                "id": ids_arr,
+                "side": pa.array(np.full(t.num_rows, side, np.int8)),
+                "dig": pa.array(dig, pa.binary()),
+            })
+        return _f
+
+    both = old.map_batches(_digest(0), batch_format="pyarrow").union(
+        new.map_batches(_digest(1), batch_format="pyarrow"))
+
+    def _cmp(t: pa.Table) -> pa.Table:
+        ids = t["id"]
+        if pa.types.is_integer(ids.type):
+            keys = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            d = pc.dictionary_encode(
+                ids.combine_chunks() if isinstance(ids, pa.ChunkedArray)
+                else ids)
+            keys = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        dig = t["dig"].to_pylist()
+        order, starts, _ = segments(keys)
+        out_idx, out_status = [], []
+        for a, b in zip(starts[:-1], starts[1:]):
+            g = order[a:b]
+            s = side[g]
+            n_old, n_new = int((s == 0).sum()), int((s == 1).sum())
+            if n_old > 1 or n_new > 1:
+                raise ValueError(
+                    "snapshot_diff: duplicate id within one snapshot")
+            out_idx.append(int(g[0]))
+            if n_old and not n_new:
+                out_status.append("removed")
+            elif n_new and not n_old:
+                out_status.append("added")
+            else:
+                o = g[s == 0][0]
+                n = g[s == 1][0]
+                out_status.append(
+                    "unchanged" if dig[o] == dig[n] else "changed")
+        ids_a = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) \
+            else ids
+        return pa.table({
+            id_col: ids_a.take(pa.array(out_idx, pa.int64())),
+            "status": pa.array(out_status, pa.string()),
+        })
+
+    return groupapply(both, "k", _cmp, num_partitions)

@@ -332,3 +332,30 @@ def test_compact_index_rejects_mismatched_dumps(tmp_path):
     i2 = write_key_index(ref, _cfg(), str(tmp_path / "x2"), n_buckets=32)
     with pytest.raises(ValueError):
         compact_index([i1, i2], str(tmp_path / "bad"))
+
+
+def test_snapshot_diff_statuses_and_contract():
+    import pandas as pd
+    import pytest
+    from dedup.incremental import snapshot_diff
+    old = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["a", "b", "c", None]}))
+    new = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([2, 3, 4, 5], pa.int64()),
+        "text": ["b", "C!", "", None]}))
+    out = snapshot_diff(old, new).sort("doc_id").to_pandas()
+    # null and "" digest identically (null-safe contract): 4 unchanged
+    assert out.set_index("doc_id")["status"].to_dict() == {
+        1: "removed", 2: "unchanged", 3: "changed",
+        4: "unchanged", 5: "added"}
+    # determinism across blocking
+    out2 = snapshot_diff(old.repartition(3), new.repartition(2),
+                         num_partitions=7).sort("doc_id").to_pandas()
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  out2.reset_index(drop=True))
+    # duplicate id within one snapshot violates the contract
+    dup = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 1], pa.int64()), "text": ["x", "y"]}))
+    with pytest.raises(Exception):
+        snapshot_diff(dup, new).materialize()
