@@ -1909,6 +1909,15 @@ def _q_bpe_stats(sf_dir: str):
     return bpe_encode_stats(docs, merges).sort("doc_id")
 
 
+def _q_hourly_distinct(sf_dir: str):
+    """Exact distinct users per tumbling hour: distinct (window, user)
+    pairs per batch ride the one shuffle, never events."""
+    from dedup.windows import windowed_distinct
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+    return windowed_distinct(ev, key_col="user_id")
+
+
 def _q_snapshot_diff(sf_dir: str):
     """Crawl-ops snapshot diff: two overlapping snapshots derived
     deterministically from documents (old = doc_id % 3 != 0,
@@ -2672,6 +2681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": _q_compression_ratio,
         "pages_dedup_bcubed": _q_pages_dedup_bcubed,
         "snapshot_diff": _q_snapshot_diff,
+        "hourly_distinct": _q_hourly_distinct,
         "substring_sa_dedup": _q_substring_sa_dedup,
         "substring_sa_recall": _q_substring_sa_recall,
         "ngram_jaccard_recall": _q_ngram_jaccard_recall,
@@ -4125,6 +4135,11 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'changed' END AS status
         FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
         ORDER BY doc_id"""
+    sql["hourly_distinct"] = """
+        SELECT date_trunc('hour', ts) AS window_start,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1 ORDER BY 1"""
     sql["validate_rows"] = r"""
         SELECT 'lang_in_set' AS rule,
                CAST(count(lang) AS BIGINT) AS n_checked,

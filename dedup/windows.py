@@ -396,3 +396,59 @@ def windowed_dedup(events: ray.data.Dataset,
 
     return groupapply(rows, "skey", _part, num_partitions) \
         .map_batches(_rename, batch_format="pyarrow").sort(id_col)
+
+
+def windowed_distinct(events: ray.data.Dataset, key_col: str = "user",
+                      ts_col: str = "ts",
+                      num_partitions: int = 32) -> ray.data.Dataset:
+    """Exact distinct-key count per tumbling 1-hour window (hourly
+    unique users — the streaming-analytics staple): (window_start,
+    n_distinct, n_events).
+
+    Scale shape: per batch, events reduce to DISTINCT (window, key)
+    pairs plus a per-window event-count partial — the shuffle carries
+    one row per distinct pair per batch, never the event stream; one
+    window-keyed groupapply then counts per-window distinct keys with a
+    lexsort (re-deduping pairs that recur across batches).  For
+    cardinalities where even distinct pairs are too many, the
+    approximate path is ``textstats.approx_distinct`` per window."""
+    from .dist import groupapply, mix64, segments
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(t[ts_col], unit="hour")
+        tmp = pa.table({"w": win, "key": t[key_col]})
+        g = tmp.group_by(["w", "key"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["w", "key", "n"])
+        wi = g["w"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array(mix64(wi.astype(np.uint64)), pa.uint64()),
+            "w": g["w"],
+            "key": g["key"],
+            "n": g["n"].cast(pa.int64()),
+        })
+
+    pairs = events.map_batches(_pairs, batch_format="pyarrow")
+
+    def _count(t: pa.Table) -> pa.Table:
+        wi = t["w"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        kd = pc.dictionary_encode(
+            t["key"].combine_chunks() if isinstance(
+                t["key"], pa.ChunkedArray) else t["key"])
+        kc = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        order, starts, uniq_w = segments(wi)
+        out_w, out_d, out_n = [], [], []
+        for a, b, w in zip(starts[:-1], starts[1:], uniq_w):
+            g = order[a:b]
+            out_w.append(int(w))
+            out_d.append(int(len(np.unique(kc[g]))))
+            out_n.append(int(n[g].sum()))
+        return pa.table({
+            "window_start": pa.array(out_w, pa.int64()).cast(
+                t["w"].type),
+            "n_distinct": pa.array(out_d, pa.int64()),
+            "n_events": pa.array(out_n, pa.int64()),
+        })
+
+    return groupapply(pairs, "k", _count, num_partitions) \
+        .sort("window_start")

@@ -417,3 +417,29 @@ def test_user_event_deltas_tie_break_on_event_id():
     out = user_event_deltas(ray.data.from_arrow(t)).to_pandas()
     assert out["event_id"].tolist() == [2, 5, 9]
     assert out["prev_gap_us"].tolist() == [-1, 0, 0]
+
+
+def test_windowed_distinct_matches_naive_and_blocking():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from dedup.windows import windowed_distinct
+    rng = np.random.default_rng(3)
+    base = pd.Timestamp("2024-01-01")
+    rows = [{"ts": base + pd.Timedelta(minutes=int(rng.integers(0, 600))),
+             "user_id": int(rng.integers(0, 25))} for _ in range(800)]
+    t = pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+    got = windowed_distinct(ray.data.from_arrow(t).repartition(4),
+                            key_col="user_id").to_pandas()
+    df = pd.DataFrame(rows)
+    df["w"] = df["ts"].dt.floor("h")
+    want = df.groupby("w").agg(n_distinct=("user_id", "nunique"),
+                               n_events=("user_id", "size")).reset_index()
+    assert got["window_start"].tolist() == want["w"].tolist()
+    assert got["n_distinct"].tolist() == want["n_distinct"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    got2 = windowed_distinct(ray.data.from_arrow(t).repartition(13),
+                             key_col="user_id",
+                             num_partitions=5).to_pandas()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  got2.reset_index(drop=True))
