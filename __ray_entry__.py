@@ -1909,6 +1909,15 @@ def _q_bpe_stats(sf_dir: str):
     return bpe_encode_stats(docs, merges).sort("doc_id")
 
 
+def _q_grouped_heavy_hitters(sf_dir: str):
+    """Per-language heavy hitters (exact counts, bounded sketch state):
+    every token above n_lang/32 of its language's token mass."""
+    from dedup.textstats import grouped_heavy_hitters
+    return grouped_heavy_hitters(
+        _docs(sf_dir, ["doc_id", "lang", "text"]), group_col="lang",
+        capacity=32)
+
+
 def _q_hourly_distinct(sf_dir: str):
     """Exact distinct users per tumbling hour: distinct (window, user)
     pairs per batch ride the one shuffle, never events."""
@@ -2682,6 +2691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_dedup_bcubed": _q_pages_dedup_bcubed,
         "snapshot_diff": _q_snapshot_diff,
         "hourly_distinct": _q_hourly_distinct,
+        "grouped_heavy_hitters": _q_grouped_heavy_hitters,
         "substring_sa_dedup": _q_substring_sa_dedup,
         "substring_sa_recall": _q_substring_sa_recall,
         "ngram_jaccard_recall": _q_ngram_jaccard_recall,
@@ -4140,6 +4150,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
                CAST(count(*) AS BIGINT) AS n_events
         FROM events GROUP BY 1 ORDER BY 1"""
+    sql["grouped_heavy_hitters"] = r"""
+        WITH tok AS (
+          SELECT lang,
+                 unnest(list_filter(regexp_split_to_array(
+                            coalesce(text, ''), '\s+'),
+                        x -> x <> '')) AS token
+          FROM documents WHERE lang IS NOT NULL),
+        tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                FROM tok GROUP BY lang),
+        cnts AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+                 FROM tok GROUP BY lang, token)
+        SELECT c.lang, c.token, c.cnt
+        FROM cnts c JOIN tot USING (lang)
+        WHERE c.cnt * 32 > tot.n
+        ORDER BY lang, cnt DESC, token"""
     sql["validate_rows"] = r"""
         SELECT 'lang_in_set' AS rule,
                CAST(count(lang) AS BIGINT) AS n_checked,

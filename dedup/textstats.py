@@ -2098,3 +2098,118 @@ def compression_ratio(ds: ray.data.Dataset, id_col: str = "doc_id",
         })
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def _as_arr(a) -> pa.Array:
+    return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+
+def grouped_heavy_hitters(ds: ray.data.Dataset, group_col: str = "lang",
+                          capacity: int = 64,
+                          text_col: str = "text") -> ray.data.Dataset:
+    """Per-GROUP heavy hitters with exact counts: for every group g,
+    all tokens whose in-group frequency is strictly greater than
+    n_g / capacity — ``heavy_hitters`` with the Misra-Gries bound
+    applied per (block, group), so per-block state stays
+    <= groups_in_block * (capacity - 1) rows regardless of vocabulary
+    (the web-scale replacement for a per-language vocabulary shuffle).
+
+    Same sketch-then-verify exactness argument as the global op: the
+    per-(block, group) survivors are a pigeonhole superset of the true
+    per-group heavy hitters, and the second pass counts ONLY candidates
+    exactly, so the output equals the SQL ``HAVING cnt*capacity > n_g``
+    answer under any blocking.  Group values must not contain NUL
+    (the composite-key separator); null groups are skipped."""
+    SEP = "\x00"
+
+    def _cands(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(t[text_col], ""),
+                                      pattern=r"\s+")
+        nper = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        flat = flat.filter(keep)
+        parent = np.repeat(np.arange(t.num_rows), nper)[keep_np]
+        grp = _as_arr(t[group_col]).cast(pa.string()) \
+            .take(pa.array(parent, pa.int64()))
+        ok = pc.invert(pc.is_null(grp))
+        grp, flat = grp.filter(ok), flat.filter(ok)
+        comp = pc.binary_join_element_wise(grp, flat, SEP)
+        vc = comp.value_counts()
+        vals = _as_arr(vc.field("values"))
+        cnts = vc.field("counts").cast(pa.int64())
+        gvc = grp.value_counts()
+        out_tok, out_nb = [], []
+        for g, n_bg in zip(gvc.field("values").to_pylist(),
+                           gvc.field("counts").to_pylist()):
+            m = pc.starts_with(vals, g + SEP)
+            sel = pc.and_(m, pc.greater(
+                pc.multiply(cnts, pa.scalar(capacity, pa.int64())),
+                pa.scalar(int(n_bg), pa.int64())))
+            for v in vals.filter(sel).to_pylist():
+                out_tok.append(v)
+                out_nb.append(0)
+            out_tok.append(g + SEP)        # sentinel: group block total
+            out_nb.append(int(n_bg))
+        return pa.table({"comp": pa.array(out_tok, pa.string()),
+                         "n_b": pa.array(out_nb, pa.int64())})
+
+    cand: set[str] = set()
+    totals: dict[str, int] = {}
+    for b in ds.map_batches(_cands, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for comp, nb in zip(b["comp"].to_pylist(), b["n_b"].to_pylist()):
+            if comp.endswith(SEP):
+                g = comp[:-1]
+                totals[g] = totals.get(g, 0) + nb
+            else:
+                cand.add(comp)
+    _schema = pa.schema([(group_col, pa.string()),
+                         ("token", pa.string()), ("cnt", pa.int64())])
+    if not cand:
+        return ray.data.from_arrow(_schema.empty_table())
+    ref = ray.put(pa.array(sorted(cand), pa.string()))
+
+    def _exact(t: pa.Table) -> pa.Table:
+        cands = ray.get(ref)
+        toks = pc.split_pattern_regex(pc.fill_null(t[text_col], ""),
+                                      pattern=r"\s+")
+        nper = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        flat = flat.filter(keep)
+        parent = np.repeat(np.arange(t.num_rows), nper)[keep_np]
+        grp = _as_arr(t[group_col]).cast(pa.string()) \
+            .take(pa.array(parent, pa.int64()))
+        ok = pc.invert(pc.is_null(grp))
+        comp = pc.binary_join_element_wise(grp.filter(ok),
+                                           flat.filter(ok), SEP)
+        comp = comp.filter(pc.is_in(comp, value_set=cands))
+        vc = comp.value_counts()
+        return pa.table({"comp": vc.field("values"),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+
+    agg = ds.map_batches(_exact, batch_format="pyarrow") \
+            .groupby("comp").sum("cnt")
+
+    def _final(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["comp", "cnt"])
+        parts = pc.split_pattern(t["comp"], pattern=SEP, max_splits=1)
+        g = pc.list_element(parts, 0)
+        tok = pc.list_element(parts, 1)
+        gl = g.to_pylist() if not isinstance(g, pa.ChunkedArray) \
+            else g.combine_chunks().to_pylist()
+        n_g = np.array([totals.get(x, 0) for x in gl], dtype=np.int64)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        keep = cnt * capacity > n_g
+        out = pa.table({group_col: g, "token": tok,
+                        "cnt": t["cnt"]}).filter(pa.array(keep))
+        return out
+
+    return agg.map_batches(_final, batch_format="pyarrow") \
+        .sort([group_col, "cnt", "token"],
+              descending=[False, True, False])

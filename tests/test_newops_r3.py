@@ -443,3 +443,45 @@ def test_windowed_distinct_matches_naive_and_blocking():
                              num_partitions=5).to_pandas()
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   got2.reset_index(drop=True))
+
+
+def test_grouped_heavy_hitters_exact_and_blocking_invariant():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from collections import Counter
+    from dedup.textstats import grouped_heavy_hitters
+    rng = np.random.default_rng(11)
+    langs = ["en", "de", "fr"]
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(300):
+        g = langs[int(rng.integers(0, 3))]
+        # skew: each lang has its own hot word
+        pool = words + [f"hot_{g}"] * 15
+        rows.append({"doc_id": i, "lang": g,
+                     "text": " ".join(rng.choice(pool, size=12))})
+    rows.append({"doc_id": 300, "lang": None, "text": "skip me"})
+    cap = 16
+    got = grouped_heavy_hitters(
+        ray.data.from_items(rows).repartition(4), group_col="lang",
+        capacity=cap).to_pandas()
+    # naive exact answer
+    want = []
+    for g in langs:
+        c = Counter()
+        for r in rows:
+            if r["lang"] == g:
+                c.update(r["text"].split())
+        n_g = sum(c.values())
+        for tok, cnt in c.items():
+            if cnt * cap > n_g:
+                want.append((g, tok, cnt))
+    want.sort(key=lambda x: (x[0], -x[2], x[1]))
+    assert list(map(tuple, got.itertuples(index=False))) == want
+    assert any(t.startswith("hot_") for _, t, _ in want)  # non-vacuous
+    got2 = grouped_heavy_hitters(
+        ray.data.from_items(rows).repartition(13), group_col="lang",
+        capacity=cap).to_pandas()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  got2.reset_index(drop=True))
