@@ -67,20 +67,67 @@ def needed_columns(cfg: DedupConfig, has_html: bool = False) -> list[str]:
     return cols
 
 
-def _infer_format(path: str | list[str]) -> str:
-    """File-extension format sniff over the first data file found."""
+def _first_data_file(path: str | list[str]) -> str:
+    """First regular data file under ``path`` (recursing into
+    subdirectories so hive-partitioned layouts like ``shard=0/`` sniff
+    from a FILE name, not a directory name — ADVICE r3)."""
     import os
     p = path[0] if isinstance(path, list) else path
-    if os.path.isdir(p):
-        names = sorted(n for n in os.listdir(p) if not n.startswith(("_", ".")))
-        if names:
-            p = names[0]
-    ext = p.rsplit(".", 1)[-1].lower()
+    while os.path.isdir(p):
+        names = sorted(n for n in os.listdir(p)
+                       if not n.startswith(("_", ".")))
+        if not names:
+            break
+        files = [n for n in names if os.path.isfile(os.path.join(p, n))]
+        p = os.path.join(p, files[0] if files else names[0])
+    return p
+
+
+def _infer_format(path: str | list[str]) -> str:
+    """File-extension format sniff over the first data file found."""
+    ext = _first_data_file(path).rsplit(".", 1)[-1].lower()
     if ext in ("csv", "tsv"):
         return "csv"
     if ext in ("json", "jsonl", "ndjson"):
         return "jsonl"
     return "parquet"
+
+
+def _check_source_columns(path: str | list[str], fmt: str,
+                          cols: list[str]) -> None:
+    """Targeted missing-column error for csv/jsonl sources: pyarrow's
+    include_columns / select_columns fail opaquely when a configured
+    optional column (ts/lang/scope/keeper) is absent, so sniff the first
+    file's header and name the missing columns up front (ADVICE r3)."""
+    import os
+    p = _first_data_file(path)
+    if not os.path.isfile(p):
+        return
+    try:
+        with open(p, "rb") as f:
+            first = f.readline().decode("utf-8", errors="replace").strip()
+    except OSError:
+        return
+    if fmt == "csv":
+        from io import BytesIO
+        from pyarrow import csv as pacsv
+        try:
+            have = set(pacsv.read_csv(
+                BytesIO(first.encode() + b"\n")).column_names)
+        except Exception:
+            return
+    else:
+        import json
+        try:
+            have = set(json.loads(first))
+        except Exception:
+            return
+    missing = [c for c in cols if c not in have]
+    if missing:
+        raise ValueError(
+            f"{fmt} source {p!r} is missing required column(s) "
+            f"{missing} (present: {sorted(have)}); fix the config "
+            "column names or the source schema")
 
 
 def read_input(path: str | list[str], cfg: DedupConfig,
@@ -103,6 +150,8 @@ def read_input(path: str | list[str], cfg: DedupConfig,
     fmt = _infer_format(path) if format == "auto" else format
     if fmt == "parquet":
         return ray.data.read_parquet(path, columns=cols)
+    if fmt in ("csv", "jsonl"):
+        _check_source_columns(path, fmt, cols)
     if fmt == "csv":
         from pyarrow import csv as pacsv
         return ray.data.read_csv(

@@ -185,7 +185,8 @@ def _bench_lsh_pack(bench, num_perm: int, shingle_k: int, seed: int,
     ids_l, sig_l = [], []
     for b in bench.map_batches(_sign, batch_format="pyarrow") \
                   .sort(id_col).iter_batches(batch_format="pyarrow"):
-        ids_l.append(b[id_col].to_pandas().to_numpy())
+        ids_l.append(b[id_col].combine_chunks()
+                     .to_numpy(zero_copy_only=False))
         sig_l.append(_sig_matrix(b["minhash"].combine_chunks(), num_perm))
     ids = np.concatenate(ids_l) if ids_l else np.zeros(0, np.int64)
     sigs = np.concatenate(sig_l) if sig_l else \
@@ -339,6 +340,13 @@ def minhash_decontaminate(train, bench, num_perm: int = 128,
                            bench_text_col or text_col)
     if pack[3].dtype.kind not in "iu":
         raise ValueError("minhash_decontaminate requires integer bench ids")
+    if len(pack[3]) and int(pack[3].min()) < 0:
+        # -1 is the best_bench_id no-hit sentinel; a bench doc with a
+        # negative id could never flag anything (its hits would be
+        # silently suppressed by the sentinel test), so reject up front
+        raise ValueError(
+            "minhash_decontaminate requires non-negative bench ids "
+            "(-1 is the no-collision sentinel in best_bench_id)")
     ref = ray.put(pack)
     return train.map_batches(
         _FuzzyDecontProber,

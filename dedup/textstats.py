@@ -1940,6 +1940,14 @@ def bm25_topk(ds: ray.data.Dataset, queries: list[tuple[int, str]],
     INSIDE the batch, so the one query-keyed shuffle carries
     <= k * queries rows per block."""
     import math
+    id_type = ds.schema().base_schema.field(id_col).type
+    if not (pa.types.is_integer(id_type)):
+        # the scorer carries doc ids through int64 numpy (lexsort prune
+        # + shuffle key); fail loudly instead of an opaque astype error
+        # mid-pipeline (ADVICE r3)
+        raise ValueError(
+            f"bm25_topk requires an integer {id_col!r} column "
+            f"(got {id_type}); map string ids to int64 first")
     terms_by_q: dict[int, list[str]] = {}
     for qid, qtext in queries:
         ts = sorted({w for w in (qtext or "").split() if w})
@@ -2119,7 +2127,9 @@ def grouped_heavy_hitters(ds: ray.data.Dataset, group_col: str = "lang",
     per-group heavy hitters, and the second pass counts ONLY candidates
     exactly, so the output equals the SQL ``HAVING cnt*capacity > n_g``
     answer under any blocking.  Group values must not contain NUL
-    (the composite-key separator); null groups are skipped."""
+    (the composite-key separator; tokens MAY — the split is
+    max_splits=1 and block totals ride out-of-band in their own
+    column); null groups are skipped."""
     SEP = "\x00"
 
     def _cands(t: pa.Table) -> pa.Table:
@@ -2141,7 +2151,7 @@ def grouped_heavy_hitters(ds: ray.data.Dataset, group_col: str = "lang",
         vals = _as_arr(vc.field("values"))
         cnts = vc.field("counts").cast(pa.int64())
         gvc = grp.value_counts()
-        out_tok, out_nb = [], []
+        out_tok, out_nb, out_tot = [], [], []
         for g, n_bg in zip(gvc.field("values").to_pylist(),
                            gvc.field("counts").to_pylist()):
             m = pc.starts_with(vals, g + SEP)
@@ -2151,19 +2161,26 @@ def grouped_heavy_hitters(ds: ray.data.Dataset, group_col: str = "lang",
             for v in vals.filter(sel).to_pylist():
                 out_tok.append(v)
                 out_nb.append(0)
-            out_tok.append(g + SEP)        # sentinel: group block total
+                out_tot.append(False)
+            # group block total rides OUT-OF-BAND in its own flag column
+            # (an in-band endswith-SEP sentinel would misparse any token
+            # that itself ends with a NUL byte — ADVICE r3)
+            out_tok.append(g)
             out_nb.append(int(n_bg))
+            out_tot.append(True)
         return pa.table({"comp": pa.array(out_tok, pa.string()),
-                         "n_b": pa.array(out_nb, pa.int64())})
+                         "n_b": pa.array(out_nb, pa.int64()),
+                         "is_total": pa.array(out_tot, pa.bool_())})
 
     cand: set[str] = set()
     totals: dict[str, int] = {}
     for b in ds.map_batches(_cands, batch_format="pyarrow") \
                .iter_batches(batch_format="pyarrow"):
-        for comp, nb in zip(b["comp"].to_pylist(), b["n_b"].to_pylist()):
-            if comp.endswith(SEP):
-                g = comp[:-1]
-                totals[g] = totals.get(g, 0) + nb
+        for comp, nb, tot in zip(b["comp"].to_pylist(),
+                                 b["n_b"].to_pylist(),
+                                 b["is_total"].to_pylist()):
+            if tot:
+                totals[comp] = totals.get(comp, 0) + nb
             else:
                 cand.add(comp)
     _schema = pa.schema([(group_col, pa.string()),

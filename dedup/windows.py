@@ -434,14 +434,20 @@ def windowed_distinct(events: ray.data.Dataset, key_col: str = "user",
         kd = pc.dictionary_encode(
             t["key"].combine_chunks() if isinstance(
                 t["key"], pa.ChunkedArray) else t["key"])
-        kc = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # null keys still count toward n_events but are EXCLUDED from the
+        # distinct count (SQL count(DISTINCT key) semantics — the oracle
+        # contract); fill_null(-1) keeps the cast well-defined instead of
+        # the NaN->int64 UB a raw .to_numpy() on null indices produces
+        kc = kd.indices.fill_null(-1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
         n = t["n"].to_numpy(zero_copy_only=False)
         order, starts, uniq_w = segments(wi)
         out_w, out_d, out_n = [], [], []
         for a, b, w in zip(starts[:-1], starts[1:], uniq_w):
             g = order[a:b]
+            u = np.unique(kc[g])
             out_w.append(int(w))
-            out_d.append(int(len(np.unique(kc[g]))))
+            out_d.append(int(len(u) - (1 if len(u) and u[0] == -1 else 0)))
             out_n.append(int(n[g].sum()))
         return pa.table({
             "window_start": pa.array(out_w, pa.int64()).cast(
