@@ -977,6 +977,105 @@ def _q_image_dedup_recall(sf_dir: str):
     })
 
 
+def _video_dedup_corpus(sf_dir: str):
+    """Planted perceptual-dup VIDEO corpus from doc_id arithmetic:
+    group g = doc_id // 5, role r = doc_id % 5 over 240-frame 8x4 Y4M
+    streams whose per-frame luma is PIECEWISE-CONSTANT at the temporal
+    hash's own 65-bucket granularity, with each group's 65 levels a
+    seeded no-replacement draw from [20, 181] — so independent groups
+    carry the full 64 comparison bits of entropy (measured: min
+    cross-group Hamming 9 at 1000 groups; no birthday collisions at
+    any sf).  Roles: r0 base; r1 = 5/4 gain re-encode (monotone luma
+    map -> hash-identical by math); r2 = every-2nd-frame rate twin of
+    the base with ONE adjacent-level swap at j = 2 + g%60 (a localized
+    edit: the subsample alone is hash-identical because samples stay
+    inside their constant segment, and the swap flips 1-3 boundary
+    bits — measured max 3 — so the Hamming clustering is actually
+    exercised); r3 an independent random-luma stream (>= ~11 bits from
+    everything); r4 a truncated payload (error row).  Truth:
+    {5g, 5g+1, 5g+2} cluster; nothing else does.  Luma stays <= 181
+    so the gain twin never saturates (saturation would break the
+    monotone-map identity)."""
+    from dedup.multimodal import y4m_bytes
+
+    def _mk(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        F = 240
+        seg = (np.arange(F) * 65) // F
+        ids = t["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            g, r = divmod(i, 5)
+            if r == 3:
+                lumas = np.random.default_rng(92000 + i).integers(
+                    20, 200, size=F)
+            else:
+                levels = np.random.default_rng(77000 + g).choice(
+                    np.arange(20, 182), size=65, replace=False)
+                if r == 2:
+                    j = 2 + (g % 60)
+                    levels = levels.copy()
+                    levels[j], levels[j + 1] = levels[j + 1], levels[j]
+                lumas = levels[seg].astype(np.int64)
+                if r == 1:
+                    lumas = lumas * 5 // 4
+                elif r == 2:
+                    lumas = lumas[::2]
+            p = y4m_bytes(8, 4, [int(v) for v in lumas])
+            payloads.append(p[:20] if r == 4 else p)
+        return pa.table({"doc_id": t["doc_id"].combine_chunks()
+                         .cast(pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(_mk, batch_format="pyarrow")
+
+
+def _q_video_dedup(sf_dir: str):
+    """Perceptual near-duplicate VIDEO dedup (temporal brightness-
+    envelope difference hash -> Hamming-block clustering, the shared
+    multimodal core) over the planted Y4M corpus.  Rows-only driver
+    check (the hash is a binary-decode function, not SQL-expressible);
+    planted-truth metrics live in video_dedup_recall."""
+    from dedup.multimodal import video_dedup
+
+    return video_dedup(_video_dedup_corpus(sf_dir), hamming=6) \
+        .sort("doc_id")
+
+
+def _q_video_dedup_recall(sf_dir: str):
+    """Planted dup-pair recall AND precision of the video tier (truth =
+    _video_dedup_corpus arithmetic: 3 pairs per {base, gain-twin,
+    rate-twin} group); expected 1.0 / 1.0."""
+    import numpy as np
+
+    from dedup.multimodal import video_dedup
+
+    out = video_dedup(_video_dedup_corpus(sf_dir), hamming=6).to_pandas()
+    ids = out["doc_id"].to_numpy()
+    out["tg"] = np.where(ids % 5 < 3, ids // 5, -1)
+
+    def _pairs(sizes) -> int:
+        return int((sizes * (sizes - 1) // 2).sum())
+
+    truth = out[out["tg"] >= 0]
+    total = _pairs(truth.groupby("tg").size().to_numpy())
+    clustered = out[out["cluster_id"] >= 0]
+    out_pairs = _pairs(clustered.groupby("cluster_id").size().to_numpy())
+    hit = truth[truth["cluster_id"] >= 0]
+    tp = _pairs(hit.groupby(["tg", "cluster_id"]).size().to_numpy())
+    return pa.table({
+        "truth_pairs": pa.array([total], pa.int64()),
+        "tp_pairs": pa.array([tp], pa.int64()),
+        "out_pairs": pa.array([out_pairs], pa.int64()),
+        "recall_e6": pa.array(
+            [int(round(tp / total * 1e6)) if total else -1], pa.int64()),
+        "precision_e6": pa.array(
+            [int(round(tp / out_pairs * 1e6)) if out_pairs else -1],
+            pa.int64()),
+    })
+
+
 def _audio_corpus(sf_dir: str):
     """Planted perceptual-dup audio corpus from doc_id arithmetic:
     group g = doc_id // 5, role r = doc_id % 5 — r0 base (seeded random
@@ -2564,31 +2663,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
     the cap —
     they remain fully oracle-checked in-repo via
     scripts/check_queries.py — followed by the planted-truth/recall
-    queries that have no SQL analogue."""
+    queries that have no SQL analogue.
+
+    Round-4 rotation (VERDICT r3 #8): ten oracle-bearing queries that
+    had never held a driver slot take the slots of ten queries whose
+    rows went green in CORRECTNESS_r03 and whose machinery stays
+    covered in-cap: video_features, video_frame_sample, postings,
+    weighted_sample, paragraph_quality, unigram_surprisal,
+    hourly_distinct, snapshot_diff, grouped_heavy_hitters and
+    validate_rows move up; exact_dedup_lang, exact_dedup_same_source,
+    exact_dedup_byteverify, events_dedup_newest, visible_duplicates,
+    delete_manifest, survivors, incremental_dedup_cc, media_features
+    and image_features (all green r3) rotate below the cap."""
     return {
         # --- slots 1-50: every query with a DuckDB oracle -------------
         "exact_dedup": _q_exact_dedup,
-        "exact_dedup_lang": _q_exact_dedup_lang,
         "exact_dedup_crc32": _q_exact_dedup_crc32,
-        "exact_dedup_same_source": _q_exact_dedup_same_source,
-        "exact_dedup_byteverify": _q_exact_dedup_byteverify,
         "events_asof": _q_events_asof,
         "resume_dedup": _q_resume_dedup,
         "normalized_dedup": _q_normalized_dedup,
-        "events_dedup_newest": _q_events_dedup_newest,
         "events_dedup_props_ts": _q_events_dedup_props_ts,
         "source_dup_report": _q_source_dup_report,
         "span_dedup": _q_span_dedup,
         "incremental_dedup_bucketed": _q_incremental_dedup_bucketed,
         "exact_dedup_stats": _q_exact_dedup_stats,
-        "visible_duplicates": _q_visible_duplicates,
-        "delete_manifest": _q_delete_manifest,
-        "survivors": _q_survivors,
         "incremental_dedup": _q_incremental_dedup,
         "incremental_dedup_bloom": _q_incremental_dedup_bloom,
-        "incremental_dedup_cc": _q_incremental_dedup_cc,
-        "media_features": _q_media_features,
-        "image_features": _q_image_features,
+        "video_features": _q_video_features,
+        "video_frame_sample": _q_video_frame_sample,
+        "postings": _q_postings,
+        "weighted_sample": _q_weighted_sample,
+        "paragraph_quality": _q_paragraph_quality,
+        "unigram_surprisal": _q_unigram_surprisal,
+        "hourly_distinct": _q_hourly_distinct,
+        "snapshot_diff": _q_snapshot_diff,
+        "grouped_heavy_hitters": _q_grouped_heavy_hitters,
+        "validate_rows": _q_validate_rows,
         "knn_ivf": _q_knn_ivf,
         "lang_id": _q_lang_id,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -2618,6 +2728,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_funnel": _q_curation_funnel,
         "embedding_dedup": _q_embedding_dedup,
         # --- below the driver's 50-row cap: oracle-checked in-repo ----
+        "exact_dedup_lang": _q_exact_dedup_lang,
+        "exact_dedup_same_source": _q_exact_dedup_same_source,
+        "exact_dedup_byteverify": _q_exact_dedup_byteverify,
+        "events_dedup_newest": _q_events_dedup_newest,
+        "visible_duplicates": _q_visible_duplicates,
+        "delete_manifest": _q_delete_manifest,
+        "survivors": _q_survivors,
+        "incremental_dedup_cc": _q_incremental_dedup_cc,
+        "media_features": _q_media_features,
+        "image_features": _q_image_features,
         "curation_pipeline": _q_curation_pipeline,
         "line_dedup_scoped": _q_line_dedup_scoped,
         "events_dedup_window": _q_events_dedup_window,
@@ -2638,16 +2758,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_supplier_stats": _q_region_supplier_stats,
         "events_dedup_props": _q_events_dedup_props,
         "paragraph_dedup": _q_paragraph_dedup,
-        "paragraph_quality": _q_paragraph_quality,
-        "unigram_surprisal": _q_unigram_surprisal,
         "token_doc_freq": _q_token_doc_freq,
         "lang_sources": _q_lang_sources,
         "top_customers": _q_top_customers,
         "embedding_norms": _q_embedding_norms,
-        "postings": _q_postings,
-        "weighted_sample": _q_weighted_sample,
-        "video_features": _q_video_features,
-        "video_frame_sample": _q_video_frame_sample,
         # --- planted-truth / metric queries (no SQL analogue) ---------
         "semdedup": _q_semdedup,
         "semdedup_diverse": _q_semdedup_diverse,
@@ -2663,6 +2777,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup_recall": _q_image_dedup_recall,
         "audio_dedup": _q_audio_dedup,
         "audio_dedup_recall": _q_audio_dedup_recall,
+        "video_dedup": _q_video_dedup,
+        "video_dedup_recall": _q_video_dedup_recall,
         "pages_dedup": _q_pages_dedup,
         "pages_dedup_same_host": _q_pages_dedup_same_host,
         "pages_dedup_recall": _q_pages_dedup_recall,
@@ -2686,12 +2802,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_stats": _q_bpe_stats,
         "quality_classifier": _q_quality_classifier,
         "tokenize_and_pack": _q_tokenize_and_pack,
-        "validate_rows": _q_validate_rows,
         "compression_ratio": _q_compression_ratio,
         "pages_dedup_bcubed": _q_pages_dedup_bcubed,
-        "snapshot_diff": _q_snapshot_diff,
-        "hourly_distinct": _q_hourly_distinct,
-        "grouped_heavy_hitters": _q_grouped_heavy_hitters,
         "substring_sa_dedup": _q_substring_sa_dedup,
         "substring_sa_recall": _q_substring_sa_recall,
         "ngram_jaccard_recall": _q_ngram_jaccard_recall,

@@ -198,6 +198,85 @@ def cmd_filter(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_remark(args: argparse.Namespace) -> int:
+    """Post-hoc keeper re-marking over a finished run directory (the
+    reference's manual keep<->delete toggle, MainWindow.xaml.cs:15-37):
+    --keeper <id> becomes its cluster's keeper; assignments are
+    rewritten in place (write-to-tmp + atomic directory swap, so a
+    crashed remark never leaves a half-written table) and any sink
+    outputs present in the run dir (delete_manifest/, survivors/) are
+    re-derived from the new assignments so every artifact stays
+    consistent.  run.json's state counts are refreshed and the remark is
+    appended to a remarks.json audit log."""
+    _init(args.cpus)
+    import shutil
+
+    import ray
+    import ray.data
+    from .config import DedupConfig
+    from .pipeline import remark_keeper, state_stats
+    from .sinks import write_action_manifest, write_survivors
+
+    cfg_path = os.path.join(args.run, "config.json")
+    cfg = DedupConfig.from_json(open(cfg_path).read()) \
+        if os.path.exists(cfg_path) else _load_cfg(args)
+    assign_dir = os.path.join(args.run, "assignments")
+    if not os.path.isdir(assign_dir):
+        raise SystemExit(f"no assignments/ under {args.run}")
+    t0 = time.time()
+    assignments = ray.data.read_parquet(assign_dir)
+    id_type = assignments.schema().base_schema.field(cfg.id_col).type
+    import pyarrow as pa
+    keeper = args.keeper if (pa.types.is_string(id_type)
+                             or pa.types.is_large_string(id_type)) \
+        else int(args.keeper)
+    out = remark_keeper(assignments, keeper, id_col=cfg.id_col)
+    tmp = assign_dir + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    out.write_parquet(tmp)
+    old = assign_dir + ".old"
+    os.rename(assign_dir, old)
+    os.rename(tmp, assign_dir)
+    shutil.rmtree(old)
+    new_assign = ray.data.read_parquet(assign_dir)
+    rederived = []
+    if os.path.isdir(os.path.join(args.run, "delete_manifest")):
+        write_action_manifest(new_assign, args.run, id_col=cfg.id_col)
+        rederived.append("delete_manifest")
+    if os.path.isdir(os.path.join(args.run, "survivors")):
+        if not args.input:
+            raise SystemExit(
+                "run dir has survivors/ — pass --input <pages> so the "
+                "survivor content join can be re-derived")
+        pages, _ = _read_source(args.input, cfg, args.format)
+        write_survivors(pages, new_assign, args.run, id_col=cfg.id_col)
+        rederived.append("survivors")
+    stats = {r["state"]: r["count()"]
+             for r in state_stats(new_assign).iter_rows()}
+    report = {
+        "run": args.run,
+        "keeper": args.keeper,
+        "rederived": rederived,
+        "states": stats,
+        "wall_sec": round(time.time() - t0, 2),
+    }
+    run_json = os.path.join(args.run, "run.json")
+    if os.path.exists(run_json):
+        rj = json.load(open(run_json))
+        rj["states"] = stats
+        with open(run_json, "w") as fh:
+            json.dump(rj, fh, indent=2)
+    audit = os.path.join(args.run, "remarks.json")
+    log = json.load(open(audit)) if os.path.exists(audit) else []
+    log.append(report)
+    with open(audit, "w") as fh:
+        json.dump(log, fh, indent=2)
+    print(json.dumps(report))
+    ray.shutdown()
+    return 0
+
+
 def cmd_bench(args: argparse.Namespace) -> int:
     import subprocess
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -273,6 +352,21 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--output", required=True)
     cp.add_argument("--cpus", type=int, default=None)
     cp.set_defaults(fn=cmd_compact)
+    mp = sub.add_parser("remark",
+                        help="re-mark a cluster's keeper in a finished "
+                             "run dir and re-derive its sinks")
+    mp.add_argument("--run", required=True,
+                    help="run output dir (contains assignments/)")
+    mp.add_argument("--keeper", required=True,
+                    help="id of the member to promote to keeper")
+    mp.add_argument("--input", default=None,
+                    help="original pages source (required only when the "
+                         "run dir has survivors/ to re-derive)")
+    mp.add_argument("--config", default=None)
+    mp.add_argument("--format", default="auto",
+                    choices=("auto", "parquet", "csv", "jsonl"))
+    mp.add_argument("--cpus", type=int, default=None)
+    mp.set_defaults(fn=cmd_remark)
     bp = sub.add_parser("bench", help="benchmark suite / scaling runs")
     bp.add_argument("--scaling", action="store_true")
     bp.set_defaults(fn=cmd_bench)

@@ -15,11 +15,13 @@ of one per key-group.  Keys colocate because equal keys hash equally;
 per-key skew inside a partition is the partition fn's job (pair caps /
 star edges), which keeps hot keys O(n) instead of O(n^2).
 
-``union_find`` is the hash-to-min connected-components algorithm
-(Rastogi et al. 2013, "Finding Connected Components in Map-Reduce in
-Logarithmic Rounds"): each round every node proposes the minimum of its
-neighborhood to all its neighbors; converges to label = component-min in
-O(log d) rounds.  All reduces are order-insensitive minima, so results
+``union_find`` runs alternating large-star/small-star contraction
+(Kiveris et al. 2014, "Connected Components in MapReduce and Beyond"):
+each round re-hangs every node under the minimum of its neighborhood,
+converging to a star forest rooted at each component's minimum id.  The
+edge set CONTRACTS as components collapse (dup-cluster cliques become
+stars after one round), so later rounds shuffle a small fraction of the
+original volume.  All reduces are order-insensitive minima, so results
 are byte-identical at any parallelism — the property that makes the
 reference's greedy first-wins pass (MainViewModel.cs:694-781)
 reproducible as min-representative connected components (SURVEY.md §2.7 D2).
@@ -142,66 +144,90 @@ def segments(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
-# distributed union-find (hash-to-min)
+# distributed union-find (alternating large-star / small-star)
 # ---------------------------------------------------------------------------
 
-_EDGE_SCHEMA = pa.schema([("u", pa.uint64()), ("v", pa.uint64()),
-                          ("lbl", pa.bool_())])
+_PAIR_SCHEMA = pa.schema([("u", pa.uint64()), ("v", pa.uint64())])
 
 
-def _uf_round(t: pa.Table) -> pa.Table:
-    """One hash-to-min round over a partition of (u, v[, lbl]) rows.
-
-    For every distinct u in the partition (all rows of u colocate), with
-    m = min(neighbors(u) ∪ {u}), emit BOTH halves of hash-to-min:
-      * (u, m, lbl=True) — u's current label;
-      * (x, m) for every neighbor x — m propagates outward;
-      * (m, x) for every x in neighbors(u) ∪ {u} — the min keeps sight of
-        the members it must keep relabeling (without this, a node whose
-        only neighbor later improves its own label never hears about it).
-    """
+def _np_uv(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
     v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    # per-partition dedupe: repeated (u, v) rows accumulate across rounds
-    uv = np.stack([u, v], axis=1)
-    uv = np.unique(uv, axis=0)
-    u, v = uv[:, 0], uv[:, 1]
-    order, starts, uniq = segments(u)
-    vs = v[order]
-    seg_min = np.minimum.reduceat(vs, starts[:-1]) if len(vs) else vs
+    return u, v
+
+
+def _dedupe_uv(u: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-partition edge dedupe: identical rows re-emitted from
+    different source groups carry no information and would re-shuffle
+    every round."""
+    uv = np.unique(np.stack([u, v], axis=1), axis=0)
+    return uv[:, 0], uv[:, 1]
+
+
+def _large_star(t: pa.Table) -> pa.Table:
+    """Large-star over one partition of SYMMETRIC incidence rows (k, n)
+    — all rows of a node k colocate.  For each k with neighborhood N(k):
+    m = min(N(k) ∪ {k}); emit (m, n) for every n in N(k) with n > k.
+    Strictly-larger neighbors re-hang under the local minimum; edges to
+    smaller neighbors are left for small-star (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond", Alg. 3)."""
+    k, nn = _dedupe_uv(*_np_uv(t))
+    order, starts, uniq = segments(k)
+    ns = nn[order]
+    seg_min = np.minimum.reduceat(ns, starts[:-1]) if len(ns) else ns
     m = np.minimum(seg_min, uniq)
     counts = np.diff(starts)
     m_rep = np.repeat(m, counts)
-    new_u = np.concatenate([uniq, vs, m_rep, m])
-    new_v = np.concatenate([m, m_rep, vs, uniq])
-    lbl = np.concatenate([np.ones(len(uniq), dtype=bool),
-                          np.zeros(2 * len(vs) + len(uniq), dtype=bool)])
-    return pa.table({"u": new_u, "v": new_v, "lbl": lbl}, schema=_EDGE_SCHEMA)
+    k_rep = np.repeat(uniq, counts)
+    sel = ns > k_rep          # m <= k < n, so (m, n) is canonical lo<hi
+    return pa.table({"u": m_rep[sel], "v": ns[sel]}, schema=_PAIR_SCHEMA)
 
 
-def _label_checksum(pairs: ray.data.Dataset) -> int:
-    """Order-insensitive checksum of the labeled rows (exact integer sum
-    of mixed (u, label) hashes) — the convergence test."""
+def _small_star(t: pa.Table) -> pa.Table:
+    """Small-star over one partition keyed by the LARGER endpoint: rows
+    are (k, n) with n < k, all rows of k colocate.  m = min(N<(k));
+    emit (m, n) for every smaller neighbor n != m plus (m, k) — the
+    smaller neighbors and k itself re-hang under the minimum
+    (Kiveris et al. 2014, Alg. 4)."""
+    k, nn = _dedupe_uv(*_np_uv(t))
+    order, starts, uniq = segments(k)
+    ns = nn[order]
+    m = np.minimum.reduceat(ns, starts[:-1]) if len(ns) else ns
+    counts = np.diff(starts)
+    m_rep = np.repeat(m, counts)
+    sel = ns != m_rep
+    out_u = np.concatenate([m_rep[sel], m])
+    out_v = np.concatenate([ns[sel], uniq])
+    return pa.table({"u": out_u, "v": out_v}, schema=_PAIR_SCHEMA)
+
+
+def _edge_checksum(pairs: ray.data.Dataset) -> int:
+    """Order-insensitive checksum of the (multiset of) edges — the
+    convergence test: the star operators are deterministic functions of
+    the edge set, so an unchanged checksum after a full large+small
+    round means the set reached the algorithm's star-forest fixpoint."""
 
     def _cs(t: pa.Table) -> pa.Table:
-        sel = t.filter(pa.compute.field("lbl"))
-        u = sel["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        v = sel["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        u, v = _np_uv(t)
         with np.errstate(over="ignore"):
             h = mix64(u * np.uint64(3) + v)
         # wrap-around partial sum per batch; combined exactly on the driver
         return pa.table({"cs": pa.array([int(h.sum(dtype=np.uint64))], pa.uint64()),
                          "n": pa.array([len(u)], pa.int64())})
 
-    parts = _cs_totals(pairs.map_batches(_cs, batch_format="pyarrow"))
-    return parts
+    return _cs_totals(pairs.map_batches(_cs, batch_format="pyarrow"))
 
 
 def _cs_totals(ds: ray.data.Dataset) -> int:
+    """Combine per-batch partial sums MODULO 2^64 — the partials wrap at
+    uint64 inside each batch, so an unwrapped driver combine would make
+    the total depend on batch boundaries, not just the multiset (the
+    round-3 convergence test had exactly that bug: identical edge sets
+    hashed differently run-to-run, costing extra full-volume rounds)."""
     tot_cs = 0
     tot_n = 0
     for b in ds.iter_batches(batch_format="pyarrow"):
-        tot_cs += sum(b["cs"].to_pylist())
+        tot_cs = (tot_cs + sum(b["cs"].to_pylist())) & 0xFFFFFFFFFFFFFFFF
         tot_n += sum(b["n"].to_pylist())
     return hash((tot_cs, tot_n))
 
@@ -274,9 +300,14 @@ def union_find(
 
     Hybrid execution: edge lists are O(matched docs), orders of magnitude
     smaller than the corpus, so up to ``local_threshold`` edges a driver-
-    side path-compressed union-find is both faster and exact; above it the
-    distributed hash-to-min rounds run, each materializing only the edge
-    table (never the corpus), per SURVEY.md §7.5."""
+    side path-compressed union-find is both faster and exact; above it
+    the distributed alternating large-star/small-star rounds run
+    (Kiveris et al. 2014), each materializing only the CURRENT edge set
+    (never the corpus) — which contracts toward one star edge per
+    matched node as components hang under their minima, so later rounds
+    shuffle a small fraction of the original edge volume (the hash-to-min
+    formulation this replaced re-shuffled 4x the ever-growing edge set
+    every round — VERDICT r3 #2)."""
     edges = edges.materialize()
     n_edges = edges.count()
     if n_edges == 0:
@@ -286,27 +317,69 @@ def union_find(
     if n_edges <= local_threshold:
         return _local_union_find(edges)
 
+    def _canon(t: pa.Table) -> pa.Table:
+        """(lo, hi) canonical orientation, self-loops dropped."""
+        u, v = _np_uv(t)
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        sel = lo != hi
+        return pa.table({"u": lo[sel], "v": hi[sel]}, schema=_PAIR_SCHEMA)
+
     def _sym(t: pa.Table) -> pa.Table:
-        u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return pa.table({
-            "u": np.concatenate([u, v]),
-            "v": np.concatenate([v, u]),
-            "lbl": np.zeros(2 * len(u), dtype=bool),
-        }, schema=_EDGE_SCHEMA)
+        """Symmetric incidence for large-star's per-node grouping."""
+        u, v = _np_uv(t)
+        return pa.table({"u": np.concatenate([u, v]),
+                         "v": np.concatenate([v, u])}, schema=_PAIR_SCHEMA)
 
-    pairs = edges.map_batches(_sym, batch_format="pyarrow")
+    def _flip(t: pa.Table) -> pa.Table:
+        """Key canonical (lo, hi) rows by the LARGER endpoint for
+        small-star's grouping."""
+        u, v = _np_uv(t)
+        return pa.table({"u": v, "v": u}, schema=_PAIR_SCHEMA)
 
+    pairs = edges.map_batches(_canon, batch_format="pyarrow")
     prev = None
+    converged = False
     for _ in range(max_rounds):
-        pairs = groupapply(pairs, "u", _uf_round, num_partitions).materialize()
-        cs = _label_checksum(pairs)
+        # one large-star + one small-star, fused into a single pipeline
+        # of two shuffles; materialized once per round for the checksum
+        big = groupapply(pairs.map_batches(_sym, batch_format="pyarrow"),
+                         "u", _large_star, num_partitions)
+        pairs = groupapply(big.map_batches(_flip, batch_format="pyarrow"),
+                           "u", _small_star, num_partitions).materialize()
+        cs = _edge_checksum(pairs)
         if cs == prev:
+            converged = True
             break
         prev = cs
+    if not converged:
+        raise RuntimeError(
+            f"union_find star rounds did not converge in {max_rounds} "
+            "rounds (raise max_rounds)")
 
-    def _labels(t: pa.Table) -> pa.Table:
-        sel = t.filter(pa.compute.field("lbl"))
-        return pa.table({"node": sel["u"], "comp": sel["v"]})
+    # at the fixpoint the edge set is a star forest rooted at each
+    # component's minimum: edges are exactly (root, member).  Emit
+    # (member -> root) and (root -> root) labels, plus (n -> n) for
+    # self-loop-only nodes (dropped by _canon but part of the "appears
+    # in any edge" output contract), and min-reduce per node with one
+    # O(V) shuffle (a root appears in many partitions).
+    def _emit_labels(t: pa.Table) -> pa.Table:
+        u, v = _np_uv(t)
+        return pa.table({"u": np.concatenate([v, u]),
+                         "v": np.concatenate([u, u])}, schema=_PAIR_SCHEMA)
 
-    return pairs.map_batches(_labels, batch_format="pyarrow")
+    def _self_labels(t: pa.Table) -> pa.Table:
+        u, v = _np_uv(t)
+        s = u[u == v]
+        return pa.table({"u": s, "v": s}, schema=_PAIR_SCHEMA)
+
+    def _min_labels(t: pa.Table) -> pa.Table:
+        node, comp = _np_uv(t)
+        order, starts, uniq = segments(node)
+        cmin = np.minimum.reduceat(comp[order], starts[:-1]) \
+            if len(node) else comp
+        return pa.table({"node": pa.array(uniq, pa.uint64()),
+                         "comp": pa.array(cmin, pa.uint64())})
+
+    lab = pairs.map_batches(_emit_labels, batch_format="pyarrow") \
+        .union(edges.map_batches(_self_labels, batch_format="pyarrow"))
+    return groupapply(lab, "u", _min_labels, num_partitions)

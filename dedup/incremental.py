@@ -100,8 +100,11 @@ def incremental_exact_dedup(
     tune_context()
     P = num_partitions or _auto_partitions(cfg)
 
-    prep_new = prepare(new_ds, cfg, check_html=check_html).materialize()
-    prep_ref = prepare(ref_ds, cfg, check_html=check_html)
+    # exact join: only the 16-byte key material rides — never text
+    prep_new = prepare(new_ds, cfg, check_html=check_html,
+                       keep_text=False).materialize()
+    prep_ref = prepare(ref_ds, cfg, check_html=check_html,
+                       keep_text=False)
 
     id_type = prep_new.schema().base_schema.field("id").type
     string_ids = (pa.types.is_string(id_type)
@@ -252,8 +255,12 @@ def incremental_dedup(
                            minhash_edges, simhash_edges, substring_edges)
 
     tune_context()
-    prep_new = prepare(new_ds, cfg, check_html=check_html).materialize()
-    prep_ref = prepare(ref_ds, cfg, check_html=check_html)
+    needs_text = bool(cfg.near or cfg.simhash or cfg.substring
+                      or cfg.byte_verify)
+    prep_new = prepare(new_ds, cfg, check_html=check_html,
+                       keep_text=needs_text).materialize()
+    prep_ref = prepare(ref_ds, cfg, check_html=check_html,
+                       keep_text=needs_text)
     P = num_partitions or _auto_partitions(cfg, prep_new.size_bytes())
 
     id_type = prep_new.schema().base_schema.field("id").type
@@ -486,7 +493,7 @@ def write_key_index(ds: ray.data.Dataset, cfg: DedupConfig, out_dir: str,
     appends — appending would double-count n_ref."""
     from .sinks import _fresh_dir
     _fresh_dir(out_dir)
-    prep = prepare(ds, cfg, check_html=check_html)
+    prep = prepare(ds, cfg, check_html=check_html, keep_text=False)
 
     def _f(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["state0"], "ok"))
@@ -531,7 +538,8 @@ def incremental_exact_dedup_bucketed(
     tune_context()
     P = num_partitions or min(n_buckets, _auto_partitions(cfg))
 
-    prep_new = prepare(new_ds, cfg, check_html=check_html).materialize()
+    prep_new = prepare(new_ds, cfg, check_html=check_html,
+                       keep_text=False).materialize()
     id_type = prep_new.schema().base_schema.field("id").type
     string_ids = (pa.types.is_string(id_type)
                   or pa.types.is_large_string(id_type))

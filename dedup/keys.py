@@ -60,6 +60,42 @@ def natural_key(s: str) -> tuple:
     return tuple(toks)
 
 
+_NUM_B = _NUM.to_bytes(4, "big")
+_TERM_B = _TERM.to_bytes(4, "big")
+_DIGIT_RUN = __import__("re").compile(r"[0-9]+")
+
+
+# per-ASCII-char class encodings ('.' -> class 1, else ord(lower)+2);
+# digits are included harmlessly (digit runs never reach _enc_nondigit)
+_CLS: dict[str, bytes] = {}
+for _i in range(128):
+    _c = chr(_i)
+    _CLS[_c] = (b"\x00\x00\x00\x01" if _c == "." else
+                (ord(_c.lower() if len(_c.lower()) == 1 else _c) + 2)
+                .to_bytes(4, "big"))
+del _i, _c
+
+
+@lru_cache(maxsize=1 << 16)
+def _enc_nondigit(sub: str) -> bytes:
+    """Class encoding of a digit-free substring, memoized: the non-digit
+    segments of crawl urls (scheme/host/path words/extensions) repeat
+    massively, so the per-char work runs once per DISTINCT segment
+    instead of once per row (this function dominated Preparer wall time
+    on url-keyed corpora — VERDICT r3 #3)."""
+    try:
+        return b"".join(map(_CLS.__getitem__, sub))
+    except KeyError:
+        out = bytearray()
+        for c in sub:
+            e = _CLS.get(c)
+            if e is None:
+                lc = c.lower()
+                e = (ord(lc if len(lc) == 1 else c) + 2).to_bytes(4, "big")
+            out += e
+        return bytes(out)
+
+
 def order_key_bytes(s: str, root_rank: int = 0) -> bytes:
     """Sortable byte encoding of (root_rank, natural_key(s), s).
 
@@ -69,31 +105,16 @@ def order_key_bytes(s: str, root_rank: int = 0) -> bytes:
     number; equal length => lexicographic digit compare).  Terminator is
     class 0 + 4-byte len(s); the raw UTF-8 string follows as tie-break.
     """
-    out = bytearray()
-    out += root_rank.to_bytes(4, "big")
-    i, n = 0, len(s)
-    while i < n:
-        c = s[i]
-        if "0" <= c <= "9":
-            j = i
-            while j < n and "0" <= s[j] <= "9":
-                j += 1
-            d = s[i:j].lstrip("0")
-            out += _NUM.to_bytes(4, "big")
-            out += len(d).to_bytes(2, "big")
-            out += d.encode()
-            i = j
-        elif c == ".":
-            out += _DOT.to_bytes(4, "big")
-            i += 1
-        else:
-            lc = c.lower()
-            out += (ord(lc if len(lc) == 1 else c) + 2).to_bytes(4, "big")
-            i += 1
-    out += _TERM.to_bytes(4, "big")
-    out += n.to_bytes(4, "big")
-    out += s.encode()
-    return bytes(out)
+    parts = [root_rank.to_bytes(4, "big")]
+    pos = 0
+    for m in _DIGIT_RUN.finditer(s):
+        parts.append(_enc_nondigit(s[pos:m.start()]))
+        d = m.group().lstrip("0")
+        parts.append(_NUM_B + len(d).to_bytes(2, "big") + d.encode())
+        pos = m.end()
+    parts.append(_enc_nondigit(s[pos:]))
+    parts.append(_TERM_B + len(s).to_bytes(4, "big") + s.encode())
+    return b"".join(parts)
 
 
 def natural_cmp(a: str, b: str) -> int:

@@ -945,3 +945,92 @@ def sample_frames(ds: ray.data.Dataset, every_k: int = 2,
         concurrency=concurrency,
         batch_format="pyarrow",
     )
+
+
+class VideoTemporalHasher:
+    """Actor-pool stage computing a 64-bit TEMPORAL difference hash per
+    Y4M video payload: per-frame luma-plane sum (the frame's brightness
+    envelope) -> nearest-neighbor resample to 65 temporal buckets ->
+    bit i = 1 iff bucket i+1 < bucket i.  Same public difference-hash
+    construction as the image dHash / audio envelope hash, applied along
+    TIME: the hash depends only on the ORDERING of adjacent resampled
+    frame brightnesses, so any monotone per-pixel luma map (gain /
+    offset / gamma re-encode) yields the IDENTICAL hash, and frame-rate
+    changes (every-k-th-frame re-encodes, the Y4mFrameSampler output)
+    sample the same brightness envelope at nearby positions — flipping
+    only the few bits whose bucket boundaries moved, so rate-twins land
+    within a small Hamming distance.
+
+    Output columns: id_col, ``vhash`` (uint64), ``n_frames`` (int64),
+    ``decoded`` (int64); malformed / truncated / null payloads route to
+    decoded=0 (state='error' downstream), matching the modality's
+    feature extractors."""
+
+    def __init__(self, id_col: str = "doc_id") -> None:
+        self.id_col = id_col
+
+    def _vhash(self, payload: bytes) -> tuple[int, int]:
+        (w, h, _fn, _fd, _cs, _off), spans = _y4m_frames(payload)
+        ysz = w * h
+        if not spans or ysz == 0:
+            raise ValueError("no frames")
+        means = np.empty(len(spans), dtype=np.int64)
+        for j, (s, _) in enumerate(spans):
+            means[j] = int(np.frombuffer(payload, dtype=np.uint8,
+                                         count=ysz, offset=s)
+                           .sum(dtype=np.int64))
+        idx = (np.arange(_DH_W * _DH_H + 1, dtype=np.int64)
+               * len(means)) // (_DH_W * _DH_H + 1)
+        env = means[idx]
+        bits = env[1:] < env[:-1]
+        return (int.from_bytes(np.packbits(bits).tobytes(), "big"),
+                len(spans))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        hashes = [0] * n
+        nframes = [0] * n
+        decoded = [0] * n
+        for i, payload in enumerate(t["payload"].to_pylist()):
+            if payload is None:
+                continue
+            try:
+                hashes[i], nframes[i] = self._vhash(payload)
+            except (ValueError, IndexError, struct.error):
+                continue
+            decoded[i] = 1
+        return pa.table({
+            self.id_col: t[self.id_col],
+            "vhash": pa.array(hashes, pa.uint64()),
+            "n_frames": pa.array(nframes, pa.int64()),
+            "decoded": pa.array(decoded, pa.int64()),
+        })
+
+
+def video_hash(ds: ray.data.Dataset, id_col: str = "doc_id",
+               batch_size: int = 32,
+               concurrency=(1, 4)) -> ray.data.Dataset:
+    """(id, payload) -> (id, vhash, n_frames, decoded) via the temporal
+    difference-hash actor pool.  Small batch_size: raw video frames
+    dominate the worker-heap unit."""
+    return ds.map_batches(
+        VideoTemporalHasher,
+        fn_constructor_kwargs={"id_col": id_col},
+        batch_size=batch_size,
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
+
+
+def video_dedup(ds: ray.data.Dataset, hamming: int = 6,
+                id_col: str = "doc_id",
+                num_partitions: int = 32) -> ray.data.Dataset:
+    """Perceptual near-duplicate VIDEO dedup: temporal brightness-
+    envelope hashes -> Hamming-block clustering (the shared
+    ``_phash_cluster`` core, VERDICT r3 #7) -> keep/delete/unique
+    assignments — the video analogue of image_dedup / audio_dedup.
+    Default ``hamming=6``: gain twins hash identically (ordering-only),
+    frame-rate twins flip a handful of boundary bits."""
+    return _phash_cluster(
+        video_hash(ds, id_col=id_col).drop_columns(["n_frames"]),
+        hamming, id_col, "vhash", num_partitions)

@@ -208,3 +208,105 @@ def test_cli_compact_merges_dumps(tmp_path):
     # exact kind: concatenation, twice the rows of one dump, no dedupe
     assert rep["rows_in"] == rep["rows_out"] > 0
     assert os.path.exists(os.path.join(merged, "_index.json"))
+
+
+def test_cli_remark_swaps_keeper_and_rederives(tmp_path):
+    """Post-hoc keeper re-mark (the reference's manual keep<->delete
+    toggle): promote a delete member to keeper via the CLI, check the
+    whole cluster re-points, the manifest sink is re-derived
+    consistently, and re-marking the ORIGINAL keeper reproduces the
+    keeper-policy output byte-for-byte (the round-trip oracle)."""
+    import pandas as pd
+    import ray.data
+
+    from dedup.sinks import write_action_manifest
+
+    paths = write_pages(str(tmp_path / "corpus"), n_docs=150, seed=33)
+    out_dir = str(tmp_path / "out")
+    r = subprocess.run(
+        [sys.executable, "-m", "dedup.cli", "run", "--input", paths["pages"],
+         "--output", out_dir, "--cpus", "4"],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "RAY_ADDRESS": "local"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    orig = pq.read_table(os.path.join(out_dir, "assignments")) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    write_action_manifest(
+        ray.data.read_parquet(os.path.join(out_dir, "assignments")),
+        out_dir, id_col="url")
+
+    cl = orig[orig["state"] == "delete"].iloc[0]
+    member, cid = cl["url"], cl["cluster_id"]
+    old_keeper = orig[(orig["cluster_id"] == cid)
+                      & (orig["state"] == "keep")]["url"].iloc[0]
+    n_members = int((orig["cluster_id"] == cid).sum())
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "dedup.cli", "remark", "--run", out_dir,
+         "--keeper", member, "--cpus", "4"],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "RAY_ADDRESS": "local"})
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    rep = json.loads([ln for ln in r2.stdout.splitlines()
+                      if ln.startswith("{")][-1])
+    assert rep["rederived"] == ["delete_manifest"]
+
+    got = pq.read_table(os.path.join(out_dir, "assignments")) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    by = got.set_index("url")
+    assert by.loc[member, "state"] == "keep"
+    assert by.loc[old_keeper, "state"] == "delete"
+    members = got[got["cluster_id"] == member]
+    assert len(members) == n_members
+    assert (members["state"] == "delete").sum() == n_members - 1
+    # global invariants hold: state totals unchanged, one keep/cluster
+    assert got["state"].value_counts().to_dict() \
+        == orig["state"].value_counts().to_dict()
+    # manifest re-derived: the demoted keeper is now actionable, the
+    # promoted member is not
+    man = pq.read_table(os.path.join(out_dir, "delete_manifest"))
+    man_urls = set(man["url"].to_pylist())
+    assert old_keeper in man_urls and member not in man_urls
+    assert len(man_urls) == int((got["state"] == "delete").sum())
+
+    # round-trip oracle: re-marking the original keeper restores the
+    # keeper-policy assignments exactly
+    r3 = subprocess.run(
+        [sys.executable, "-m", "dedup.cli", "remark", "--run", out_dir,
+         "--keeper", old_keeper, "--cpus", "4"],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "RAY_ADDRESS": "local"})
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    back = pq.read_table(os.path.join(out_dir, "assignments")) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, orig)
+    # audit log carries both remarks
+    audit = json.load(open(os.path.join(out_dir, "remarks.json")))
+    assert [e["keeper"] for e in audit] == [member, old_keeper]
+
+
+def test_remark_keeper_rejects_nonmembers():
+    """Library-level guardrails: unknown ids and non-clustered rows
+    (unique/error) cannot be promoted."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from dedup.pipeline import remark_keeper
+
+    assignments = ray.data.from_arrow(pa.table({
+        "url": ["a", "b", "c", "d"],
+        "state": ["keep", "delete", "unique", "error"],
+        "cluster_id": ["a", "a", "", ""],
+        "cluster_size": [2, 2, 1, 0],
+    }))
+    with pytest.raises(ValueError, match="not found"):
+        remark_keeper(assignments, "nope", id_col="url")
+    with pytest.raises(ValueError, match="unique"):
+        remark_keeper(assignments, "c", id_col="url")
+    out = remark_keeper(assignments, "b", id_col="url").to_pandas() \
+        .set_index("url")
+    assert out.loc["b", "state"] == "keep"
+    assert out.loc["a", "state"] == "delete"
+    assert out.loc["a", "cluster_id"] == "b"
+    assert out.loc["c", "state"] == "unique"  # untouched

@@ -321,3 +321,73 @@ def test_audio_dedup_planted_clusters():
         assert by_id.loc[u * 10, "state"] == "unique"
     assert by_id.loc[9001, "state"] == "error"
     assert by_id.loc[9002, "state"] == "error"
+
+
+def _step_video(seed: int, frames: int = 240, swap: int | None = None):
+    """Piecewise-constant luma stream at the temporal hash's 65-bucket
+    granularity (the video analogue of _rand_wave): each group's levels
+    are a seeded no-replacement draw, so different seeds differ in ~half
+    the 64 comparison bits."""
+    from dedup.multimodal import y4m_bytes
+
+    levels = np.random.default_rng(seed).choice(
+        np.arange(20, 182), size=65, replace=False)
+    if swap is not None:
+        levels = levels.copy()
+        levels[swap], levels[swap + 1] = levels[swap + 1], levels[swap]
+    seg = (np.arange(frames) * 65) // frames
+    return levels[seg].astype(np.int64)
+
+
+def test_video_hash_invariances():
+    """The temporal dHash is invariant to monotone luma maps (gain
+    re-encode) and to every-k-th-frame subsampling of a bucket-aligned
+    stream; a one-swap localized edit moves it <= 3 bits; independent
+    content lands far away."""
+    from dedup.multimodal import VideoTemporalHasher, y4m_bytes
+
+    h = VideoTemporalHasher()
+    vh = lambda lum: h._vhash(y4m_bytes(8, 4, [int(v) for v in lum]))[0]
+    base = _step_video(1234)
+    h0 = vh(base)
+    assert h0 == vh(base * 5 // 4)            # gain re-encode
+    assert h0 == vh(base[::2])                # half frame rate
+    assert h0 == vh(base[::3])                # third frame rate
+    edited = vh(_step_video(1234, swap=30)[::2])
+    assert 0 < bin(h0 ^ edited).count("1") <= 3
+    other = vh(_step_video(4321))
+    assert bin(h0 ^ other).count("1") > 6
+
+
+def test_video_dedup_planted_clusters():
+    from dedup.multimodal import video_dedup, y4m_bytes
+
+    rows_id, rows_pay = [], []
+    for c in range(8):
+        base = _step_video(900 + c)
+        edited = _step_video(900 + c, swap=2 + c)[::2]
+        rows_id += [c * 10, c * 10 + 1, c * 10 + 2]
+        rows_pay += [y4m_bytes(8, 4, [int(v) for v in lum])
+                     for lum in (base, base * 5 // 4, edited)]
+    for u in range(100, 110):
+        lum = np.random.default_rng(7000 + u).integers(20, 200, size=240)
+        rows_id.append(u * 10)
+        rows_pay.append(y4m_bytes(8, 4, [int(v) for v in lum]))
+    rows_id += [9001, 9002]
+    rows_pay += [rows_pay[0][:20], None]  # truncated + null
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(rows_id, pa.int64()),
+        "payload": pa.array(rows_pay, pa.binary()),
+    }))
+    out = video_dedup(ds, hamming=6, num_partitions=4).to_pandas()
+    by_id = out.set_index("doc_id")
+    for c in range(8):
+        members = [c * 10, c * 10 + 1, c * 10 + 2]
+        assert {by_id.loc[m, "cluster_id"] for m in members} == {c * 10}
+        assert by_id.loc[c * 10, "state"] == "keep"
+        assert {by_id.loc[m, "state"] for m in members[1:]} == {"delete"}
+    for u in range(100, 110):
+        assert by_id.loc[u * 10, "state"] == "unique"
+    assert by_id.loc[9001, "state"] == "error"
+    assert by_id.loc[9002, "state"] == "error"

@@ -1,5 +1,5 @@
-"""Distributed hash-to-min union-find vs a local reference implementation
-(SURVEY.md §5.4)."""
+"""Distributed union-find (alternating large-star/small-star) vs a local
+reference implementation (SURVEY.md §5.4)."""
 
 import random
 
@@ -59,7 +59,8 @@ def test_path_graph_converges():
     assert len(got) == 80
 
 
-def test_self_loops_and_duplicates():
+@pytest.mark.parametrize("local_threshold", [2_000_000, 0])
+def test_self_loops_and_duplicates(local_threshold):
     edges = [(5, 5), (7, 9), (9, 7), (7, 9)]
-    got = _run_uf(edges)
+    got = _run_uf(edges, local_threshold=local_threshold)
     assert got[5] == 5 and got[7] == 7 and got[9] == 7
