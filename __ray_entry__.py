@@ -1462,6 +1462,19 @@ def _q_decontaminate_bloom(sf_dir: str):
     return ngram_decontaminate(ref, new, n=8, mode="bloom").sort("doc_id")
 
 
+def _q_span_decontaminate(sf_dir: str):
+    """Character-level (verbatim 50-char span) decontamination — the
+    substring analogue of the token-gram scrub, catching overlaps that
+    cross tokenization (Lee et al. 2022).  exact mode is the SQL
+    contract: n_contaminated = count of window positions whose 50-char
+    substring appears anywhere in the benchmark shard; winnow mode is
+    the scale path (anchor broadcast ~2/(W+1) of the window count),
+    planted-recall-checked in tests/test_spans.py."""
+    from dedup.spans import span_decontaminate
+    ref, new = _split_docs(sf_dir)  # ref = train shard, new = benchmark
+    return span_decontaminate(ref, new, L=50, mode="exact").sort("doc_id")
+
+
 def _q_fuzzy_decontaminate_recall(sf_dir: str):
     """Planted-truth check for FUZZY (MinHash) decontamination
     (minhash.minhash_decontaminate): over a 50/50 url-hash split of the
@@ -2674,11 +2687,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     validate_rows move up; exact_dedup_lang, exact_dedup_same_source,
     exact_dedup_byteverify, events_dedup_newest, visible_duplicates,
     delete_manifest, survivors, incremental_dedup_cc, media_features
-    and image_features (all green r3) rotate below the cap."""
+    and image_features (all green r3) rotate below the cap.  Second
+    round-4 rotation: the NEW span_decontaminate (verbatim 50-char
+    substring scrub, exact SQL contract) takes exact_dedup_crc32's slot
+    (green r3; the hash-enum machinery stays covered in-cap by
+    exact_dedup / exact_dedup_stats / normalized_dedup)."""
     return {
         # --- slots 1-50: every query with a DuckDB oracle -------------
         "exact_dedup": _q_exact_dedup,
-        "exact_dedup_crc32": _q_exact_dedup_crc32,
+        "span_decontaminate": _q_span_decontaminate,
         "events_asof": _q_events_asof,
         "resume_dedup": _q_resume_dedup,
         "normalized_dedup": _q_normalized_dedup,
@@ -2728,6 +2745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_funnel": _q_curation_funnel,
         "embedding_dedup": _q_embedding_dedup,
         # --- below the driver's 50-row cap: oracle-checked in-repo ----
+        "exact_dedup_crc32": _q_exact_dedup_crc32,
         "exact_dedup_lang": _q_exact_dedup_lang,
         "exact_dedup_same_source": _q_exact_dedup_same_source,
         "exact_dedup_byteverify": _q_exact_dedup_byteverify,
@@ -3774,6 +3792,29 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(c.n_contaminated, 0) AS n_contaminated,
                    CAST(coalesce(c.n_contaminated, 0) > 0 AS BIGINT)
                      AS contaminated
+            FROM src s LEFT JOIN cnt c USING (doc_id)
+            WHERE s.is_train ORDER BY s.doc_id""",
+        "span_decontaminate": r"""
+            WITH src AS (
+              SELECT doc_id, coalesce(text, '') AS t,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                       AS is_train
+              FROM documents),
+            w AS (
+              SELECT doc_id, is_train, substr(t, i, 50) AS s
+              FROM src, unnest(generate_series(1, length(t) - 49)) AS u(i)),
+            bench AS (SELECT DISTINCT s FROM w WHERE NOT is_train),
+            cnt AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+              FROM w WHERE is_train
+                AND s IN (SELECT s FROM bench)
+              GROUP BY doc_id)
+            SELECT s.doc_id,
+                   CAST(greatest(length(s.t) - 49, 0) AS BIGINT)
+                     AS n_windows,
+                   coalesce(c.n_contaminated, 0) AS n_contaminated,
+                   CAST(coalesce(c.n_contaminated, 0) > 0 AS BIGINT)
+                     AS span_contaminated
             FROM src s LEFT JOIN cnt c USING (doc_id)
             WHERE s.is_train ORDER BY s.doc_id""",
         "top_docs_per_lang": """

@@ -296,18 +296,35 @@ def run_uf_path(num_cpus: int, n_docs: int | None = None) -> dict:
     ds = ray.data.read_parquet(path)
     out: dict[str, dict] = {}
     hashes = {}
-    for name, thr in (("local", 20_000_000), ("distributed", 0)):
-        t0 = time.time()
-        res = run_dedup(ds, DedupConfig(), check_html=False,
-                        uf_local_threshold=thr).materialize()
-        dt = time.time() - t0
-        hashes[name] = _assignments_hash(res)
-        out[name] = {"wall_sec": round(dt, 2),
-                     "docs_per_sec": round(n_docs / dt, 1),
-                     "assign_sha256": hashes[name][:16]}
+    # ALTERNATE the two paths and keep each path's best-of-N: this
+    # host's CPU speed drifts 2-3x on a minutes timescale, so a single
+    # local-then-distributed sequence confounds path cost with drift
+    # (r3/r4 first-cut artifacts did exactly that); alternation puts
+    # both paths through the same host phases and best-of strips the
+    # slow phases from both equally.  Each leg records a probe.
+    legs: dict[str, list] = {"local": [], "distributed": []}
+    for _rep in range(max(2, BENCH_REPS)):
+        for name, thr in (("local", 20_000_000), ("distributed", 0)):
+            probe = _cpu_probe()
+            t0 = time.time()
+            res = run_dedup(ds, DedupConfig(), check_html=False,
+                            uf_local_threshold=thr).materialize()
+            dt = time.time() - t0
+            hashes[name] = _assignments_hash(res)
+            legs[name].append({"wall_sec": round(dt, 2),
+                               "cpu_probe_sec": probe})
+            del res
+    for name in legs:
+        best = min(legs[name], key=lambda r: r["wall_sec"])
+        out[name] = {"wall_sec": best["wall_sec"],
+                     "docs_per_sec": round(n_docs / best["wall_sec"], 1),
+                     "assign_sha256": hashes[name][:16],
+                     "legs": legs[name]}
     return {"metric": "union-find path comparison", "docs": n_docs,
             "num_cpus": num_cpus,
             "paths_identical": hashes["local"] == hashes["distributed"],
+            "dist_over_local": round(out["distributed"]["wall_sec"] /
+                                     out["local"]["wall_sec"], 2),
             **out}
 
 
@@ -384,6 +401,72 @@ def run_footprint(num_cpus: int, n_docs: int | None = None) -> dict:
         "exact_only_docs_per_sec": round(n_docs / dt, 1),
         "assign_sha256": h[:16],
     }
+
+
+XOVER_BENCH_DOCS = int(os.environ.get("DEDUP_XOVER_BENCH_DOCS", "10000"))
+XOVER_TOKENS = int(os.environ.get("DEDUP_XOVER_TOKENS", "1000"))
+
+
+def run_bloom_crossover(num_cpus: int) -> dict:
+    """Bloom-decontamination crossover evidence (VERDICT r3 #6): at
+    sf0.1 benchmark sizes (~100k distinct grams) the broadcast path wins
+    3.2x — this leg measures the scale the bloom path EXISTS for.  The
+    benchmark is ~10M distinct 8-grams (globally-unique tokens, so every
+    gram is distinct): the broadcast path must collect the full distinct
+    gram set on the driver, ray.put a ~600MB string array, and rebuild a
+    10M-entry is_in hash table per train batch; the bloom path
+    broadcasts ~18MB of bits and confirms hits exactly in a
+    co-partitioned shuffle bounded by true contamination + fpp.  Both
+    modes are run on the same train side (100k pages + 200 docs of true
+    benchmark text) and the output tables are asserted hash-identical —
+    the same oracle-invariance discipline as run_reduce_path."""
+    _init_ray(num_cpus)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from dedup.corpus import ngram_decontaminate
+
+    nb, T = XOVER_BENCH_DOCS, XOVER_TOKENS
+    bench_path = f"/tmp/dedup_xover_bench_{nb}_{T}.parquet"
+    if not os.path.exists(bench_path):
+        texts, k = [], 0
+        for _i in range(nb):
+            texts.append(" ".join(f"t{j}" for j in range(k, k + T)))
+            k += T
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(nb), pa.int64()),
+                      "text": pa.array(texts, pa.string())}),
+            bench_path)
+    bench = ray.data.read_parquet(bench_path)
+    n_grams = nb * (T - 7)
+    pages = ray.data.read_parquet(synth_bench_corpus(),
+                                  columns=["url", "text"])
+    bt = pq.read_table(bench_path).slice(0, min(200, nb))
+    cont = ray.data.from_arrow(pa.table({
+        "url": pa.array([f"bench://{i}" for i in range(bt.num_rows)],
+                        pa.string()),
+        "text": bt["text"].combine_chunks(),
+    }))
+    train = pages.union(cont)
+    out: dict[str, dict] = {}
+    hashes = {}
+    for mode in ("bloom", "broadcast"):
+        t0 = time.time()
+        res = ngram_decontaminate(train, bench, id_col="url",
+                                  mode=mode).materialize()
+        dt = time.time() - t0
+        n_cont = int(res.sum("contaminated"))
+        hashes[mode] = _assignments_hash(res)
+        out[mode] = {"wall_sec": round(dt, 2),
+                     "n_contaminated": n_cont,
+                     "out_sha256": hashes[mode][:16]}
+    return {"metric": "bloom-vs-broadcast decontamination crossover",
+            "bench_docs": nb, "bench_distinct_grams": n_grams,
+            "train_docs": BENCH_DOCS + bt.num_rows, "num_cpus": num_cpus,
+            "outputs_identical": hashes["bloom"] == hashes["broadcast"],
+            "bloom_speedup": round(out["broadcast"]["wall_sec"] /
+                                   max(out["bloom"]["wall_sec"], 1e-9), 2),
+            **out}
 
 
 def run_suite() -> dict:
@@ -603,6 +686,7 @@ def main() -> None:
     ap.add_argument("--uf-path", action="store_true")
     ap.add_argument("--fuzzy-decon-scale", action="store_true")
     ap.add_argument("--footprint", action="store_true")
+    ap.add_argument("--bloom-crossover", action="store_true")
     ap.add_argument("--cpus", type=int, default=NUM_CPUS)
     args = ap.parse_args()
     import ray
@@ -624,6 +708,8 @@ def main() -> None:
         print(json.dumps(run_fuzzy_decon_scale(args.cpus)))
     elif args.footprint:
         print(json.dumps(run_footprint(args.cpus)))
+    elif args.bloom_crossover:
+        print(json.dumps(run_bloom_crossover(args.cpus)))
     elif args.scaling:
         print(json.dumps(run_scaling()))
     else:

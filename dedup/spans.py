@@ -369,3 +369,177 @@ def top_spans(ds: ray.data.Dataset, L: int = 50, k: int = 20,
         "rep_offset": pa.array([int(r["rep64"]) & 0xFFFFFFFF for r in top],
                                pa.int64()),
     })
+
+
+def _mix128(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Combine the two independent 64-bit window hashes into one probe
+    key (odd-multiplier mix, wraps mod 2^64).  Collision odds ~2^-64
+    per cross pair — the repo's documented screening posture; the exact
+    mode confirms against the real strings anyway."""
+    return h1 * _B1 + h2
+
+
+def _standalone_hashes(texts: list, L: int) -> list[np.ndarray]:
+    """Mixed window hashes for each text (content-only polynomial, so a
+    standalone L-char string hashes identically to the same content
+    seen as a window of a larger document)."""
+    out = []
+    for txt in texts:
+        cp = _codepoints(txt) if txt else np.zeros(0, np.uint32)
+        if len(cp) < L:
+            out.append(np.zeros(0, np.uint64))
+            continue
+        out.append(_mix128(_window_hashes(cp, L, _B1, _B1_INV),
+                           _window_hashes(cp, L, _B2, _B2_INV)))
+    return out
+
+
+class _SpanProber:
+    """map_batches actor for span_decontaminate's train side: resolves
+    the broadcast benchmark window index once per actor, probes each
+    batch vectorized (searchsorted screen on the mixed hash; exact mode
+    then extracts ONLY the screened windows and confirms their strings
+    with one pc.is_in, so hash collisions cannot inflate counts and the
+    50x window-string expansion never materializes for clean text)."""
+
+    def __init__(self, href, sref, L: int, mode: str, W: int,
+                 id_col: str, text_col: str) -> None:
+        self.hset = ray.get(href) if isinstance(href, ray.ObjectRef) \
+            else href                      # sorted uint64 bench keys
+        self.strings = (ray.get(sref) if isinstance(sref, ray.ObjectRef)
+                        else sref) if sref is not None else None
+        self.L, self.mode, self.W = L, mode, W
+        self.id_col, self.text_col = id_col, text_col
+
+    def _screen(self, h: np.ndarray) -> np.ndarray:
+        if not len(h) or not len(self.hset):
+            return np.zeros(len(h), dtype=bool)
+        idx = np.searchsorted(self.hset, h)
+        idx[idx == len(self.hset)] = 0
+        return self.hset[idx] == h
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        L, texts = self.L, t[self.text_col].to_pylist()
+        n_win = np.zeros(t.num_rows, dtype=np.int64)
+        n_hit = np.zeros(t.num_rows, dtype=np.int64)
+        cand: list[tuple[int, str]] = []   # (row, window string) to confirm
+        for i, txt in enumerate(texts):
+            cp = _codepoints(txt) if txt else np.zeros(0, np.uint32)
+            if len(cp) < L:
+                continue
+            h1 = _window_hashes(cp, L, _B1, _B1_INV)
+            if self.mode == "winnow":
+                sel = _selected_starts(h1, "winnow", 1, self.W)
+                h1 = h1[sel]
+                h2 = _window_hashes(cp, L, _B2, _B2_INV)[sel]
+            else:
+                sel = np.arange(len(h1), dtype=np.int64)
+                h2 = _window_hashes(cp, L, _B2, _B2_INV)
+            n_win[i] = len(sel)
+            hit = self._screen(_mix128(h1, h2))
+            if self.strings is None:       # winnow: hash-confirmed only
+                n_hit[i] = int(hit.sum())
+            else:                          # exact: string-confirm hits
+                for o in sel[hit]:
+                    cand.append((i, txt[int(o):int(o) + L]))
+        if self.strings is not None and cand:
+            rows = np.fromiter((c[0] for c in cand), np.int64, len(cand))
+            ok = pc.is_in(pa.array([c[1] for c in cand], pa.string()),
+                          value_set=self.strings) \
+                .to_numpy(zero_copy_only=False)
+            np.add.at(n_hit, rows[ok], 1)
+        flag = (n_hit > 0).astype(np.int64)
+        col = "n_windows" if self.mode == "exact" else "n_anchors"
+        return pa.table({
+            self.id_col: t[self.id_col],
+            col: pa.array(n_win, pa.int64()),
+            "n_contaminated": pa.array(n_hit, pa.int64()),
+            "span_contaminated": pa.array(flag, pa.int64()),
+        })
+
+
+def span_decontaminate(train: ray.data.Dataset, bench: ray.data.Dataset,
+                       L: int = 50, mode: str = "winnow",
+                       winnow_window: int = 16, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       concurrency=(1, 8)) -> ray.data.Dataset:
+    """Character-level benchmark decontamination: flags every train doc
+    that shares a verbatim length-``L`` character span with the
+    benchmark corpus — the substring analogue of ngram_decontaminate
+    (token grams miss overlaps that cross tokenization, e.g. punctuated
+    or reformatted quotes; Lee et al. 2022 dedup verbatim 50-char runs
+    for exactly this reason).  Output per train doc:
+    (id, n_windows|n_anchors, n_contaminated, span_contaminated).
+
+    ``mode='exact'``: every window start on both sides; the benchmark's
+    distinct window (hash, string) pairs are collected once (bounded by
+    benchmark size — a benchmark too large for that should be the probe
+    side) and broadcast; train windows are screened by hash and hits
+    are string-confirmed, so counts equal the SQL contract
+    ``count(positions p where substr(train, p, L) IN bench windows)``
+    exactly.
+
+    ``mode='winnow'`` (default — the scale path): both sides emit only
+    winnowing-selected anchors (Schleimer, Karlin & Aiken 2003), so the
+    broadcast is ~2/(W+1) of the window count and the standard
+    guarantee holds: any shared span of length >= L + winnow_window - 1
+    shares an anchor in both copies and is caught.  Shorter overlaps
+    may be missed (documented approximation); matching is on the mixed
+    128->64-bit hash (~2^-64 false-hit odds, no string confirm).
+
+    The train side is never shuffled and never re-read: one map_batches
+    pass, bench index broadcast via ray.put — the same shape as the
+    other three decontamination modalities (token-gram, fuzzy MinHash,
+    embedding), completing the verbatim-substring corner."""
+    if mode not in ("exact", "winnow"):
+        raise ValueError(f"unknown span_decontaminate mode {mode!r}")
+    W = winnow_window
+
+    def _bench_rows(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        hs, ss = [], []
+        for txt in texts:
+            cp = _codepoints(txt) if txt else np.zeros(0, np.uint32)
+            if len(cp) < L:
+                continue
+            h1 = _window_hashes(cp, L, _B1, _B1_INV)
+            h2 = _window_hashes(cp, L, _B2, _B2_INV)
+            if mode == "winnow":
+                sel = _selected_starts(h1, "winnow", 1, W)
+            else:
+                sel = np.arange(len(h1), dtype=np.int64)
+            hm = _mix128(h1[sel], h2[sel])
+            uniq, first = np.unique(hm, return_index=True)
+            hs.append(uniq)
+            if mode == "exact":
+                ss.extend(txt[int(o):int(o) + L] for o in sel[first])
+        h = np.concatenate(hs) if hs else np.zeros(0, np.uint64)
+        if mode == "exact":
+            return pa.table({"h": pa.array(h, pa.uint64()),
+                             "s": pa.array(ss, pa.string())})
+        return pa.table({"h": pa.array(h, pa.uint64())})
+
+    # driver-side union of per-batch-distinct rows — bounded by the
+    # benchmark's distinct window/anchor count (same posture as
+    # benchmark_gram_set: the benchmark is the small side by contract)
+    seen: dict[int, str] = {}
+    hset: set[int] = set()
+    for b in bench.map_batches(_bench_rows,
+                               batch_format="pyarrow").iter_batches(
+                                   batch_format="pyarrow"):
+        if mode == "exact":
+            for h, s in zip(b["h"].to_pylist(), b["s"].to_pylist()):
+                seen.setdefault(h, s)
+        else:
+            hset.update(b["h"].to_pylist())
+    keys = np.array(sorted(seen if mode == "exact" else hset),
+                    dtype=np.uint64)
+    href = ray.put(keys)
+    sref = ray.put(pa.array([seen[int(k)] for k in keys], pa.string())) \
+        if mode == "exact" else None
+    return train.map_batches(
+        _SpanProber,
+        fn_constructor_kwargs={"href": href, "sref": sref, "L": L,
+                               "mode": mode, "W": W, "id_col": id_col,
+                               "text_col": text_col},
+        batch_format="pyarrow", concurrency=concurrency)

@@ -166,3 +166,99 @@ def test_top_spans_counts_and_text_recovery():
     for _, r in got.iterrows():
         assert texts[r["rep_doc"]][r["rep_offset"]:r["rep_offset"] + L] \
             == r["span"]
+
+
+# ---------------------------------------------------------------------------
+# span_decontaminate (verbatim L-char overlap with a benchmark corpus)
+# ---------------------------------------------------------------------------
+
+from dedup.spans import span_decontaminate  # noqa: E402
+
+BENCH_TEXTS = [
+    "The quick brown fox jumps over the lazy dog near the river bank "
+    "every single morning in early spring.",
+    "x" * 40,                       # too short to contribute windows
+]
+SHARED = "jumps over the lazy dog near the river bank every single morning"
+
+
+def _decon_naive(train_texts, bench_texts, L):
+    bw = set()
+    for t in bench_texts:
+        t = t or ""
+        for i in range(max(len(t) - L + 1, 0)):
+            bw.add(t[i:i + L])
+    out = []
+    for t in train_texts:
+        t = t or ""
+        n_win = max(len(t) - L + 1, 0)
+        n_hit = sum(1 for i in range(n_win) if t[i:i + L] in bw)
+        out.append((n_win, n_hit, int(n_hit > 0)))
+    return out
+
+
+def _mk(texts):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+
+
+def test_span_decontaminate_exact_matches_naive():
+    train = ["no overlap here with anything benchmarky at all, not even "
+             "a little bit of shared phrasing to speak of",
+             "prefix text then " + SHARED + " then a suffix",
+             None,
+             "short",
+             BENCH_TEXTS[0]]        # full benchmark doc verbatim
+    res = span_decontaminate(_mk(train), _mk(BENCH_TEXTS), L=50,
+                             mode="exact").sort("doc_id").take_all()
+    naive = _decon_naive(train, BENCH_TEXTS, 50)
+    assert [(r["n_windows"], r["n_contaminated"], r["span_contaminated"])
+            for r in res] == naive
+    assert res[1]["span_contaminated"] == 1      # planted overlap caught
+    assert res[0]["span_contaminated"] == 0
+
+
+def test_span_decontaminate_winnow_guarantee_and_clean():
+    # planted overlap of length >= L + W - 1 must be caught; a clean doc
+    # must not be flagged (hash false hits ~2^-64)
+    W = 16
+    long_shared = BENCH_TEXTS[0][10:10 + 50 + W - 1]
+    train = ["wrapper before " + long_shared + " wrapper after",
+             "entirely unrelated material that shares nothing with the "
+             "benchmark and is long enough to carry several anchors"]
+    res = span_decontaminate(_mk(train), _mk(BENCH_TEXTS), L=50,
+                             mode="winnow", winnow_window=W) \
+        .sort("doc_id").take_all()
+    assert res[0]["span_contaminated"] == 1
+    assert res[1]["span_contaminated"] == 0
+    assert res[0]["n_anchors"] >= 1
+
+
+def test_span_decontaminate_deterministic_across_partitions():
+    train = ["prefix " + SHARED + " suffix"] * 7 + \
+            ["unrelated filler text that is long enough for windows"] * 6
+    t = pa.table({"doc_id": pa.array(range(len(train)), pa.int64()),
+                  "text": pa.array(train, pa.string())})
+    outs = []
+    for P in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(P)
+        r = span_decontaminate(ds, _mk(BENCH_TEXTS), L=50,
+                               mode="exact").sort("doc_id").take_all()
+        outs.append([(x["doc_id"], x["n_contaminated"]) for x in r])
+    assert outs[0] == outs[1]
+
+
+def test_span_decontaminate_empty_bench_flags_nothing():
+    res = span_decontaminate(
+        _mk(["some train text that is long enough to have many windows "
+             "but nothing to collide with"]),
+        _mk(["tiny"]), L=50, mode="exact").take_all()
+    assert res[0]["n_contaminated"] == 0
+    assert res[0]["span_contaminated"] == 0
+
+
+def test_span_decontaminate_rejects_bad_mode():
+    import pytest
+    with pytest.raises(ValueError):
+        span_decontaminate(_mk(["x"]), _mk(["y"]), mode="nope")
