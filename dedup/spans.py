@@ -403,13 +403,14 @@ class _SpanProber:
     50x window-string expansion never materializes for clean text)."""
 
     def __init__(self, href, sref, L: int, mode: str, W: int,
-                 id_col: str, text_col: str) -> None:
+                 id_col: str, text_col: str, emit: str = "flag") -> None:
         self.hset = ray.get(href) if isinstance(href, ray.ObjectRef) \
             else href                      # sorted uint64 bench keys
         self.strings = (ray.get(sref) if isinstance(sref, ray.ObjectRef)
                         else sref) if sref is not None else None
         self.L, self.mode, self.W = L, mode, W
         self.id_col, self.text_col = id_col, text_col
+        self.emit = emit
 
     def _screen(self, h: np.ndarray) -> np.ndarray:
         if not len(h) or not len(self.hset):
@@ -422,7 +423,8 @@ class _SpanProber:
         L, texts = self.L, t[self.text_col].to_pylist()
         n_win = np.zeros(t.num_rows, dtype=np.int64)
         n_hit = np.zeros(t.num_rows, dtype=np.int64)
-        cand: list[tuple[int, str]] = []   # (row, window string) to confirm
+        # (row, offset, window string) to confirm
+        cand: list[tuple[int, int, str]] = []
         for i, txt in enumerate(texts):
             cp = _codepoints(txt) if txt else np.zeros(0, np.uint32)
             if len(cp) < L:
@@ -441,27 +443,55 @@ class _SpanProber:
                 n_hit[i] = int(hit.sum())
             else:                          # exact: string-confirm hits
                 for o in sel[hit]:
-                    cand.append((i, txt[int(o):int(o) + L]))
+                    cand.append((i, int(o), txt[int(o):int(o) + L]))
+        cut_by_row: dict[int, list[int]] = {}
         if self.strings is not None and cand:
             rows = np.fromiter((c[0] for c in cand), np.int64, len(cand))
-            ok = pc.is_in(pa.array([c[1] for c in cand], pa.string()),
+            offs = np.fromiter((c[1] for c in cand), np.int64, len(cand))
+            ok = pc.is_in(pa.array([c[2] for c in cand], pa.string()),
                           value_set=self.strings) \
                 .to_numpy(zero_copy_only=False)
             np.add.at(n_hit, rows[ok], 1)
+            if self.emit == "cut":
+                for r, o in zip(rows[ok], offs[ok]):
+                    cut_by_row.setdefault(int(r), []).append(int(o))
         flag = (n_hit > 0).astype(np.int64)
         col = "n_windows" if self.mode == "exact" else "n_anchors"
-        return pa.table({
+        out = {
             self.id_col: t[self.id_col],
             col: pa.array(n_win, pa.int64()),
             "n_contaminated": pa.array(n_hit, pa.int64()),
             "span_contaminated": pa.array(flag, pa.int64()),
-        })
+        }
+        if self.emit == "cut":
+            # rewrite each contaminated doc: merge the confirmed
+            # [o, o+L) windows into maximal runs and drop the covered
+            # codepoints (same diff-array kernel as span_dedup's
+            # rebuild); clean docs pass through byte-identical
+            clean, removed = [], np.zeros(t.num_rows, dtype=np.int64)
+            for i, txt in enumerate(texts):
+                co = cut_by_row.get(i)
+                if not co or not txt:
+                    clean.append(txt)
+                    continue
+                cp = _codepoints(txt)
+                n = len(cp)
+                diff = np.zeros(n + 1, dtype=np.int64)
+                offs_i = np.asarray(co, dtype=np.int64)
+                np.add.at(diff, np.minimum(offs_i, n), 1)
+                np.add.at(diff, np.minimum(offs_i + L, n), -1)
+                covered = np.cumsum(diff[:-1]) > 0
+                removed[i] = int(covered.sum())
+                clean.append(cp[~covered].tobytes().decode("utf-32-le"))
+            out["n_removed_chars"] = pa.array(removed, pa.int64())
+            out["text_clean"] = pa.array(clean, pa.string())
+        return pa.table(out)
 
 
 def span_decontaminate(train: ray.data.Dataset, bench: ray.data.Dataset,
                        L: int = 50, mode: str = "winnow",
                        winnow_window: int = 16, id_col: str = "doc_id",
-                       text_col: str = "text",
+                       text_col: str = "text", emit: str = "flag",
                        concurrency=(1, 8)) -> ray.data.Dataset:
     """Character-level benchmark decontamination: flags every train doc
     that shares a verbatim length-``L`` character span with the
@@ -490,9 +520,24 @@ def span_decontaminate(train: ray.data.Dataset, bench: ray.data.Dataset,
     The train side is never shuffled and never re-read: one map_batches
     pass, bench index broadcast via ray.put — the same shape as the
     other three decontamination modalities (token-gram, fuzzy MinHash,
-    embedding), completing the verbatim-substring corner."""
+    embedding), completing the verbatim-substring corner.
+
+    ``emit='flag'`` (default) returns per-doc counts + the
+    span_contaminated flag; ``emit='cut'`` (exact mode only — window
+    positions must be exact to cut precisely) additionally REWRITES
+    each contaminated doc, dropping the merged [o, o+L) runs of every
+    confirmed benchmark window (the GPT-3-style scrub that removes the
+    leaked span but keeps the document), adding
+    (n_removed_chars, text_clean) columns.  Still one map_batches over
+    the train side — the cut is batch-local."""
     if mode not in ("exact", "winnow"):
         raise ValueError(f"unknown span_decontaminate mode {mode!r}")
+    if emit not in ("flag", "cut"):
+        raise ValueError(f"unknown span_decontaminate emit {emit!r}")
+    if emit == "cut" and mode != "exact":
+        raise ValueError("emit='cut' requires mode='exact' (winnow "
+                         "anchors are sparse; they flag docs but cannot "
+                         "bound the overlapping span)")
     W = winnow_window
 
     def _bench_rows(t: pa.Table) -> pa.Table:
@@ -541,5 +586,5 @@ def span_decontaminate(train: ray.data.Dataset, bench: ray.data.Dataset,
         _SpanProber,
         fn_constructor_kwargs={"href": href, "sref": sref, "L": L,
                                "mode": mode, "W": W, "id_col": id_col,
-                               "text_col": text_col},
+                               "text_col": text_col, "emit": emit},
         batch_format="pyarrow", concurrency=concurrency)

@@ -262,3 +262,41 @@ def test_span_decontaminate_rejects_bad_mode():
     import pytest
     with pytest.raises(ValueError):
         span_decontaminate(_mk(["x"]), _mk(["y"]), mode="nope")
+
+
+def test_span_decontaminate_cut_removes_exact_overlap():
+    # the contaminated run must vanish; clean docs pass byte-identical
+    train = ["prefix text then " + SHARED + " then a suffix",
+             "totally clean content long enough to window but unshared",
+             None, "short"]
+    res = span_decontaminate(_mk(train), _mk(BENCH_TEXTS), L=50,
+                             mode="exact", emit="cut") \
+        .sort("doc_id").take_all()
+    # naive: merge [o, o+50) over hit positions, drop covered chars
+    bw = set()
+    for t in BENCH_TEXTS:
+        for i in range(max(len(t) - 49, 0)):
+            bw.add(t[i:i + 50])
+    for r, txt in zip(res, train):
+        t = txt or ""
+        cov = [False] * len(t)
+        for o in range(max(len(t) - 49, 0)):
+            if t[o:o + 50] in bw:
+                for j in range(o, o + 50):
+                    cov[j] = True
+        want = "".join(c for c, m in zip(t, cov) if not m)
+        assert r["text_clean"] == (txt if txt is None else want) or \
+            r["text_clean"] == want
+        assert r["n_removed_chars"] == sum(cov)
+    assert res[0]["n_removed_chars"] > 0
+    assert SHARED not in res[0]["text_clean"]
+    assert res[1]["text_clean"] == train[1]
+
+
+def test_span_decontaminate_cut_requires_exact_mode():
+    import pytest
+    with pytest.raises(ValueError):
+        span_decontaminate(_mk(["x"]), _mk(["y"]), mode="winnow",
+                           emit="cut")
+    with pytest.raises(ValueError):
+        span_decontaminate(_mk(["x"]), _mk(["y"]), emit="nope")
