@@ -290,3 +290,20 @@ def test_repetition_stats_table_matches_naive():
         assert out["n_2grams"][i].as_py() == gtot
         assert out["top_2gram_frac_e6"][i].as_py() == gmx * 10**6 // max(gtot, 1)
         assert out["dup_2gram_frac_e6"][i].as_py() == gdup * 10**6 // max(gtot, 1)
+
+
+def test_batched_signer_matches_per_doc_sign_text():
+    # the batched __call__ (arrow whitespace split + dictionary-encoded
+    # token hashing + reduceat min) must be byte-identical to the
+    # per-doc reference path across nulls, empties, whitespace edge
+    # cases, sub-k docs and long docs
+    import pyarrow as pa
+    from dedup.minhash import MinHashSigner
+    texts = [None, "", "   ", "one two", "a b c d e",
+             "  leading and trailing  ", "a\tb\nc d e f g",
+             "tok " * 500, "a b c d", " nbsp a b c d e f"]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    got = MinHashSigner()(t)["minhash"].to_pylist()
+    ref = MinHashSigner()
+    want = [ref.sign_text(x) for x in texts]
+    assert got == want
