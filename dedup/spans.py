@@ -379,19 +379,40 @@ def _mix128(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
     return h1 * _B1 + h2
 
 
-def _standalone_hashes(texts: list, L: int) -> list[np.ndarray]:
-    """Mixed window hashes for each text (content-only polynomial, so a
-    standalone L-char string hashes identically to the same content
-    seen as a window of a larger document)."""
-    out = []
+def _bench_window_rows(t: pa.Table, L: int, mode: str, W: int,
+                       text_col: str) -> pa.Table:
+    """Per-batch distinct benchmark window rows for span_decontaminate:
+    ``h`` = per-doc-distinct mixed window hashes (the probe screen);
+    in exact mode also ``s`` = per-doc-distinct window STRINGS (the
+    confirm set), deduped by VALUE — not by hash — so two distinct
+    benchmark windows colliding on the 64-bit mixed hash both reach the
+    confirm set and counts stay exactly equal to the SQL contract.  The
+    two columns are independent sets, padded with nulls to a common
+    length (they differ only under such a collision)."""
+    texts = t[text_col].to_pylist()
+    hs: list[np.ndarray] = []
+    ss: list[str] = []
     for txt in texts:
         cp = _codepoints(txt) if txt else np.zeros(0, np.uint32)
         if len(cp) < L:
-            out.append(np.zeros(0, np.uint64))
             continue
-        out.append(_mix128(_window_hashes(cp, L, _B1, _B1_INV),
-                           _window_hashes(cp, L, _B2, _B2_INV)))
-    return out
+        h1 = _window_hashes(cp, L, _B1, _B1_INV)
+        h2 = _window_hashes(cp, L, _B2, _B2_INV)
+        if mode == "winnow":
+            sel = _selected_starts(h1, "winnow", 1, W)
+        else:
+            sel = np.arange(len(h1), dtype=np.int64)
+        hs.append(np.unique(_mix128(h1[sel], h2[sel])))
+        if mode == "exact":
+            ss.extend({txt[int(o):int(o) + L] for o in sel})
+    h = np.concatenate(hs) if hs else np.zeros(0, np.uint64)
+    if mode == "exact":
+        n = max(len(h), len(ss))
+        return pa.table({
+            "h": pa.array(list(h) + [None] * (n - len(h)), pa.uint64()),
+            "s": pa.array(ss + [None] * (n - len(ss)), pa.string()),
+        })
+    return pa.table({"h": pa.array(h, pa.uint64())})
 
 
 class _SpanProber:
@@ -507,7 +528,10 @@ def span_decontaminate(train: ray.data.Dataset, bench: ray.data.Dataset,
     side) and broadcast; train windows are screened by hash and hits
     are string-confirmed, so counts equal the SQL contract
     ``count(positions p where substr(train, p, L) IN bench windows)``
-    exactly.
+    exactly — including under mixed-hash collisions among benchmark
+    windows (the confirm set is deduped by string VALUE, the hash is
+    only a screen; a colliding train window is screened in and then
+    rejected by the string confirm).
 
     ``mode='winnow'`` (default — the scale path): both sides emit only
     winnowing-selected anchors (Schleimer, Karlin & Aiken 2003), so the
@@ -540,47 +564,23 @@ def span_decontaminate(train: ray.data.Dataset, bench: ray.data.Dataset,
                          "bound the overlapping span)")
     W = winnow_window
 
-    def _bench_rows(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        hs, ss = [], []
-        for txt in texts:
-            cp = _codepoints(txt) if txt else np.zeros(0, np.uint32)
-            if len(cp) < L:
-                continue
-            h1 = _window_hashes(cp, L, _B1, _B1_INV)
-            h2 = _window_hashes(cp, L, _B2, _B2_INV)
-            if mode == "winnow":
-                sel = _selected_starts(h1, "winnow", 1, W)
-            else:
-                sel = np.arange(len(h1), dtype=np.int64)
-            hm = _mix128(h1[sel], h2[sel])
-            uniq, first = np.unique(hm, return_index=True)
-            hs.append(uniq)
-            if mode == "exact":
-                ss.extend(txt[int(o):int(o) + L] for o in sel[first])
-        h = np.concatenate(hs) if hs else np.zeros(0, np.uint64)
-        if mode == "exact":
-            return pa.table({"h": pa.array(h, pa.uint64()),
-                             "s": pa.array(ss, pa.string())})
-        return pa.table({"h": pa.array(h, pa.uint64())})
-
     # driver-side union of per-batch-distinct rows — bounded by the
     # benchmark's distinct window/anchor count (same posture as
-    # benchmark_gram_set: the benchmark is the small side by contract)
-    seen: dict[int, str] = {}
+    # benchmark_gram_set: the benchmark is the small side by contract).
+    # Hash keys and confirm strings are independent SETS (strings deduped
+    # by value), so mixed-hash collisions among benchmark windows cannot
+    # drop a string from the confirm set.
     hset: set[int] = set()
-    for b in bench.map_batches(_bench_rows,
-                               batch_format="pyarrow").iter_batches(
-                                   batch_format="pyarrow"):
+    sset: set[str] = set()
+    for b in bench.map_batches(
+            lambda t: _bench_window_rows(t, L, mode, W, text_col),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        hset.update(x for x in b["h"].to_pylist() if x is not None)
         if mode == "exact":
-            for h, s in zip(b["h"].to_pylist(), b["s"].to_pylist()):
-                seen.setdefault(h, s)
-        else:
-            hset.update(b["h"].to_pylist())
-    keys = np.array(sorted(seen if mode == "exact" else hset),
-                    dtype=np.uint64)
+            sset.update(x for x in b["s"].to_pylist() if x is not None)
+    keys = np.array(sorted(hset), dtype=np.uint64)
     href = ray.put(keys)
-    sref = ray.put(pa.array([seen[int(k)] for k in keys], pa.string())) \
+    sref = ray.put(pa.array(sorted(sset), pa.string())) \
         if mode == "exact" else None
     return train.map_batches(
         _SpanProber,

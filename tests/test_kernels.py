@@ -307,3 +307,21 @@ def test_batched_signer_matches_per_doc_sign_text():
     ref = MinHashSigner()
     want = [ref.sign_text(x) for x in texts]
     assert got == want
+
+
+def test_batched_simhash_matches_per_doc_fingerprint():
+    # the batched __call__ (batch-vectorized tokenization + per-doc
+    # vote sums over shared token codes) must be bit-identical to the
+    # per-doc reference path across nulls, empties, whitespace edge
+    # cases, repeated tokens and long docs
+    import pyarrow as pa
+    from dedup.simhash import SimHashSigner
+    texts = [None, "", "   ", "one two", "a b c d e",
+             "  leading and trailing  ", "a\tb\nc d e f g",
+             "tok " * 500, "alpha beta alpha beta gamma",
+             " nbsp a b c d e f", "zz yy xx " * 100]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    signer = SimHashSigner()
+    got = signer(t)["simhash"].to_pylist()
+    want = [signer.fingerprint(x) for x in texts]
+    assert got == want

@@ -300,3 +300,54 @@ def test_span_decontaminate_cut_requires_exact_mode():
                            emit="cut")
     with pytest.raises(ValueError):
         span_decontaminate(_mk(["x"]), _mk(["y"]), emit="nope")
+
+
+def test_bench_window_rows_collision_keeps_all_strings(monkeypatch):
+    # force every window onto ONE mixed hash: the confirm-string set
+    # must still carry every distinct benchmark window (dedup is by
+    # string VALUE, not by hash), with the shorter hash column padded
+    import dedup.spans as spans_mod
+    monkeypatch.setattr(spans_mod, "_mix128",
+                        lambda h1, h2: np.zeros(len(h1), np.uint64))
+    txt = "abcdefgh"   # L=4 -> 5 distinct windows
+    t = pa.table({"text": pa.array([txt], pa.string())})
+    out = spans_mod._bench_window_rows(t, 4, "exact", 16, "text")
+    hs = [x for x in out["h"].to_pylist() if x is not None]
+    ss = sorted(x for x in out["s"].to_pylist() if x is not None)
+    assert hs == [0]                      # all windows collided
+    assert ss == sorted(txt[i:i + 4] for i in range(5))
+    assert out.num_rows == 5              # padded to the string count
+
+
+def test_span_prober_string_confirm_is_value_based():
+    # the screen admits by hash; the confirm must accept ANY string in
+    # the benchmark set and reject hash-screened strings outside it
+    from dedup.spans import (_SpanProber, _codepoints, _window_hashes,
+                             _mix128, _B1, _B1_INV, _B2, _B2_INV)
+    L = 6
+    win_a, win_b = "aaaaaa", "bbbbbb"
+
+    def mixed(s):
+        cp = _codepoints(s)
+        return _mix128(_window_hashes(cp, L, _B1, _B1_INV),
+                       _window_hashes(cp, L, _B2, _B2_INV))
+
+    keys = np.sort(np.concatenate([mixed(win_a), mixed(win_b)]))
+    # simulate a collision-recovered confirm set holding BOTH strings
+    prober = _SpanProber(href=keys,
+                         sref=pa.array(sorted([win_a, win_b])),
+                         L=L, mode="exact", W=16,
+                         id_col="doc_id", text_col="text")
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([f"xx{win_a}yy", f"xx{win_b}yy", "no match here"],
+                         pa.string()),
+    })
+    out = prober(t)
+    assert out["span_contaminated"].to_pylist() == [1, 1, 0]
+    # negative: hash screened in but string NOT in the confirm set
+    prober2 = _SpanProber(href=keys, sref=pa.array([win_a]),
+                          L=L, mode="exact", W=16,
+                          id_col="doc_id", text_col="text")
+    out2 = prober2(t)
+    assert out2["span_contaminated"].to_pylist() == [1, 0, 0]
