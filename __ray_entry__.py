@@ -2691,7 +2691,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     round-4 rotation: the NEW span_decontaminate (verbatim 50-char
     substring scrub, exact SQL contract) takes exact_dedup_crc32's slot
     (green r3; the hash-enum machinery stays covered in-cap by
-    exact_dedup / exact_dedup_stats / normalized_dedup)."""
+    exact_dedup / exact_dedup_stats / normalized_dedup).
+
+    Round-5 rotation (completing VERDICT r3 #8's programme: every
+    oracle-bearing family driver-recorded at least once across
+    rounds): the LAST ten oracle queries never to have held a driver
+    slot move up — line_dedup_scoped, events_dedup_window,
+    embedding_decontaminate, dedup_savings, corpus_shuffle,
+    curation_report, normalize_text, top_clusters, decontaminate_bloom
+    and chunk_documents — taking the slots of the ten rows that went
+    green in CORRECTNESS_r04 (video_features, video_frame_sample,
+    postings, weighted_sample, paragraph_quality, unigram_surprisal,
+    hourly_distinct, snapshot_diff, grouped_heavy_hitters,
+    validate_rows), which rotate below the cap and stay oracle-checked
+    in-repo via scripts/check_queries.py.  After this round every
+    oracle-bearing query in the registry has held a driver-recorded
+    slot in at least one round."""
     return {
         # --- slots 1-50: every query with a DuckDB oracle -------------
         "exact_dedup": _q_exact_dedup,
@@ -2706,16 +2721,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_stats": _q_exact_dedup_stats,
         "incremental_dedup": _q_incremental_dedup,
         "incremental_dedup_bloom": _q_incremental_dedup_bloom,
-        "video_features": _q_video_features,
-        "video_frame_sample": _q_video_frame_sample,
-        "postings": _q_postings,
-        "weighted_sample": _q_weighted_sample,
-        "paragraph_quality": _q_paragraph_quality,
-        "unigram_surprisal": _q_unigram_surprisal,
-        "hourly_distinct": _q_hourly_distinct,
-        "snapshot_diff": _q_snapshot_diff,
-        "grouped_heavy_hitters": _q_grouped_heavy_hitters,
-        "validate_rows": _q_validate_rows,
+        "line_dedup_scoped": _q_line_dedup_scoped,
+        "events_dedup_window": _q_events_dedup_window,
+        "embedding_decontaminate": _q_embedding_decontaminate,
+        "dedup_savings": _q_dedup_savings,
+        "corpus_shuffle": _q_corpus_shuffle,
+        "curation_report": _q_curation_report,
+        "normalize_text": _q_normalize_text,
+        "top_clusters": _q_top_clusters,
+        "decontaminate_bloom": _q_decontaminate_bloom,
+        "chunk_documents": _q_chunk_documents,
         "knn_ivf": _q_knn_ivf,
         "lang_id": _q_lang_id,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -2757,13 +2772,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "image_features": _q_image_features,
         "curation_pipeline": _q_curation_pipeline,
-        "line_dedup_scoped": _q_line_dedup_scoped,
-        "events_dedup_window": _q_events_dedup_window,
-        "embedding_decontaminate": _q_embedding_decontaminate,
-        "dedup_savings": _q_dedup_savings,
+        "video_features": _q_video_features,
+        "video_frame_sample": _q_video_frame_sample,
+        "postings": _q_postings,
+        "weighted_sample": _q_weighted_sample,
+        "paragraph_quality": _q_paragraph_quality,
+        "unigram_surprisal": _q_unigram_surprisal,
+        "hourly_distinct": _q_hourly_distinct,
+        "snapshot_diff": _q_snapshot_diff,
+        "grouped_heavy_hitters": _q_grouped_heavy_hitters,
+        "validate_rows": _q_validate_rows,
         "length_quantiles": _q_length_quantiles,
         "doc_stats": _q_doc_stats,
-        "corpus_shuffle": _q_corpus_shuffle,
         "token_count": _q_token_count,
         "top_tokens": _q_top_tokens,
         "cluster_size_hist": _q_cluster_size_hist,
@@ -2807,16 +2827,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_planted": _q_incremental_dedup_planted,
         "incremental_near_planted": _q_incremental_near_planted,
         "incremental_near_bucketed": _q_incremental_near_bucketed,
-        "curation_report": _q_curation_report,
         "top_spans": _q_top_spans,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
-        "normalize_text": _q_normalize_text,
         "dedup_tier_report": _q_dedup_tier_report,
-        "top_clusters": _q_top_clusters,
-        "decontaminate_bloom": _q_decontaminate_bloom,
         "fuzzy_decontaminate_recall": _q_fuzzy_decontaminate_recall,
         "approx_quantiles": _q_approx_quantiles,
-        "chunk_documents": _q_chunk_documents,
         "bpe_stats": _q_bpe_stats,
         "quality_classifier": _q_quality_classifier,
         "tokenize_and_pack": _q_tokenize_and_pack,
