@@ -2643,6 +2643,60 @@ def _q_dedup_savings(sf_dir: str):
                          weight_col="n_chars")
 
 
+def _q_source_overlap(sf_dir: str):
+    """Pairwise cross-source content-overlap report (dedup/overlap.py
+    source_overlap): which crawl sources share distinct texts, with
+    Jaccard — the 'which dumps duplicate each other' planning table
+    and the source-scope analogue of the reference's disk predicates
+    (ViewModels/MainViewModel.cs same/different-disk modes).  Fixture:
+    every third doc leaks an EXACT copy into the source 7 slots over
+    (mod 20) — raw documents have no cross-source twins, so the
+    construction makes the report non-vacuous; the oracle builds the
+    identical corpus in SQL."""
+    from dedup.overlap import source_overlap
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def _xtwin(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        base = pa.table({"source": t["source"].combine_chunks(),
+                         "text": t["text"].combine_chunks()})
+        leak = base.filter(pa.array(ids % 3 == 0))
+        num = pc.cast(pc.utf8_slice_codeunits(
+            leak["source"].combine_chunks(), 3, 99), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        shifted = pa.array([f"src{(v + 7) % 20}" for v in num],
+                           pa.string())
+        twin = pa.table({"source": shifted,
+                         "text": leak["text"].combine_chunks()})
+        return pa.concat_tables([base, twin])
+
+    corpus = docs.map_batches(_xtwin, batch_format="pyarrow")
+    return source_overlap(corpus).sort(["source_a", "source_b"])
+
+
+def _q_dup_ratio_estimate(sf_dir: str):
+    """Hash-slice duplicate-ratio pre-flight estimate (dedup/overlap.py
+    dup_ratio_estimate): per-source dup ratio measured on the
+    deterministic md5-prefix slice < '40' (25 % of content-hash
+    space).  Duplicate clusters share the digest, so each cluster is
+    entirely in or out of the slice — unbiased, unlike row sampling —
+    and only the sliced 16-byte digests ever shuffle (the estimate a
+    100-TB run makes before paying for the full dedup shuffle).
+    Fixture: every third doc duplicated within its own source."""
+    from dedup.overlap import dup_ratio_estimate
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def _twin(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        base = pa.table({"source": t["source"].combine_chunks(),
+                         "text": t["text"].combine_chunks()})
+        dup = base.filter(pa.array(ids % 3 == 0))
+        return pa.concat_tables([base, dup])
+
+    corpus = docs.map_batches(_twin, batch_format="pyarrow")
+    return dup_ratio_estimate(corpus, slice_hex="40")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return _q_full_dedup("/root/testdata/sf0.001")
@@ -2706,7 +2760,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     validate_rows), which rotate below the cap and stay oracle-checked
     in-repo via scripts/check_queries.py.  After this round every
     oracle-bearing query in the registry has held a driver-recorded
-    slot in at least one round."""
+    slot in at least one round.  Second round-5 rotation: the two NEW
+    round-5 operators source_overlap (cross-source content-overlap
+    report) and dup_ratio_estimate (hash-slice pre-flight dup-ratio
+    estimator) take the slots of knn_ivf and lang_id, both green in
+    r3 AND r4 (every family still keeps its once-recorded guarantee;
+    both stay oracle-checked in-repo)."""
     return {
         # --- slots 1-50: every query with a DuckDB oracle -------------
         "exact_dedup": _q_exact_dedup,
@@ -2731,8 +2790,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_clusters": _q_top_clusters,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "chunk_documents": _q_chunk_documents,
-        "knn_ivf": _q_knn_ivf,
-        "lang_id": _q_lang_id,
+        "source_overlap": _q_source_overlap,
+        "dup_ratio_estimate": _q_dup_ratio_estimate,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bigram_surprisal": _q_bigram_surprisal,
         "heavy_hitters": _q_heavy_hitters,
@@ -2772,6 +2831,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "image_features": _q_image_features,
         "curation_pipeline": _q_curation_pipeline,
+        "knn_ivf": _q_knn_ivf,
+        "lang_id": _q_lang_id,
         "video_features": _q_video_features,
         "video_frame_sample": _q_video_frame_sample,
         "postings": _q_postings,
@@ -3992,6 +4053,48 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute": _KNN_SQL,
         "knn_ivf": _KNN_SQL,
         "lang_id": _lang_id_sql(),
+        "source_overlap": """
+            WITH corpus AS (
+              SELECT source, text FROM documents
+              UNION ALL
+              SELECT 'src' || CAST((CAST(substr(source, 4) AS BIGINT) + 7)
+                                   % 20 AS VARCHAR) AS source, text
+              FROM documents WHERE doc_id % 3 = 0
+            ),
+            k AS (SELECT DISTINCT source, text FROM corpus),
+            c AS (SELECT source, count(*) AS n FROM k GROUP BY source),
+            p AS (SELECT a.source AS sa, b.source AS sb,
+                         count(*) AS shared
+                  FROM k a JOIN k b
+                    ON a.text = b.text AND a.source < b.source
+                  GROUP BY 1, 2)
+            SELECT p.sa AS source_a, p.sb AS source_b,
+                   CAST(p.shared AS BIGINT) AS n_shared,
+                   CAST(ca.n AS BIGINT) AS n_a,
+                   CAST(cb.n AS BIGINT) AS n_b,
+                   CAST(floor(1000000.0 * p.shared
+                              / (ca.n + cb.n - p.shared)) AS BIGINT)
+                       AS jaccard_e6
+            FROM p
+            JOIN c ca ON ca.source = p.sa
+            JOIN c cb ON cb.source = p.sb
+            ORDER BY source_a, source_b""",
+        "dup_ratio_estimate": """
+            WITH corpus AS (
+              SELECT source, text FROM documents
+              UNION ALL
+              SELECT source, text FROM documents WHERE doc_id % 3 = 0
+            ),
+            s AS (SELECT source, text FROM corpus
+                  WHERE substr(md5(text), 1, 2) < '40'),
+            g AS (SELECT source, text, count(*) AS c FROM s GROUP BY 1, 2)
+            SELECT source,
+                   CAST(SUM(c) AS BIGINT) AS n_sampled,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup,
+                   CAST(floor(1000000.0 * (SUM(c) - COUNT(*)) / SUM(c))
+                        AS BIGINT) AS dup_ratio_e6
+            FROM g GROUP BY source ORDER BY source""",
         "embedding_dedup": f"{_EMB_DEDUP_SQL}\n            ORDER BY vec_id",
         "cluster_size_hist": f"""
             SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters

@@ -1,0 +1,126 @@
+"""source_overlap + dup_ratio_estimate (dedup/overlap.py)."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from dedup.overlap import dup_ratio_estimate, source_overlap
+
+
+def _corpus():
+    # sources named so dictionary (first-appearance) order differs from
+    # string order: zeta appears before alpha
+    rows = [
+        ("zeta", "shared-all"),      # in zeta, alpha, beta
+        ("zeta", "zeta-only"),
+        ("zeta", "zeta-dup"),        # within-source dup: counts once
+        ("zeta", "zeta-dup"),
+        ("alpha", "shared-all"),
+        ("alpha", "shared-ab"),      # alpha & beta
+        ("alpha", None),             # null text: excluded everywhere
+        ("beta", "shared-all"),
+        ("beta", "shared-ab"),
+        ("beta", "beta-only"),
+    ]
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+
+
+def test_source_overlap_exact_counts():
+    ds = ray.data.from_arrow(_corpus())
+    out = source_overlap(ds, num_partitions=4).to_pandas()
+    got = {(r.source_a, r.source_b): (r.n_shared, r.n_a, r.n_b,
+                                      r.jaccard_e6)
+           for r in out.itertuples()}
+    # distinct texts: zeta={shared-all, zeta-only, zeta-dup} (3),
+    # alpha={shared-all, shared-ab} (2), beta={shared-all, shared-ab,
+    # beta-only} (3)
+    assert got == {
+        ("alpha", "beta"): (2, 2, 3, int(np.floor(1e6 * 2 / 3))),
+        ("alpha", "zeta"): (1, 2, 3, 250000),
+        ("beta", "zeta"): (1, 3, 3, 200000),
+    }
+    # pair ordering is by string, and rows are sorted
+    assert list(out.source_a) == sorted(out.source_a)
+
+
+def test_source_overlap_partitioning_invariant():
+    ds = ray.data.from_arrow(_corpus())
+    a = source_overlap(ds, num_partitions=3).to_pandas()
+    b = source_overlap(ds.repartition(7), num_partitions=11).to_pandas()
+    assert a.equals(b)
+
+
+def test_source_overlap_no_overlap_is_empty_with_schema():
+    t = pa.table({"source": pa.array(["a", "b"], pa.string()),
+                  "text": pa.array(["x", "y"], pa.string())})
+    out = source_overlap(ray.data.from_arrow(t), num_partitions=2)
+    assert out.count() == 0
+    assert set(out.schema().names) >= {"source_a", "source_b", "n_shared",
+                                       "n_a", "n_b", "jaccard_e6"}
+
+
+def test_dup_ratio_full_slice_is_exact():
+    rows = [("s1", "a"), ("s1", "a"), ("s1", "b"),       # 3 rows, 2 distinct
+            ("s2", "c"), ("s2", "c"), ("s2", "c"),       # 3 rows, 1 distinct
+            ("s2", None)]                                # excluded
+    t = pa.table({"source": pa.array([r[0] for r in rows], pa.string()),
+                  "text": pa.array([r[1] for r in rows], pa.string())})
+    out = dup_ratio_estimate(ray.data.from_arrow(t), slice_hex="zz",
+                             num_partitions=3).to_pandas()
+    got = {r.source: (r.n_sampled, r.n_distinct, r.n_dup, r.dup_ratio_e6)
+           for r in out.itertuples()}
+    assert got == {"s1": (3, 2, 1, 333333), "s2": (3, 1, 2, 666666)}
+
+
+def test_dup_ratio_slice_matches_manual_recompute():
+    texts = [f"doc number {i}" for i in range(200)] + \
+            [f"doc number {i}" for i in range(0, 200, 5)]   # 40 exact dups
+    srcs = ["even" if i % 2 == 0 else "odd" for i in range(len(texts))]
+    t = pa.table({"source": pa.array(srcs, pa.string()),
+                  "text": pa.array(texts, pa.string())})
+    bound = "40"
+    out = dup_ratio_estimate(ray.data.from_arrow(t), slice_hex=bound,
+                             num_partitions=4).to_pandas()
+    # manual recompute of the same slice predicate
+    want: dict[str, tuple] = {}
+    per: dict[str, list] = {}
+    for s, x in zip(srcs, texts):
+        if hashlib.md5(x.encode()).hexdigest()[:2] < bound:
+            per.setdefault(s, []).append(x)
+    for s, xs in sorted(per.items()):
+        n, d = len(xs), len(set(xs))
+        want[s] = (n, d, n - d, int(np.floor(1e6 * (n - d) / n)))
+    got = {r.source: (r.n_sampled, r.n_distinct, r.n_dup, r.dup_ratio_e6)
+           for r in out.itertuples()}
+    assert got == want
+    assert list(out.source) == sorted(want)          # sorted by source
+    # the slice is a real subsample, not everything
+    assert sum(v[0] for v in want.values()) < len(texts)
+
+
+def test_dup_ratio_estimate_is_unbiased_on_planted_corpus():
+    # plant a known 25% duplicate ratio; the hash-space slice estimate
+    # must land near it (clusters stay intact, so error is only the
+    # which-clusters-fall-in-the-slice binomial, not pair loss)
+    base = [f"unique text {i} padding" for i in range(1500)]
+    texts = base + base[:500]                        # 2000 rows, 500 dups
+    t = pa.table({"source": pa.array(["s"] * len(texts), pa.string()),
+                  "text": pa.array(texts, pa.string())})
+    out = dup_ratio_estimate(ray.data.from_arrow(t), slice_hex="28",
+                             num_partitions=4).to_pandas()
+    est = out.dup_ratio_e6[0] / 1e6
+    assert abs(est - 0.25) < 0.08
+
+
+def test_dup_ratio_bad_slice_hex():
+    ds = ray.data.from_arrow(pa.table({"source": ["a"], "text": ["x"]}))
+    with pytest.raises(ValueError):
+        dup_ratio_estimate(ds, slice_hex="XY")
+    with pytest.raises(ValueError):
+        dup_ratio_estimate(ds, slice_hex="1")
