@@ -2697,6 +2697,34 @@ def _q_dup_ratio_estimate(sf_dir: str):
     return dup_ratio_estimate(corpus, slice_hex="40")
 
 
+def _q_soft_dedup(sf_dir: str):
+    """Keep-up-to-k keeper policy (dedup/pipeline.py soft_dedup): cap
+    duplicates at k=2 copies per cluster instead of one — the policy
+    for corpora where natural duplication frequency is signal
+    (Muennighoff et al. 2023).  A post-pass over run_dedup's
+    assignments; only the O(dups) clustered rows shuffle once on the
+    cluster id.  Fixture: exact triplet corpus (every doc + two exact
+    copies at +1M/+2M), so every cluster has 3 members and keep-2
+    genuinely splits keeps from deletes (the twin corpus would make
+    k=2 vacuous)."""
+    from dedup.pipeline import soft_dedup
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _triplet(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks()
+        txt = t["text"].combine_chunks()
+        return pa.table({
+            "doc_id": pa.concat_arrays([
+                ids, pc.add(ids, 1_000_000).cast(pa.int64()),
+                pc.add(ids, 2_000_000).cast(pa.int64())]),
+            "text": pa.concat_arrays([txt, txt, txt]),
+        })
+
+    corpus = docs.map_batches(_triplet, batch_format="pyarrow")
+    asn = run_dedup(corpus, _doc_cfg())
+    return soft_dedup(asn, k=2).sort("doc_id")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return _q_full_dedup("/root/testdata/sf0.001")
@@ -2765,7 +2793,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     report) and dup_ratio_estimate (hash-slice pre-flight dup-ratio
     estimator) take the slots of knn_ivf and lang_id, both green in
     r3 AND r4 (every family still keeps its once-recorded guarantee;
-    both stay oracle-checked in-repo)."""
+    both stay oracle-checked in-repo); the keep-up-to-k soft_dedup
+    takes pricing_summary's slot (green in ALL of r1-r4; the TPC-H
+    engine-surface class stays in-cap via lang_group_stats /
+    top_docs_per_lang and in-repo via region_supplier_stats)."""
     return {
         # --- slots 1-50: every query with a DuckDB oracle -------------
         "exact_dedup": _q_exact_dedup,
@@ -2811,7 +2842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": _q_hash_split,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "lang_group_stats": _q_lang_group_stats,
-        "pricing_summary": _q_pricing_summary,
+        "soft_dedup": _q_soft_dedup,
         "temperature_sample": _q_temperature_sample,
         "sliding_windows": _q_sliding_windows,
         "user_sessions": _q_user_sessions,
@@ -2833,6 +2864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": _q_curation_pipeline,
         "knn_ivf": _q_knn_ivf,
         "lang_id": _q_lang_id,
+        "pricing_summary": _q_pricing_summary,
         "video_features": _q_video_features,
         "video_frame_sample": _q_video_frame_sample,
         "postings": _q_postings,
@@ -4053,6 +4085,32 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute": _KNN_SQL,
         "knn_ivf": _KNN_SQL,
         "lang_id": _lang_id_sql(),
+        "soft_dedup": f"""
+            WITH uni AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 1000000, text FROM documents
+              UNION ALL SELECT doc_id + 2000000, text FROM documents),
+            base AS (SELECT doc_id, text, length(text) AS nb FROM uni),
+            ok AS (SELECT doc_id,
+                          MIN(doc_id) OVER (PARTITION BY text) AS min_id,
+                          COUNT(*) OVER (PARTITION BY text) AS cnt,
+                          ROW_NUMBER() OVER (PARTITION BY text
+                                             ORDER BY doc_id) - 1 AS rk
+                   FROM base WHERE nb >= {_MIN})
+            SELECT doc_id,
+                   CASE WHEN cnt = 1 THEN 'unique'
+                        WHEN rk < 2 THEN 'keep'
+                        ELSE 'delete' END AS state,
+                   CASE WHEN cnt = 1 THEN -1 ELSE min_id END AS cluster_id,
+                   CASE WHEN cnt = 1 THEN 1 ELSE cnt END AS cluster_size,
+                   CAST(CASE WHEN cnt = 1 THEN 0 ELSE rk END AS BIGINT)
+                       AS copy_rank
+            FROM ok
+            UNION ALL
+            SELECT doc_id, 'ignored' AS state, -1 AS cluster_id,
+                   0 AS cluster_size, 0 AS copy_rank
+            FROM base WHERE nb < {_MIN}
+            ORDER BY doc_id""",
         "source_overlap": """
             WITH corpus AS (
               SELECT source, text FROM documents

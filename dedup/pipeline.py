@@ -1931,6 +1931,86 @@ def _edge_stats(edges: ray.data.Dataset, P: int) -> tuple[int, int, int]:
     return n_edges, n_docs, n_comps
 
 
+def soft_dedup(assignments: ray.data.Dataset, k: int,
+               id_col: str = "doc_id",
+               num_partitions: int = 16) -> ray.data.Dataset:
+    """Cap duplicates at ``k`` copies per cluster instead of one — the
+    soft keeper policy for corpora where natural duplication frequency
+    is signal (up-to-k-epoch repetition is benign for training;
+    Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    Models"): the policy keeper stays ``keep``, the next ``k-1``
+    members in deterministic id order stay ``keep``, the rest flip to
+    ``delete``.  A post-pass over an existing assignments table — the
+    expensive matching/clustering work is reused, only the O(dups)
+    clustered rows shuffle once on the cluster id.
+
+    Returns (id_col, state, cluster_id, cluster_size, copy_rank) where
+    ``copy_rank`` is the member's 0-based rank under (policy keeper
+    first, then ascending id); non-clustered rows pass through with
+    copy_rank 0.  With ``keeper='first'`` the rank order equals plain
+    ascending id (the keeper IS the id minimum), so a SQL oracle is
+    ``ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY id) - 1``.
+    ``k=1`` reproduces the input states exactly (tested)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cl_states = pa.array(["keep", "delete"])
+
+    def _pass(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.is_in(t["state"], value_set=cl_states)))
+        return t.append_column(
+            "copy_rank", pa.array(np.zeros(t.num_rows, np.int64),
+                                  pa.int64()))
+
+    def _key(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["state"], value_set=cl_states))
+        cid = t["cluster_id"]
+        if pa.types.is_string(cid.type) or \
+                pa.types.is_large_string(cid.type):
+            from .corpus import _hash64_strings
+            ck = _hash64_strings(cid.combine_chunks())
+        else:
+            ck = cid.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("ckey", pa.array(ck, pa.uint64()))
+
+    def _rank(t: pa.Table) -> pa.Table:
+        # keeper-first then ascending id: copy_rank 0 is always the
+        # policy keeper regardless of which keeper policy produced the
+        # assignments; ranks 1..k-1 fill in deterministic id order
+        krank = pc.cast(pc.not_equal(t["state"], "keep"), pa.int8())
+        t = t.append_column("krank", krank)
+        idx = pc.sort_indices(t, sort_keys=[("cluster_id", "ascending"),
+                                            ("krank", "ascending"),
+                                            (id_col, "ascending")])
+        t2 = t.take(idx).drop_columns(["krank", "ckey"])
+        n = t2.num_rows
+        if n == 0:
+            return t2.append_column("copy_rank", pa.array([], pa.int64()))
+        cid = t2["cluster_id"]
+        if pa.types.is_string(cid.type) or \
+                pa.types.is_large_string(cid.type):
+            cl = np.asarray(cid.to_pylist(), dtype=object)
+        else:
+            cl = cid.to_numpy(zero_copy_only=False)
+        brk = np.flatnonzero(cl[1:] != cl[:-1]) + 1
+        starts = np.concatenate([[0], brk]).astype(np.int64)
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+        state = np.where(rank < k, "keep", "delete")
+        return pa.table({
+            id_col: t2[id_col],
+            "state": pa.array(state.tolist(), pa.string()),
+            "cluster_id": t2["cluster_id"],
+            "cluster_size": t2["cluster_size"],
+            "copy_rank": pa.array(rank, pa.int64()),
+        })
+
+    passthrough = assignments.map_batches(_pass, batch_format="pyarrow")
+    ranked = groupapply(
+        assignments.map_batches(_key, batch_format="pyarrow"),
+        "ckey", _rank, num_partitions)
+    return passthrough.union(ranked)
+
+
 def tier_report(ds: ray.data.Dataset, cfg: DedupConfig,
                 check_html: bool = True,
                 num_partitions: int | None = None) -> ray.data.Dataset:
