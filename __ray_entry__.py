@@ -2654,6 +2654,15 @@ def _q_source_overlap(sf_dir: str):
     construction makes the report non-vacuous; the oracle builds the
     identical corpus in SQL."""
     from dedup.overlap import source_overlap
+    return source_overlap(_xsource_corpus(sf_dir)) \
+        .sort(["source_a", "source_b"])
+
+
+def _xsource_corpus(sf_dir: str) -> "ray.data.Dataset":
+    """documents ∪ cross-source exact twins (every third doc's text
+    copied into the source 7 slots over, mod 20) — the shared fixture
+    for the source-overlap queries; the SQL oracle builds the same
+    corpus with string arithmetic."""
     docs = _docs(sf_dir, ["doc_id", "text", "source"])
 
     def _xtwin(t: pa.Table) -> pa.Table:
@@ -2670,8 +2679,44 @@ def _q_source_overlap(sf_dir: str):
                          "text": leak["text"].combine_chunks()})
         return pa.concat_tables([base, twin])
 
-    corpus = docs.map_batches(_xtwin, batch_format="pyarrow")
-    return source_overlap(corpus).sort(["source_a", "source_b"])
+    return docs.map_batches(_xtwin, batch_format="pyarrow")
+
+
+def _q_source_overlap_sketch(sf_dir: str):
+    """Self-checked shuffle-free estimate (dedup/overlap.py
+    source_overlap_sketch): per-source MinHash union sketches estimate
+    source_overlap's Jaccard with NO shuffle at all (per-batch
+    per-source signature minima → tiny groupby merge).  Runs sketch
+    AND exact on the same cross-source-twin corpus and emits per pair
+    est vs exact plus a 4-sigma agreement flag (sigma =
+    sqrt(j(1-j)/128)); rows-only — MinHash isn't SQL-expressible, and
+    the exact side is the hash-matched source_overlap machinery."""
+    from dedup.overlap import source_overlap, source_overlap_sketch
+    corpus = _xsource_corpus(sf_dir)
+    NP = 128
+    exact = {(r["source_a"], r["source_b"]): r["jaccard_e6"]
+             for r in source_overlap(corpus).take_all()}   # <= 20^2 rows
+    rows_a, rows_b, ex, es, err, ok = [], [], [], [], [], []
+    for r in source_overlap_sketch(corpus, num_perm=NP).take_all():
+        a, b = r["source_a"], r["source_b"]
+        e = int(exact.get((a, b), 0))
+        s = int(r["jaccard_est_e6"])
+        j = e / 1e6
+        bound = int(np.ceil(4e6 * np.sqrt(j * (1 - j) / NP)))
+        rows_a.append(a)
+        rows_b.append(b)
+        ex.append(e)
+        es.append(s)
+        err.append(abs(s - e))
+        ok.append(abs(s - e) <= bound)
+    return pa.table({
+        "source_a": pa.array(rows_a, pa.string()),
+        "source_b": pa.array(rows_b, pa.string()),
+        "jaccard_exact_e6": pa.array(ex, pa.int64()),
+        "jaccard_est_e6": pa.array(es, pa.int64()),
+        "abs_err_e6": pa.array(err, pa.int64()),
+        "within_4sigma": pa.array(ok, pa.bool_()),
+    })
 
 
 def _q_dup_ratio_estimate(sf_dir: str):
@@ -2924,6 +2969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "dedup_tier_report": _q_dedup_tier_report,
         "fuzzy_decontaminate_recall": _q_fuzzy_decontaminate_recall,
+        "source_overlap_sketch": _q_source_overlap_sketch,
         "approx_quantiles": _q_approx_quantiles,
         "bpe_stats": _q_bpe_stats,
         "quality_classifier": _q_quality_classifier,

@@ -484,7 +484,10 @@ def run_suite() -> dict:
              "incremental_dedup_bucketed", "curation_funnel",
              "normalize_text",
              # round-3 seventh-session operators
-             "decontaminate_bloom", "fuzzy_decontaminate_recall"]
+             "decontaminate_bloom", "fuzzy_decontaminate_recall",
+             # round-5 operators
+             "source_overlap", "dup_ratio_estimate", "soft_dedup",
+             "span_decontaminate"]
     # headline pages pipeline runs FIRST — before the 29 queries build up
     # object-store pressure — and is bracketed by single-core probes so
     # the recorded number carries its own host-drift evidence

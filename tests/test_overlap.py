@@ -124,3 +124,44 @@ def test_dup_ratio_bad_slice_hex():
         dup_ratio_estimate(ds, slice_hex="XY")
     with pytest.raises(ValueError):
         dup_ratio_estimate(ds, slice_hex="1")
+
+
+def test_sketch_partitioning_invariant_and_dup_insensitive():
+    from dedup.overlap import source_overlap_sketch
+    t = _corpus()
+    a = source_overlap_sketch(ray.data.from_arrow(t)).to_pandas()
+    b = source_overlap_sketch(
+        ray.data.from_arrow(t).repartition(6)).to_pandas()
+    assert a.equals(b)
+    # duplicating every row changes nothing (min is a semilattice)
+    dup = pa.concat_tables([t, t])
+    c = source_overlap_sketch(ray.data.from_arrow(dup)).to_pandas()
+    assert a.equals(c)
+
+
+def test_sketch_estimates_known_jaccard():
+    from dedup.overlap import source_overlap_sketch
+    shared = [f"shared text {i}" for i in range(100)]
+    only_a = [f"a only {i}" for i in range(200)]
+    only_b = [f"b only {i}" for i in range(200)]
+    rows = [("a", x) for x in shared + only_a] + \
+           [("b", x) for x in shared + only_b]
+    t = pa.table({"source": pa.array([r[0] for r in rows], pa.string()),
+                  "text": pa.array([r[1] for r in rows], pa.string())})
+    out = source_overlap_sketch(ray.data.from_arrow(t),
+                                num_perm=128).to_pandas()
+    assert list(out.source_a) == ["a"] and list(out.source_b) == ["b"]
+    j_true = 100 / 500
+    sigma = (j_true * (1 - j_true) / 128) ** 0.5
+    assert abs(out.jaccard_est_e6[0] / 1e6 - j_true) < 4 * sigma
+
+
+def test_sketch_reports_disjoint_pairs_near_zero():
+    from dedup.overlap import source_overlap_sketch
+    rows = [("a", f"left {i}") for i in range(50)] + \
+           [("b", f"right {i}") for i in range(50)]
+    t = pa.table({"source": pa.array([r[0] for r in rows], pa.string()),
+                  "text": pa.array([r[1] for r in rows], pa.string())})
+    out = source_overlap_sketch(ray.data.from_arrow(t)).to_pandas()
+    assert len(out) == 1
+    assert out.jaccard_est_e6[0] <= 50000     # ~0, sketch noise only
