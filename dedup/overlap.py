@@ -52,10 +52,13 @@ def _digest_source_rows(t: pa.Table, text_col: str, source_col: str,
     md5 hexdigest starts below the 2-hex-char bound — the same
     ``substr(md5(text), 1, 2) < bound`` predicate a DuckDB oracle can
     evaluate verbatim.  Null texts are excluded on both sides (SQL's
-    ``md5(NULL)`` is NULL and fails any comparison)."""
+    ``md5(NULL)`` is NULL and fails any comparison); null sources are
+    excluded too (a row without a source belongs to no overlap
+    group)."""
     txt = t[text_col]
     src = t[source_col]
     valid = ~np.asarray(pc.is_null(txt).to_numpy(zero_copy_only=False))
+    valid &= ~np.asarray(pc.is_null(src).to_numpy(zero_copy_only=False))
     texts = txt.to_pylist()
     n = t.num_rows
     lo = np.zeros(n, dtype=np.uint64)
@@ -241,6 +244,8 @@ def source_overlap_sketch(ds: ray.data.Dataset,
     def _partial(t: pa.Table) -> pa.Table:
         txt = t[text_col]
         valid = ~np.asarray(pc.is_null(txt).to_numpy(zero_copy_only=False))
+        valid &= ~np.asarray(
+            pc.is_null(t[source_col]).to_numpy(zero_copy_only=False))
         texts = txt.to_pylist()
         h = np.zeros(t.num_rows, dtype=np.uint64)
         for i in np.flatnonzero(valid):

@@ -165,3 +165,22 @@ def test_sketch_reports_disjoint_pairs_near_zero():
     out = source_overlap_sketch(ray.data.from_arrow(t)).to_pandas()
     assert len(out) == 1
     assert out.jaccard_est_e6[0] <= 50000     # ~0, sketch noise only
+
+
+def test_null_sources_excluded_everywhere():
+    rows = [("a", "shared"), ("b", "shared"), (None, "shared"),
+            (None, "orphan"), ("a", "a only")]
+    t = pa.table({"source": pa.array([r[0] for r in rows], pa.string()),
+                  "text": pa.array([r[1] for r in rows], pa.string())})
+    ds = ray.data.from_arrow(t)
+    exact = source_overlap(ds, num_partitions=2).to_pandas()
+    assert len(exact) == 1
+    assert (exact.source_a[0], exact.source_b[0],
+            exact.n_shared[0], exact.n_a[0], exact.n_b[0]) == \
+        ("a", "b", 1, 2, 1)
+    ratio = dup_ratio_estimate(ds, slice_hex="zz",
+                               num_partitions=2).to_pandas()
+    assert sorted(ratio.source) == ["a", "b"]      # no null-source row
+    from dedup.overlap import source_overlap_sketch
+    sk = source_overlap_sketch(ds).to_pandas()
+    assert sorted(set(sk.source_a) | set(sk.source_b)) == ["a", "b"]
