@@ -11,6 +11,11 @@ Subcommands:
   index  build a bucketed reference index (--kind exact | bands), one
          dir per corpus dump, self-describing via _index.json
   filter near-dup filter of a new snapshot against band indexes
+  overlap   cross-source content-overlap report (exact counts +
+            Jaccard, or --sketch for the shuffle-free estimate)
+  estimate  pre-flight dup-ratio estimate from a content-hash-space
+            slice (is dedup worth the shuffle?)
+  soften    relax an existing run to keep-up-to-k copies per cluster
   bench  two fresh-process runs at different --cpus for the scaling
          protocol (delegates to bench.py)
 
@@ -302,6 +307,107 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def _read_columns(path: str, fmt_arg: str, columns: list[str]):
+    """Generic pruned read for report verbs (no dedup working-table
+    construction — these operate on arbitrary (source, text) tables)."""
+    import ray.data
+    from .ingest import _infer_format
+    fmt = fmt_arg if fmt_arg != "auto" else _infer_format(path)
+    if fmt == "parquet":
+        return ray.data.read_parquet(path, columns=columns)
+    if fmt == "csv":
+        return ray.data.read_csv(path).select_columns(columns)
+    return ray.data.read_json(path).select_columns(columns)
+
+
+def cmd_overlap(args: argparse.Namespace) -> int:
+    """Cross-source content-overlap report: which sources share distinct
+    texts, with Jaccard (exact by default; --sketch switches to the
+    shuffle-free MinHash union-sketch estimate)."""
+    _init(args.cpus)
+    import ray
+    from .overlap import source_overlap, source_overlap_sketch
+
+    ds = _read_columns(args.input, args.format,
+                       [args.source_col, args.text_col])
+    t0 = time.time()
+    if args.sketch:
+        out = source_overlap_sketch(ds, source_col=args.source_col,
+                                    text_col=args.text_col)
+    else:
+        out = source_overlap(ds, source_col=args.source_col,
+                             text_col=args.text_col)
+    os.makedirs(args.output, exist_ok=True)
+    rep_dir = os.path.join(args.output, "overlap")
+    if os.path.isdir(rep_dir):
+        import shutil
+        shutil.rmtree(rep_dir)
+    out.write_parquet(rep_dir)
+    n = ray.data.read_parquet(rep_dir).count()
+    print(json.dumps({"input": args.input, "output": rep_dir,
+                      "mode": "sketch" if args.sketch else "exact",
+                      "pairs": n,
+                      "wall_sec": round(time.time() - t0, 2)}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_estimate(args: argparse.Namespace) -> int:
+    """Pre-flight duplicate-ratio estimate from a deterministic slice of
+    content-hash space (the 'is dedup worth the shuffle' check)."""
+    _init(args.cpus)
+    import ray
+    from .overlap import dup_ratio_estimate
+
+    ds = _read_columns(args.input, args.format,
+                       [args.source_col, args.text_col])
+    t0 = time.time()
+    out = dup_ratio_estimate(ds, slice_hex=args.slice,
+                             source_col=args.source_col,
+                             text_col=args.text_col)
+    rows = [dict(r) for r in out.iter_rows()]   # <= #sources rows
+    total = sum(r["n_sampled"] for r in rows)
+    dup = sum(r["n_dup"] for r in rows)
+    print(json.dumps({
+        "input": args.input, "slice_hex": args.slice,
+        "n_sampled": total, "n_dup": dup,
+        "dup_ratio_e6": int(1e6 * dup / total) if total else 0,
+        "per_source": rows,
+        "wall_sec": round(time.time() - t0, 2)}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_soften(args: argparse.Namespace) -> int:
+    """Relax an existing run's keeper policy to keep-up-to-k copies per
+    cluster (soft dedup post-pass; matching work fully reused)."""
+    _init(args.cpus)
+    import ray
+    import ray.data
+    from .pipeline import soft_dedup, state_stats
+
+    asn_dir = os.path.join(args.assignments, "assignments") \
+        if os.path.isdir(os.path.join(args.assignments, "assignments")) \
+        else args.assignments
+    asn = ray.data.read_parquet(asn_dir)
+    id_col = args.id_col or asn.schema().names[0]
+    t0 = time.time()
+    out = soft_dedup(asn, k=args.k, id_col=id_col)
+    os.makedirs(args.output, exist_ok=True)
+    out_dir = os.path.join(args.output, "assignments")
+    if os.path.isdir(out_dir):
+        import shutil
+        shutil.rmtree(out_dir)
+    out.write_parquet(out_dir)
+    stats = {r["state"]: r["count()"] for r in state_stats(
+        ray.data.read_parquet(out_dir)).iter_rows()}
+    print(json.dumps({"assignments": asn_dir, "output": out_dir,
+                      "k": args.k, "id_col": id_col, "states": stats,
+                      "wall_sec": round(time.time() - t0, 2)}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="dedup")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -367,6 +473,42 @@ def main(argv: list[str] | None = None) -> int:
                     choices=("auto", "parquet", "csv", "jsonl"))
     mp.add_argument("--cpus", type=int, default=None)
     mp.set_defaults(fn=cmd_remark)
+    op = sub.add_parser("overlap",
+                        help="cross-source content-overlap report "
+                             "(exact, or --sketch for shuffle-free)")
+    op.add_argument("--input", required=True)
+    op.add_argument("--output", required=True)
+    op.add_argument("--source-col", default="source")
+    op.add_argument("--text-col", default="text")
+    op.add_argument("--sketch", action="store_true")
+    op.add_argument("--format", default="auto",
+                    choices=("auto", "parquet", "csv", "jsonl"))
+    op.add_argument("--cpus", type=int, default=None)
+    op.set_defaults(fn=cmd_overlap)
+    ep = sub.add_parser("estimate",
+                        help="pre-flight dup-ratio estimate from a "
+                             "content-hash-space slice")
+    ep.add_argument("--input", required=True)
+    ep.add_argument("--slice", default="28",
+                    help="2-hex-char md5-prefix bound ('28' ~ 15.6%%; "
+                         "'zz' = exact full corpus)")
+    ep.add_argument("--source-col", default="source")
+    ep.add_argument("--text-col", default="text")
+    ep.add_argument("--format", default="auto",
+                    choices=("auto", "parquet", "csv", "jsonl"))
+    ep.add_argument("--cpus", type=int, default=None)
+    ep.set_defaults(fn=cmd_estimate)
+    sp = sub.add_parser("soften",
+                        help="relax an existing run to keep-up-to-k "
+                             "copies per cluster")
+    sp.add_argument("--assignments", required=True,
+                    help="run output dir (or its assignments/ subdir)")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--k", type=int, required=True)
+    sp.add_argument("--id-col", default=None,
+                    help="id column (default: first column)")
+    sp.add_argument("--cpus", type=int, default=None)
+    sp.set_defaults(fn=cmd_soften)
     bp = sub.add_parser("bench", help="benchmark suite / scaling runs")
     bp.add_argument("--scaling", action="store_true")
     bp.set_defaults(fn=cmd_bench)

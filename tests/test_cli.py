@@ -310,3 +310,80 @@ def test_remark_keeper_rejects_nonmembers():
     assert out.loc["a", "state"] == "delete"
     assert out.loc["a", "cluster_id"] == "b"
     assert out.loc["c", "state"] == "unique"  # untouched
+
+
+def test_cli_overlap_estimate_soften(tmp_path):
+    """The three round-5 report verbs end-to-end: overlap (exact +
+    sketch), estimate, and soften (k=2 over a run's assignments)."""
+    import pyarrow as pa
+
+    # corpus with a known cross-source twin and within-source dups
+    rows = [("sa", f"document body number {i} with enough padding text "
+                   f"to clear every threshold easily {i}")
+            for i in range(30)]
+    rows += [("sb", rows[i][1]) for i in range(10)]        # sa∩sb = 10
+    rows += [("sa", rows[i][1]) for i in range(5)]         # sa self-dups
+    t = pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+    os.makedirs(tmp_path / "docs")
+    pq.write_table(t, str(tmp_path / "docs" / "p.parquet"))
+    env = {**os.environ, "RAY_ADDRESS": "local"}
+
+    r = subprocess.run(
+        [sys.executable, "-m", "dedup.cli", "overlap",
+         "--input", str(tmp_path / "docs"),
+         "--output", str(tmp_path / "ov"), "--cpus", "4"],
+        capture_output=True, text=True, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    ov = pq.read_table(str(tmp_path / "ov" / "overlap"))
+    row = {c: ov[c][0].as_py() for c in ov.column_names}
+    assert (row["source_a"], row["source_b"]) == ("sa", "sb")
+    assert (row["n_shared"], row["n_a"], row["n_b"]) == (10, 30, 10)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "dedup.cli", "overlap", "--sketch",
+         "--input", str(tmp_path / "docs"),
+         "--output", str(tmp_path / "ovs"), "--cpus", "4"],
+        capture_output=True, text=True, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    ovs = pq.read_table(str(tmp_path / "ovs" / "overlap"))
+    assert ovs.num_rows == 1 and "jaccard_est_e6" in ovs.column_names
+
+    r = subprocess.run(
+        [sys.executable, "-m", "dedup.cli", "estimate", "--slice", "zz",
+         "--input", str(tmp_path / "docs"), "--cpus", "4"],
+        capture_output=True, text=True, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads([ln for ln in r.stdout.splitlines()
+                      if ln.startswith("{")][-1])
+    # full-corpus slice is exact: 45 rows, 5 within-source sa dups
+    # (cross-source copies dedupe per source, not globally)
+    assert rep["n_sampled"] == 45 and rep["n_dup"] == 5
+
+    # soften: run a real dedup first, then relax to k=2
+    paths = write_pages(str(tmp_path / "corpus"), n_docs=150, seed=33)
+    out_dir = str(tmp_path / "out")
+    r = subprocess.run(
+        [sys.executable, "-m", "dedup.cli", "run", "--input",
+         paths["pages"], "--output", out_dir, "--cpus", "4"],
+        capture_output=True, text=True, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run(
+        [sys.executable, "-m", "dedup.cli", "soften",
+         "--assignments", out_dir, "--k", "2",
+         "--output", str(tmp_path / "soft"), "--cpus", "4"],
+        capture_output=True, text=True, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    soft = pq.read_table(str(tmp_path / "soft" / "assignments"))
+    hard = pq.read_table(os.path.join(out_dir, "assignments"))
+    assert soft.num_rows == hard.num_rows
+    assert "copy_rank" in soft.column_names
+    import pyarrow.compute as pc
+    keeps = lambda tt: pc.sum(pc.cast(pc.equal(tt["state"], "keep"),
+                                      "int64")).as_py()
+    # k=2 keeps at least as many as k=1, strictly more when any
+    # cluster has >= 2 members
+    assert keeps(soft) > keeps(hard)
