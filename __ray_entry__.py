@@ -2669,7 +2669,14 @@ def _xsource_corpus(sf_dir: str) -> "ray.data.Dataset":
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         base = pa.table({"source": t["source"].combine_chunks(),
                          "text": t["text"].combine_chunks()})
-        leak = base.filter(pa.array(ids % 3 == 0))
+        # a null source must not leak a twin: pc.cast(null)->NaN would
+        # mint a literal 'srcnan' source the SQL oracle never emits
+        # (its NULL-source twins drop out of the a.source < b.source
+        # join); the fixture tables carry no null sources, this guards
+        # the contract if one ever does
+        nn = ~np.asarray(pc.is_null(t["source"])
+                         .to_numpy(zero_copy_only=False))
+        leak = base.filter(pa.array((ids % 3 == 0) & nn))
         num = pc.cast(pc.utf8_slice_codeunits(
             leak["source"].combine_chunks(), 3, 99), pa.int64()) \
             .to_numpy(zero_copy_only=False)

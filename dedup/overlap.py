@@ -343,10 +343,11 @@ def dup_ratio_estimate(ds: ray.data.Dataset, slice_hex: str = "28",
     a corpus-sized one.
     """
     tune_context()
-    if not (len(slice_hex) == 2 and all(c in "0123456789abcdefz"
-                                        for c in slice_hex)):
+    if not (slice_hex == "zz"
+            or (len(slice_hex) == 2 and all(c in "0123456789abcdef"
+                                            for c in slice_hex))):
         raise ValueError("slice_hex must be two lowercase hex chars "
-                         "(or 'zz' for the full corpus), got "
+                         "(or exactly 'zz' for the full corpus), got "
                          f"{slice_hex!r}")
     rows = ds.map_batches(
         lambda t: _digest_source_rows(t, text_col, source_col,

@@ -1946,8 +1946,9 @@ def soft_dedup(assignments: ray.data.Dataset, k: int,
 
     Returns (id_col, state, cluster_id, cluster_size, copy_rank) where
     ``copy_rank`` is the member's 0-based rank under (policy keeper
-    first, then ascending id); non-clustered rows pass through with
-    copy_rank 0.  With ``keeper='first'`` the rank order equals plain
+    first, then ascending id); non-clustered rows (including rows with
+    a null state) pass through with copy_rank 0, and any EXTRA columns
+    the input assignments table carries survive on both branches.  With ``keeper='first'`` the rank order equals plain
     ascending id (the keeper IS the id minimum), so a SQL oracle is
     ``ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY id) - 1``.
     ``k=1`` reproduces the input states exactly (tested)."""
@@ -1955,14 +1956,20 @@ def soft_dedup(assignments: ray.data.Dataset, k: int,
         raise ValueError(f"k must be >= 1, got {k}")
     cl_states = pa.array(["keep", "delete"])
 
+    def _clmask(t: pa.Table) -> pa.Array:
+        # null state is NOT clustered (is_in yields null for null
+        # input, which would silently drop the row from BOTH branches)
+        return pc.fill_null(pc.is_in(t["state"], value_set=cl_states),
+                            False)
+
     def _pass(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.invert(pc.is_in(t["state"], value_set=cl_states)))
+        t = t.filter(pc.invert(_clmask(t)))
         return t.append_column(
             "copy_rank", pa.array(np.zeros(t.num_rows, np.int64),
                                   pa.int64()))
 
     def _key(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_in(t["state"], value_set=cl_states))
+        t = t.filter(_clmask(t))
         cid = t["cluster_id"]
         if pa.types.is_string(cid.type) or \
                 pa.types.is_large_string(cid.type):
@@ -1996,13 +2003,11 @@ def soft_dedup(assignments: ray.data.Dataset, k: int,
         sizes = np.diff(np.concatenate([starts, [n]]))
         rank = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
         state = np.where(rank < k, "keep", "delete")
-        return pa.table({
-            id_col: t2[id_col],
-            "state": pa.array(state.tolist(), pa.string()),
-            "cluster_id": t2["cluster_id"],
-            "cluster_size": t2["cluster_size"],
-            "copy_rank": pa.array(rank, pa.int64()),
-        })
+        # rewrite state in place and append the rank so EXTRA columns a
+        # caller's assignments table carries survive on both branches
+        t2 = t2.set_column(t2.schema.get_field_index("state"), "state",
+                           pa.array(state.tolist(), pa.string()))
+        return t2.append_column("copy_rank", pa.array(rank, pa.int64()))
 
     passthrough = assignments.map_batches(_pass, batch_format="pyarrow")
     ranked = groupapply(

@@ -184,3 +184,10 @@ def test_null_sources_excluded_everywhere():
     from dedup.overlap import source_overlap_sketch
     sk = source_overlap_sketch(ds).to_pandas()
     assert sorted(set(sk.source_a) | set(sk.source_b)) == ["a", "b"]
+
+
+def test_dup_ratio_rejects_mixed_z_hex():
+    ds = ray.data.from_arrow(pa.table({"source": ["a"], "text": ["x"]}))
+    for bad in ("z0", "4z", "fz", "ZZ"):
+        with pytest.raises(ValueError):
+            dup_ratio_estimate(ds, slice_hex=bad)

@@ -81,3 +81,32 @@ def test_soft_dedup_partitioning_invariant():
 def test_soft_dedup_k_validation():
     with pytest.raises(ValueError):
         soft_dedup(_asn(_ROWS), k=0)
+
+
+def test_soft_dedup_preserves_extra_columns():
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "state": pa.array(["keep", "delete", "unique"], pa.string()),
+        "cluster_id": pa.array([1, 1, -1], pa.int64()),
+        "cluster_size": pa.array([2, 2, 1], pa.int64()),
+        "n_chars": pa.array([100, 200, 300], pa.int64()),
+    })
+    out = soft_dedup(ray.data.from_arrow(t), k=1,
+                     num_partitions=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out.n_chars) == [100, 200, 300]        # no NaN, no drop
+    assert str(out.n_chars.dtype) == "int64"
+
+
+def test_soft_dedup_null_state_passes_through():
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "state": pa.array(["keep", "delete", None], pa.string()),
+        "cluster_id": pa.array([1, 1, -1], pa.int64()),
+        "cluster_size": pa.array([2, 2, 0], pa.int64()),
+    })
+    out = soft_dedup(ray.data.from_arrow(t), k=2,
+                     num_partitions=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == 3                               # nothing vanished
+    assert out.state.isna()[2] and out.copy_rank[2] == 0
