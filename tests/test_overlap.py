@@ -191,3 +191,75 @@ def test_dup_ratio_rejects_mixed_z_hex():
     for bad in ("z0", "4z", "fz", "ZZ"):
         with pytest.raises(ValueError):
             dup_ratio_estimate(ds, slice_hex=bad)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_SRC = ("alpha", "beta", "gamma", "zeta")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 7), st.sampled_from(_SRC)),
+                max_size=60))
+def test_overlap_partition_matches_bruteforce(rows):
+    # the partition kernel (pure numpy, no Ray) must agree with a
+    # brute-force set computation for ANY (key, source) multiset:
+    # diagonal rows count distinct keys per source, pair rows count
+    # keys shared by a source pair, both ordered source_a < source_b
+    from dedup.overlap import _overlap_partition
+    t = pa.table({
+        "h64": pa.array([np.uint64(k) for k, _ in rows], pa.uint64()),
+        "hhi": pa.array([np.uint64(k * 31) for k, _ in rows],
+                        pa.uint64()),
+        "source": pa.array([s for _, s in rows], pa.string()),
+    })
+    out = _overlap_partition(t)
+    got: dict = {}
+    for a, b, n in zip(out["source_a"].to_pylist(),
+                       out["source_b"].to_pylist(),
+                       out["n"].to_pylist()):
+        got[(a, b)] = got.get((a, b), 0) + n
+    per: dict = {}
+    for k, s in rows:
+        per.setdefault(s, set()).add(k)
+    want: dict = {}
+    for s, ks in per.items():
+        want[(s, s)] = len(ks)
+    srcs = sorted(per)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            n = len(per[a] & per[b])
+            if n:
+                want[(a, b)] = n
+    assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.sampled_from(["x", "yy", "zzz", "w w", ""]),
+                max_size=30),
+       st.sampled_from(["00", "28", "80", "zz"]))
+def test_digest_source_rows_matches_bruteforce(texts, bound):
+    # per-batch distinct (digest, source) rows + counts == Counter over
+    # the same md5-prefix slice predicate
+    from collections import Counter
+    from dedup.overlap import _digest_source_rows
+    srcs = [_SRC[i % 3] for i in range(len(texts))]
+    t = pa.table({"source": pa.array(srcs, pa.string()),
+                  "text": pa.array(texts, pa.string())})
+    out = _digest_source_rows(t, "text", "source", slice_hex=bound,
+                              with_count=True)
+    got = Counter()
+    for s, c in zip(out["source"].to_pylist(), out["c"].to_pylist()):
+        got[s] += c
+    want = Counter()
+    dis: dict = {}
+    for s, x in zip(srcs, texts):
+        if hashlib.md5(x.encode()).hexdigest()[:2] < bound:
+            want[s] += 1
+            dis.setdefault(s, set()).add(x)
+    assert got == want
+    n_distinct = Counter()
+    for s in out["source"].to_pylist():
+        n_distinct[s] += 1
+    assert n_distinct == Counter({s: len(v) for s, v in dis.items()})

@@ -110,3 +110,40 @@ def test_soft_dedup_null_state_passes_through():
         .sort_values("doc_id").reset_index(drop=True)
     assert len(out) == 3                               # nothing vanished
     assert out.state.isna()[2] and out.copy_rank[2] == 0
+
+
+def test_soft_dedup_matches_pandas_rank_on_random_assignments():
+    # randomized cross-check vs the SQL contract: for keeper='first'
+    # shaped inputs (keeper == min id per cluster), state must equal
+    # rank(doc_id within cluster) < k and copy_rank the 0-based rank
+    import numpy as np
+    import pandas as pd
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        rows = []
+        nid = 0
+        for c in range(30):
+            size = int(rng.integers(1, 6))
+            ids = sorted(int(nid + i) for i in range(size))
+            nid += size + int(rng.integers(0, 3))
+            if size == 1:
+                rows.append((ids[0], "unique", -1, 1))
+            else:
+                for j, d in enumerate(ids):
+                    rows.append((d, "keep" if j == 0 else "delete",
+                                 ids[0], size))
+        k = int(rng.integers(1, 4))
+        got = _collect(soft_dedup(_asn(rows), k=k, num_partitions=4))
+        df = pd.DataFrame(rows, columns=["doc_id", "state",
+                                         "cluster_id", "cluster_size"])
+        cl = df[df.state.isin(["keep", "delete"])].copy()
+        cl["rk"] = cl.groupby("cluster_id").doc_id.rank(
+            method="first").astype(int) - 1
+        for r in cl.itertuples():
+            want_state = "keep" if r.rk < k else "delete"
+            assert got[r.doc_id] == (want_state, r.cluster_id,
+                                     r.cluster_size, r.rk), \
+                (seed, k, r.doc_id)
+        for r in df[~df.state.isin(["keep", "delete"])].itertuples():
+            assert got[r.doc_id] == (r.state, r.cluster_id,
+                                     r.cluster_size, 0)
