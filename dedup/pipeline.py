@@ -696,13 +696,16 @@ def substring_candidates(active: ray.data.Dataset, cfg: DedupConfig,
             ns.append(np.full(len(a), nodes[i], dtype=np.uint64))
             if scoped:
                 ss.append(np.full(len(a), scopes[i], dtype=np.uint64))
-            ls.append(np.full(len(a), ncs[i], dtype=np.int64))
-            cs.append(np.full(len(a), len(a), dtype=np.int64))
+            # u32 riders: doc length / anchor count never exceed 2^32
+            # (a >4 GiB single document is out of contract); 8 fewer
+            # bytes per anchor row in the stage's one big exchange
+            ls.append(np.full(len(a), ncs[i], dtype=np.uint32))
+            cs.append(np.full(len(a), len(a), dtype=np.uint32))
         if not ks:
             cols = {"skey": pa.array([], pa.uint64()),
                     "node": pa.array([], pa.uint64()),
-                    "n_chars": pa.array([], pa.int64()),
-                    "n_anchors": pa.array([], pa.int64())}
+                    "n_chars": pa.array([], pa.uint32()),
+                    "n_anchors": pa.array([], pa.uint32())}
             if scoped:
                 cols["scope64"] = pa.array([], pa.uint64())
             return pa.table(cols)
@@ -779,7 +782,7 @@ def substring_candidates(active: ray.data.Dataset, cfg: DedupConfig,
         if not out_u:
             return pa.table({"u": pa.array([], pa.uint64()),
                              "v": pa.array([], pa.uint64()),
-                             "na_small": pa.array([], pa.int64())})
+                             "na_small": pa.array([], pa.uint32())})
         return pa.table({"u": np.concatenate(out_u),
                          "v": np.concatenate(out_v),
                          "na_small": np.concatenate(out_na)})
