@@ -101,3 +101,69 @@ def test_end_to_end_curation_story(tmp_path):
         CurateConfig(min_chars=20))
     cdf2 = curated2.to_pandas().set_index("doc_id")
     assert cdf.sort_index().equals(cdf2.sort_index())
+
+
+def test_planning_and_soft_dedup_story():
+    """Round-5 curation-planning story: estimate whether dedup is worth
+    the shuffle -> find WHICH sources duplicate each other -> run the
+    dedup -> relax to keep-up-to-2 copies, asserting cross-stage
+    consistency and determinism across partitionings."""
+    from dedup.config import DOCUMENTS_CONFIG
+    from dedup.overlap import dup_ratio_estimate, source_overlap
+    from dedup.pipeline import run_dedup, soft_dedup
+
+    rows = []
+    for i in range(120):
+        body = (f"story document {i} body with plenty of padding words "
+                f"so every length threshold clears easily {i}")
+        rows.append({"doc_id": i, "source": f"s{i % 4}", "text": body})
+    # planted structure: docs 0..29 of s0 duplicated into s1 (exact),
+    # docs 0..9 triplicated within s0
+    for i in range(0, 120, 4):          # s0 members are i%4==0
+        if i < 120:
+            rows.append({"doc_id": 1000 + i, "source": "s1",
+                         "text": rows[i]["text"]})
+    for i in range(0, 40, 4):
+        rows.append({"doc_id": 2000 + i, "source": "s0",
+                     "text": rows[i]["text"]})
+    ds = ray.data.from_items(rows).repartition(6)
+
+    # 1. pre-flight: full-slice estimate is exact; 10 within-source
+    # extra copies in s0, 30 cross-copies land in s1 (each its source's
+    # first sighting of that text except the 30 s1 rows duplicate
+    # nothing WITHIN s1)
+    est = dup_ratio_estimate(ds, slice_hex="zz").to_pandas() \
+        .set_index("source")
+    assert est.loc["s0", "n_dup"] == 10
+    assert est.loc["s1", "n_dup"] == 0          # cross-source, not within
+    # 2. which sources overlap: exactly (s0, s1), 30 shared texts
+    ov = source_overlap(ds).to_pandas()
+    assert len(ov) == 1
+    assert (ov.source_a[0], ov.source_b[0], ov.n_shared[0]) == \
+        ("s0", "s1", 30)
+    # 3. the dedup itself, then 4. soften to k=2
+    cfg = DOCUMENTS_CONFIG.with_(near=False, simhash=False,
+                                 substring=False, min_doc_bytes=10)
+    asn = run_dedup(ds.drop_columns(["source"]), cfg).materialize()
+    soft = soft_dedup(asn, k=2).to_pandas()
+    cl = soft[soft.state.isin(["keep", "delete"])]
+    per = cl.groupby("cluster_id")
+    for cid, grp in per:
+        size = grp.cluster_size.iloc[0]
+        assert (grp.state == "keep").sum() == min(2, size)
+        assert sorted(grp.copy_rank) == list(range(size))
+        # the policy keeper (rank 0) is the hard-dedup keeper
+        hard = asn.to_pandas()
+        k0 = grp[grp.copy_rank == 0].doc_id.iloc[0]
+        assert hard[hard.doc_id == k0].state.iloc[0] == "keep"
+        break   # spot-check one cluster deeply; invariants below cover all
+    assert ((cl.groupby("cluster_id").state
+             .apply(lambda s: (s == "keep").sum()))
+            == cl.groupby("cluster_id").cluster_size.first()
+            .clip(upper=2)).all()
+    # 5. determinism: different partitioning, byte-identical soft output
+    soft2 = soft_dedup(asn.repartition(9), k=2, num_partitions=5) \
+        .to_pandas()
+    a = soft.sort_values("doc_id").reset_index(drop=True)
+    b = soft2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
