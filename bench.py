@@ -361,6 +361,58 @@ def run_fuzzy_decon_scale(num_cpus: int, n_docs: int | None = None) -> dict:
             "n_flagged": int(n_flagged)}
 
 
+def run_overlap_scale(num_cpus: int, n_docs: int | None = None) -> dict:
+    """source_overlap family at bench scale: host-keyed overlap report
+    + hash-slice dup-ratio estimate + shuffle-free sketch over the
+    1.5M-doc pages corpus (url host = source).  Records wall + output
+    sizes; the estimate leg also reports the full-corpus exact ratio
+    so the slice's error is visible in the artifact."""
+    n_docs = n_docs or BENCH_DOCS
+    _init_ray(num_cpus)
+    import ray
+    import ray.data
+    import pyarrow as pa
+    from dedup.keys import url_host
+    from dedup.overlap import (dup_ratio_estimate, source_overlap,
+                               source_overlap_sketch)
+    path = synth_bench_corpus(n_docs)
+
+    def _hosted(t: pa.Table) -> pa.Table:
+        hosts = [url_host(u) for u in t["url"].to_pylist()]
+        return pa.table({"source": pa.array(hosts, pa.string()),
+                         "text": t["text"]})
+
+    def _corpus():
+        return ray.data.read_parquet(path, columns=["url", "text"]) \
+            .map_batches(_hosted, batch_format="pyarrow")
+
+    out: dict = {"docs": n_docs, "num_cpus": num_cpus}
+    t0 = time.time()
+    ov = source_overlap(_corpus()).materialize()
+    out["exact"] = {"wall_sec": round(time.time() - t0, 2),
+                    "pairs": ov.count()}
+    t0 = time.time()
+    sk = source_overlap_sketch(_corpus()).materialize()
+    out["sketch"] = {"wall_sec": round(time.time() - t0, 2),
+                     "pairs": sk.count()}
+    t0 = time.time()
+    est = dup_ratio_estimate(_corpus(), slice_hex="28").materialize()
+    est_rows = est.to_pandas()
+    t_est = round(time.time() - t0, 2)
+    t0 = time.time()
+    exact = dup_ratio_estimate(_corpus(), slice_hex="zz").materialize() \
+        .to_pandas()
+    t_exact = round(time.time() - t0, 2)
+    r_est = int(1e6 * est_rows.n_dup.sum() / max(est_rows.n_sampled.sum(), 1))
+    r_ex = int(1e6 * exact.n_dup.sum() / max(exact.n_sampled.sum(), 1))
+    out["estimate"] = {"wall_sec": t_est, "slice_hex": "28",
+                       "n_sampled": int(est_rows.n_sampled.sum()),
+                       "dup_ratio_e6": r_est}
+    out["exact_ratio"] = {"wall_sec": t_exact, "dup_ratio_e6": r_ex,
+                          "abs_err_e6": abs(r_est - r_ex)}
+    return out
+
+
 def run_footprint(num_cpus: int, n_docs: int | None = None) -> dict:
     """Resident-footprint evidence (VERDICT r3 #1): for an exact-only
     config nothing downstream of prepare consumes the text column, so
@@ -690,6 +742,7 @@ def main() -> None:
     ap.add_argument("--fuzzy-decon-scale", action="store_true")
     ap.add_argument("--footprint", action="store_true")
     ap.add_argument("--bloom-crossover", action="store_true")
+    ap.add_argument("--overlap-scale", action="store_true")
     ap.add_argument("--cpus", type=int, default=NUM_CPUS)
     args = ap.parse_args()
     import ray
@@ -713,6 +766,8 @@ def main() -> None:
         print(json.dumps(run_footprint(args.cpus)))
     elif args.bloom_crossover:
         print(json.dumps(run_bloom_crossover(args.cpus)))
+    elif args.overlap_scale:
+        print(json.dumps(run_overlap_scale(args.cpus)))
     elif args.scaling:
         print(json.dumps(run_scaling()))
     else:
