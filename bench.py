@@ -540,8 +540,8 @@ def run_suite() -> dict:
              # round-5 operators
              "source_overlap", "dup_ratio_estimate", "soft_dedup",
              "span_decontaminate"]
-    # headline pages pipeline runs FIRST — before the 29 queries build up
-    # object-store pressure — and is bracketed by single-core probes so
+    # headline pages pipeline runs FIRST — before the suite queries build
+    # up object-store pressure — and is bracketed by single-core probes so
     # the recorded number carries its own host-drift evidence
     # (VERDICT r3 #5: r3's headline ran last and recorded a drift
     # artifact, not an engine regression)

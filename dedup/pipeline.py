@@ -1957,6 +1957,10 @@ def soft_dedup(assignments: ray.data.Dataset, k: int,
     ``k=1`` reproduces the input states exactly (tested)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if "copy_rank" in assignments.schema().names:
+        # re-softening a soften output: recompute the rank rather than
+        # appending a duplicate copy_rank column (schema error)
+        assignments = assignments.drop_columns(["copy_rank"])
     cl_states = pa.array(["keep", "delete"])
 
     def _clmask(t: pa.Table) -> pa.Array:

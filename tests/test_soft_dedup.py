@@ -147,3 +147,13 @@ def test_soft_dedup_matches_pandas_rank_on_random_assignments():
         for r in df[~df.state.isin(["keep", "delete"])].itertuples():
             assert got[r.doc_id] == (r.state, r.cluster_id,
                                      r.cluster_size, 0)
+
+
+def test_soft_dedup_is_resoftenable():
+    # softening a soften output must recompute copy_rank, not crash on
+    # a duplicate column; k=3 over a k=1 output restores more keeps
+    base = _asn(_ROWS)
+    s1 = soft_dedup(base, k=1, num_partitions=2).materialize()
+    s2 = _collect(soft_dedup(s1, k=3, num_partitions=3))
+    want = _collect(soft_dedup(base, k=3, num_partitions=2))
+    assert s2 == want
