@@ -2777,6 +2777,16 @@ def _q_soft_dedup(sf_dir: str):
     return soft_dedup(asn, k=2).sort("doc_id")
 
 
+def _q_top_shared_texts(sf_dir: str):
+    """Top texts present in the most distinct sources (dedup/overlap.py
+    top_shared_texts) — names the boilerplate behind source_overlap's
+    pair counts.  Deterministic k-cutoff: ordered by (n_sources desc,
+    md5 hex), which the oracle mirrors as ORDER BY ... md5(text).
+    Fixture: the shared cross-source-twin corpus."""
+    from dedup.overlap import top_shared_texts
+    return top_shared_texts(_xsource_corpus(sf_dir), k=20)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return _q_full_dedup("/root/testdata/sf0.001")
@@ -2848,7 +2858,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     both stay oracle-checked in-repo); the keep-up-to-k soft_dedup
     takes pricing_summary's slot (green in ALL of r1-r4; the TPC-H
     engine-surface class stays in-cap via lang_group_stats /
-    top_docs_per_lang and in-repo via region_supplier_stats)."""
+    top_docs_per_lang and in-repo via region_supplier_stats); and the
+    cross-source boilerplate diagnostic top_shared_texts takes
+    user_sessions' slot (green in ALL of r1-r4; the session machinery
+    stays in-cap via sliding_windows / user_event_deltas)."""
     return {
         # --- slots 1-50: every query with a DuckDB oracle -------------
         "exact_dedup": _q_exact_dedup,
@@ -2897,7 +2910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soft_dedup": _q_soft_dedup,
         "temperature_sample": _q_temperature_sample,
         "sliding_windows": _q_sliding_windows,
-        "user_sessions": _q_user_sessions,
+        "top_shared_texts": _q_top_shared_texts,
         "knn_brute": _q_knn,
         "curation_funnel": _q_curation_funnel,
         "embedding_dedup": _q_embedding_dedup,
@@ -2917,6 +2930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "lang_id": _q_lang_id,
         "pricing_summary": _q_pricing_summary,
+        "user_sessions": _q_user_sessions,
         "video_features": _q_video_features,
         "video_frame_sample": _q_video_frame_sample,
         "postings": _q_postings,
@@ -4190,6 +4204,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN c ca ON ca.source = p.sa
             JOIN c cb ON cb.source = p.sb
             ORDER BY source_a, source_b""",
+        "top_shared_texts": """
+            WITH corpus AS (
+              SELECT source, text FROM documents
+              UNION ALL
+              SELECT 'src' || CAST((CAST(substr(source, 4) AS BIGINT) + 7)
+                                   % 20 AS VARCHAR) AS source, text
+              FROM documents WHERE doc_id % 3 = 0
+            ),
+            k AS (SELECT DISTINCT source, text FROM corpus),
+            g AS (SELECT text, count(*) AS n_sources FROM k
+                  GROUP BY text HAVING count(*) >= 2),
+            r AS (SELECT text, count(*) AS n_rows FROM corpus
+                  GROUP BY text)
+            SELECT md5(g.text) AS h,
+                   substr(g.text, 1, 80) AS snippet,
+                   CAST(g.n_sources AS BIGINT) AS n_sources,
+                   CAST(r.n_rows AS BIGINT) AS n_rows
+            FROM g JOIN r ON r.text = g.text
+            ORDER BY n_sources DESC, h
+            LIMIT 20""",
         "dup_ratio_estimate": """
             WITH corpus AS (
               SELECT source, text FROM documents

@@ -314,6 +314,115 @@ def source_overlap_sketch(ds: ray.data.Dataset,
     }))
 
 
+def top_shared_texts(ds: ray.data.Dataset, k: int = 20,
+                     source_col: str = "source", text_col: str = "text",
+                     snippet_chars: int = 80,
+                     num_partitions: int = 16) -> ray.data.Dataset:
+    """Top-k texts present in the MOST distinct sources — the
+    "which boilerplate crosses dumps" diagnostic that names the texts
+    behind :func:`source_overlap`'s pair counts.
+
+    Returns ``(h, snippet, n_sources, n_rows)``: the text's md5 hex
+    (the deterministic tie-break a SQL oracle mirrors as
+    ``md5(text)``), its first ``snippet_chars`` characters, the count
+    of distinct sources carrying it, and its total row count; only
+    texts in >= 2 sources qualify, ordered by (n_sources desc, h).
+
+    Scale: per-batch distinct (digest, source, count, snippet) rows,
+    ONE digest shuffle, per-partition top-k prune (<= k rows leave
+    each partition), driver merge bounded at partitions x k rows.
+    """
+    tune_context()
+
+    def _rows(t: pa.Table) -> pa.Table:
+        base = _digest_source_rows(t, text_col, source_col,
+                                   with_count=True)
+        # snippet per distinct triple: first sighting of the digest in
+        # this batch (same text => same snippet, so any pick agrees)
+        txt = t[text_col].to_pylist()
+        snip: dict[tuple, str] = {}
+        src = t[source_col].to_pylist()
+        for i, x in enumerate(txt):
+            if x is None or src[i] is None:
+                continue
+            d = hashlib.md5(x.encode()).digest()
+            key = (int.from_bytes(d[:8], "little"),
+                   int.from_bytes(d[8:], "little"))
+            if key not in snip:
+                snip[key] = x[:snippet_chars]
+        lo = base["h64"].to_numpy(zero_copy_only=False)
+        hi = base["hhi"].to_numpy(zero_copy_only=False)
+        return base.append_column("snippet", pa.array(
+            [snip[(int(a), int(b))] for a, b in zip(lo, hi)],
+            pa.string()))
+
+    def _topk(t: pa.Table) -> pa.Table:
+        lo = t["h64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hi = t["hhi"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sd = pc.dictionary_encode(t["source"].combine_chunks())
+        codes = sd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        snips = t["snippet"].to_pylist()
+        tri = np.stack([lo, hi, codes.astype(np.uint64)], axis=1)
+        uniq, inv = np.unique(tri, axis=0, return_inverse=True)
+        if not len(uniq):
+            return pa.table({"h": pa.array([], pa.string()),
+                             "snippet": pa.array([], pa.string()),
+                             "n_sources": pa.array([], pa.int64()),
+                             "n_rows": pa.array([], pa.int64())})
+        csum = np.bincount(inv, weights=c.astype(np.float64)) \
+            .astype(np.int64)
+        first_row = np.full(len(uniq), len(inv), dtype=np.int64)
+        np.minimum.at(first_row, inv, np.arange(len(inv)))
+        # per digest (runs over lexsorted uniq): distinct sources = run
+        # length (triples are distinct), rows = sum of run csums
+        key_change = np.concatenate(
+            [[True],
+             (uniq[1:, 0] != uniq[:-1, 0]) | (uniq[1:, 1] != uniq[:-1, 1])])
+        run_id = np.cumsum(key_change) - 1
+        n_sources = np.bincount(run_id)
+        n_rows = np.bincount(run_id, weights=csum.astype(np.float64)) \
+            .astype(np.int64)
+        starts = np.flatnonzero(key_change)
+        keep = np.flatnonzero(n_sources >= 2)
+        if not len(keep):
+            return pa.table({"h": pa.array([], pa.string()),
+                             "snippet": pa.array([], pa.string()),
+                             "n_sources": pa.array([], pa.int64()),
+                             "n_rows": pa.array([], pa.int64())})
+        hexes = np.array([
+            (int(uniq[starts[j], 0]).to_bytes(8, "little")
+             + int(uniq[starts[j], 1]).to_bytes(8, "little")).hex()
+            for j in keep], dtype=object)
+        order = np.lexsort((hexes, -n_sources[keep]))[:k]
+        sel = keep[order]
+        return pa.table({
+            "h": pa.array(hexes[order].tolist(), pa.string()),
+            "snippet": pa.array(
+                [snips[int(first_row[starts[j]])] for j in sel],
+                pa.string()),
+            "n_sources": pa.array(n_sources[sel], pa.int64()),
+            "n_rows": pa.array(n_rows[sel], pa.int64()),
+        })
+
+    cands = groupapply(ds.map_batches(_rows, batch_format="pyarrow"),
+                       "h64", _topk, num_partitions)
+    # bounded collect: <= num_partitions * k candidate rows
+    rows = []
+    for b in cands.iter_batches(batch_format="pyarrow"):
+        rows.extend(zip(b["h"].to_pylist(), b["snippet"].to_pylist(),
+                        b["n_sources"].to_pylist(),
+                        b["n_rows"].to_pylist()))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    rows = rows[:k]
+    return ray.data.from_arrow(pa.table({
+        "h": pa.array([r[0] for r in rows], pa.string()),
+        "snippet": pa.array([r[1] for r in rows], pa.string()),
+        "n_sources": pa.array([r[2] for r in rows], pa.int64()),
+        "n_rows": pa.array([r[3] for r in rows], pa.int64()),
+    }))
+
+
 def dup_ratio_estimate(ds: ray.data.Dataset, slice_hex: str = "28",
                        source_col: str = "source",
                        text_col: str = "text",

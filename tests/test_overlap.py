@@ -263,3 +263,38 @@ def test_digest_source_rows_matches_bruteforce(texts, bound):
     for s in out["source"].to_pylist():
         n_distinct[s] += 1
     assert n_distinct == Counter({s: len(v) for s, v in dis.items()})
+
+
+def test_top_shared_texts_counts_and_order():
+    from dedup.overlap import top_shared_texts
+    rows = [("a", "everywhere text"), ("b", "everywhere text"),
+            ("c", "everywhere text"), ("c", "everywhere text"),  # dup row
+            ("a", "pair text"), ("b", "pair text"),
+            ("a", "solo text"), (None, "orphan"), ("b", None)]
+    t = pa.table({"source": pa.array([r[0] for r in rows], pa.string()),
+                  "text": pa.array([r[1] for r in rows], pa.string())})
+    out = top_shared_texts(ray.data.from_arrow(t), k=5,
+                           num_partitions=3).to_pandas()
+    assert len(out) == 2                     # solo/orphan filtered
+    assert out.n_sources.tolist() == [3, 2]  # ordered by n_sources desc
+    by = {r.snippet: (r.n_sources, r.n_rows, r.h) for r in out.itertuples()}
+    assert by["everywhere text"] == (
+        3, 4, hashlib.md5(b"everywhere text").hexdigest())
+    assert by["pair text"][0:2] == (2, 2)
+    # determinism across partitionings
+    out2 = top_shared_texts(ray.data.from_arrow(t).repartition(5), k=5,
+                            num_partitions=7).to_pandas()
+    assert out.equals(out2)
+
+
+def test_top_shared_texts_k_cutoff_is_md5_deterministic():
+    from dedup.overlap import top_shared_texts
+    rows = []
+    for i in range(10):                       # 10 texts each in 2 sources
+        rows += [("a", f"shared {i}"), ("b", f"shared {i}")]
+    t = pa.table({"source": pa.array([r[0] for r in rows], pa.string()),
+                  "text": pa.array([r[1] for r in rows], pa.string())})
+    out = top_shared_texts(ray.data.from_arrow(t), k=4).to_pandas()
+    want = sorted(hashlib.md5(f"shared {i}".encode()).hexdigest()
+                  for i in range(10))[:4]
+    assert out.h.tolist() == want             # md5-order tie-break
